@@ -1,0 +1,96 @@
+"""Stage [C] — decode + explode to mentions rows (stateless map_batches).
+
+Applies reference decode semantics (``decoder.py:54-128``: threshold +
+greedy NMS, ``kernels/decode.py``) per chunk, maps token spans back to
+absolute char offsets (``model.py:428-447`` semantics), slices surface
+text, and explodes to one row per mention.
+
+Cross-chunk dedup uses a deterministic OWNERSHIP RULE instead of a
+global shuffle: a mention discovered in chunk ``[cs, ce)`` is emitted
+only by the first chunk that fully contains it — i.e. kept iff
+``cs == 0`` or ``tok_end >= cs + overlap`` (a span ending inside the
+lookback overlap is fully covered by, and already emitted from, the
+previous chunk). This removes the ``groupby(doc, start, end, label)``
+all-to-all that naive dedup would need at 10^12-file scale. The oracle
+applies the identical rule, so parity is exact.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..config import PipelineConfig
+from ..kernels.decode import decode_candidates
+
+MENTION_SCHEMA = pa.schema(
+    [
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("bucket", pa.int32()),
+        ("doc_sha256", pa.string()),
+        ("start", pa.int32()),
+        ("end", pa.int32()),
+        ("tok_start", pa.int32()),
+        ("tok_end", pa.int32()),
+        ("text", pa.string()),
+        ("label", pa.string()),
+        ("score", pa.float64()),
+    ]
+)
+
+
+def mention_owned_by_chunk(chunk_start: int, overlap: int, abs_tok_end: int) -> bool:
+    """Ownership rule shared with the oracle (see module docstring)."""
+    return chunk_start == 0 or abs_tok_end >= chunk_start + overlap
+
+
+def make_decoder(cfg: PipelineConfig):
+    """Build the [C] map_batches function."""
+
+    def decode_batch(batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {name: [] for name in MENTION_SCHEMA.names}
+        n = batch.num_rows
+        get = lambda name: batch[name].to_pylist()  # noqa: E731
+        repos, paths, commits = get("repo"), get("path"), get("commit")
+        buckets, shas = get("bucket"), get("doc_sha256")
+        offs, toks_col = get("tok_offset"), get("tokens")
+        cs_col, ce_col = get("char_starts"), get("char_ends")
+        texts, ccs_col = get("chunk_text"), get("chunk_char_start")
+        cands_s, cands_k = get("cand_s"), get("cand_k")
+        cands_lab, cands_sc = get("cand_label"), get("cand_score")
+        for i in range(n):
+            cands = list(zip(cands_s[i], cands_k[i], cands_lab[i], cands_sc[i]))
+            spans = decode_candidates(
+                cands,
+                n_tokens=len(toks_col[i]),
+                flat_ner=cfg.flat_ner,
+                threshold=cfg.threshold,
+                multi_label=cfg.multi_label,
+            )
+            off, ccs = offs[i], ccs_col[i]
+            starts_i, ends_i, chunk_text = cs_col[i], ce_col[i], texts[i]
+            for s_rel, e_rel, label, score in spans:
+                abs_te = off + e_rel
+                if not mention_owned_by_chunk(off, cfg.chunk_overlap, abs_te):
+                    continue
+                start = starts_i[s_rel]
+                end = ends_i[e_rel]
+                cols["repo"].append(repos[i])
+                cols["path"].append(paths[i])
+                cols["commit"].append(commits[i])
+                cols["bucket"].append(buckets[i])
+                cols["doc_sha256"].append(shas[i])
+                cols["start"].append(start)
+                cols["end"].append(end)
+                cols["tok_start"].append(off + s_rel)
+                cols["tok_end"].append(abs_te)
+                cols["text"].append(chunk_text[start - ccs : end - ccs])
+                cols["label"].append(label)
+                cols["score"].append(float(score))
+        return pa.table(
+            {name: pa.array(cols[name], type=MENTION_SCHEMA.field(name).type)
+             for name in MENTION_SCHEMA.names}
+        )
+
+    return decode_batch

@@ -1,0 +1,96 @@
+"""Stage [B] — span scoring (stateful actor-pool map_batches).
+
+The distributed analog of ``GLiNER.run``'s forward pass
+(``gliner/model.py:352-449`` → ``modeling/base.py:498-586``): a
+callable class whose ``__init__`` loads the model once per actor
+(reference ``from_pretrained``, ``model.py:768-919``) and whose
+``__call__`` scores one Arrow batch of chunks, appending the sparse
+span-candidate columns consumed by the decode stage.
+
+Backends:
+
+- :class:`DeterministicScorer` — the CI backend (FIXTURES.md §5
+  contract, ``kernels/scoring.py``). CPU-only, pure Python state.
+- :class:`TorchGlinerScorer` — the real-model backend; requires torch
+  + a GLiNER checkpoint, neither of which exists in this container, so
+  it raises ``NotImplementedError`` at construction. The Ray-side
+  plumbing (actor signature, batch flow, output schema) is identical
+  to the deterministic backend and is what the tests exercise.
+
+Usage::
+
+    ds.map_batches(DeterministicScorer, fn_constructor_kwargs={"cfg": cfg},
+                   batch_format="pyarrow", batch_size=cfg.scorer_batch_size,
+                   concurrency=N, num_cpus=1)   # GPU backend: num_gpus=1
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..config import PipelineConfig
+from ..kernels.scoring import DeterministicScorerKernel
+
+CANDIDATE_FIELDS = [
+    ("cand_s", pa.list_(pa.int32())),
+    ("cand_k", pa.list_(pa.int32())),
+    ("cand_label", pa.list_(pa.string())),
+    ("cand_score", pa.list_(pa.float64())),
+]
+
+
+class DeterministicScorer:
+    """Actor-pool scorer using the deterministic hash kernel."""
+
+    def __init__(self, cfg: PipelineConfig):
+        # Once per actor: build the vocabulary index (the analog of
+        # loading model weights + tokenizer in __init__).
+        self.kernel = DeterministicScorerKernel(cfg.vocab, cfg.labels)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tokens_col = batch["tokens"].to_pylist()
+        shas = batch["doc_sha256"].to_pylist()
+        offsets = batch["tok_offset"].to_pylist()
+        out_s, out_k, out_label, out_score = [], [], [], []
+        for tokens, sha, off in zip(tokens_col, shas, offsets):
+            cands = self.kernel.score_tokens(tokens, sha, tok_offset=off)
+            out_s.append([c[0] for c in cands])
+            out_k.append([c[1] for c in cands])
+            out_label.append([c[2] for c in cands])
+            out_score.append([c[3] for c in cands])
+        arrays = [
+            pa.array(out_s, pa.list_(pa.int32())),
+            pa.array(out_k, pa.list_(pa.int32())),
+            pa.array(out_label, pa.list_(pa.string())),
+            pa.array(out_score, pa.list_(pa.float64())),
+        ]
+        for (name, _), arr in zip(CANDIDATE_FIELDS, arrays):
+            batch = batch.append_column(name, arr)
+        return batch
+
+
+class TorchGlinerScorer:
+    """Real-model backend stub: same interface, torch-gated.
+
+    At construction it would ``GLiNER.from_pretrained(model_dir)``
+    (reference ``model.py:768-919``), pre-embed the label prompts
+    (``model.py:604-630``), and in ``__call__`` run prompt build →
+    subword tokenize → forward (``base.py:498-586``) → emit the sparse
+    ``sigmoid(logits) > threshold`` candidate set in row-major
+    ``(s, k, c)`` order — the identical output contract as
+    :class:`DeterministicScorer`.
+    """
+
+    def __init__(self, cfg: PipelineConfig, model_dir: str = ""):
+        try:
+            import torch  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "TorchGlinerScorer requires torch + a GLiNER checkpoint; "
+                "neither is available in this environment. Use "
+                "DeterministicScorer (same batch contract)."
+            ) from e
+        raise NotImplementedError("real-model backend not wired in this sandbox")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # pragma: no cover
+        raise NotImplementedError

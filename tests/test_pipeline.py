@@ -1,0 +1,123 @@
+"""End-to-end pipeline tests: distributed == sequential oracle
+(reference span-F1 protocol, ``evaluator.py:52-121`` semantics),
+resume-from-checkpoint equivalence, distributed-linking parity,
+row-invariant sha256 carry-through."""
+
+import hashlib
+import os
+import shutil
+
+import pyarrow.dataset as pads
+import pytest
+
+from gliner_ray.config import DEFAULT_CONFIG
+from gliner_ray.corpus import generate_files
+from gliner_ray.kernels.evalmetrics import compute_prf, triple_prf
+from gliner_ray.oracle import oracle_mentions, oracle_triples
+from gliner_ray.pipelines.kg import build_kg
+
+
+def _read(dirname: str) -> list[dict]:
+    return (
+        pads.dataset(dirname, format="parquet", partitioning="hive")
+        .to_table()
+        .to_pylist()
+    )
+
+
+@pytest.fixture(scope="module")
+def kg_run(small_corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kg") / "out")
+    summary = build_kg(small_corpus, out)
+    files = generate_files(n_files=120, n_repos=15, seed=42)
+    om = oracle_mentions(files)
+    ot = oracle_triples(files, om)
+    return {"out": out, "summary": summary, "files": files, "om": om, "ot": ot}
+
+
+class TestEndToEnd:
+    def test_mention_parity(self, kg_run):
+        dm = _read(os.path.join(kg_run["out"], "mentions"))
+        y_true = [(m["label"], (m["start"], m["end"]), m["doc_sha256"]) for m in kg_run["om"]]
+        y_pred = [(m["label"], (m["start"], m["end"]), m["doc_sha256"]) for m in dm]
+        prf = compute_prf(y_true, y_pred)
+        assert prf["precision"] >= 0.95 and prf["recall"] >= 0.95  # BASELINE gate
+        assert prf["f_score"] == 1.0  # expected exact
+
+    def test_triple_parity(self, kg_run):
+        dt = _read(os.path.join(kg_run["out"], "triples"))
+        prf = triple_prf(
+            [(t["subj"], t["pred"], t["obj"]) for t in kg_run["ot"]],
+            [(t["subj"], t["pred"], t["obj"]) for t in dt],
+        )
+        assert prf["precision"] >= 0.95 and prf["recall"] >= 0.95
+        assert prf["f_score"] == 1.0
+
+    def test_sha256_row_invariant(self, kg_run):
+        # every mention's doc_sha256 must equal sha256 of its source content
+        by_key = {
+            (r["repo"], r["path"]): hashlib.sha256(r["content"].encode()).hexdigest()
+            for r in kg_run["files"].to_pylist()
+        }
+        dm = _read(os.path.join(kg_run["out"], "mentions"))
+        assert dm
+        for m in dm:
+            assert m["doc_sha256"] == by_key[(m["repo"], m["path"])]
+
+    def test_mention_text_matches_offsets(self, kg_run):
+        contents = {
+            (r["repo"], r["path"]): r["content"] for r in kg_run["files"].to_pylist()
+        }
+        dm = _read(os.path.join(kg_run["out"], "mentions"))
+        for m in dm[:200]:
+            content = contents[(m["repo"], m["path"])]
+            assert content[m["start"] : m["end"]] == m["text"]
+
+    def test_partitioned_layout_and_manifests(self, kg_run):
+        mdir = os.path.join(kg_run["out"], "mentions")
+        buckets = [d for d in os.listdir(mdir) if d.startswith("bucket=")]
+        manifests = [f for f in os.listdir(mdir) if f.startswith("_manifest")]
+        assert buckets and len(manifests) == kg_run["summary"]["buckets_processed"]
+
+
+class TestResume:
+    def test_resume_skips_completed_and_matches_cold(self, small_corpus, tmp_path):
+        out = str(tmp_path / "out")
+        s1 = build_kg(small_corpus, out)
+        cold_triples = sorted(
+            (t["subj"], t["pred"], t["obj"]) for t in _read(os.path.join(out, "triples"))
+        )
+        # delete one bucket's mentions output + manifest → only it reruns
+        mdir = os.path.join(out, "mentions")
+        victim = sorted(
+            int(d.split("=")[1]) for d in os.listdir(mdir) if d.startswith("bucket=")
+        )[0]
+        shutil.rmtree(os.path.join(mdir, f"bucket={victim}"))
+        os.remove(os.path.join(mdir, f"_manifest_bucket={victim}.json"))
+        s2 = build_kg(small_corpus, out)
+        assert s2["buckets_processed"] == 1
+        assert s2["buckets_skipped"] == s1["buckets_total"] - 1
+        resumed_triples = sorted(
+            (t["subj"], t["pred"], t["obj"]) for t in _read(os.path.join(out, "triples"))
+        )
+        assert resumed_triples == cold_triples
+
+    def test_noop_resume(self, small_corpus, tmp_path):
+        out = str(tmp_path / "out")
+        build_kg(small_corpus, out)
+        s2 = build_kg(small_corpus, out)
+        assert s2["buckets_processed"] == 0
+
+
+class TestDistributedLinking:
+    def test_label_propagation_matches_union_find(self, small_corpus, tmp_path):
+        out = str(tmp_path / "out")
+        build_kg(small_corpus, out, force_distributed_linking=True)
+        files = generate_files(n_files=120, n_repos=15, seed=42)
+        ot = oracle_triples(files)
+        dt = _read(os.path.join(out, "triples"))
+        prf = triple_prf(
+            [(t["subj"], t["pred"], t["obj"]) for t in ot],
+            [(t["subj"], t["pred"], t["obj"]) for t in dt],
+        )
+        assert prf["f_score"] == 1.0
