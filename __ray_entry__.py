@@ -1,44 +1,86 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG pipeline on sf0.001; ``queries()``
+exposes every implemented operator/pipeline (SURVEY.md §2 coverage);
+``oracle_sql()`` gives the exact DuckDB equivalent where SQL can
+express the op (others get the driver's rows-only check and have
+pytest oracles instead — see tests/).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before this module is imported;
+nothing here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gliner_ray.queries import corpus_ops as co  # noqa: E402
+from gliner_ray.queries import relational as rel  # noqa: E402
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: synthesize the source-code `files` corpus
+    (BASELINE.json input_hint shape), run the full KG construction
+    (chunk → score → decode → link → triples), return the triples."""
+    return co.kg_triples("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational operator coverage (TPC-H-shaped)
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "q3_top_orders": rel.q3_top_orders,
+        "q5_region_revenue": rel.q5_region_revenue,
+        "q6_forecast_revenue": rel.q6_forecast_revenue,
+        "q_top_orders_by_price": rel.q_top_orders_by_price,
+        "q_distinct_segments": rel.q_distinct_segments,
+        "q_segment_revenue": rel.q_segment_revenue,
+        "q_events_hourly": rel.q_events_hourly,
+        "q_user_sessions": rel.q_user_sessions,
+        "q_brand_stats": rel.q_brand_stats,
+        # text analysis
+        "doc_token_count": co.doc_token_count,
+        "doc_text_stats": co.doc_text_stats,
+        "doc_sha256": co.doc_sha256,
+        "doc_lang_id": co.doc_lang_id,
+        "doc_quality": co.doc_quality,
+        "doc_fingerprint": co.doc_fingerprint,
+        # dedup family
+        "doc_exact_dedup": co.doc_exact_dedup,
+        "doc_minhash_dedup": co.doc_minhash_dedup,
+        "doc_simhash_dups": co.doc_simhash_dups,
+        "emb_cosine_dups": co.emb_cosine_dups,
+        # similarity search
+        "emb_ann_topk": co.emb_ann_topk,
+        "emb_ivf_topk": co.emb_ivf_topk,
+        # multimodal plumbing
+        "media_features": co.media_features,
+        # knowledge-graph construction (reference-parity ops)
+        "kg_mentions": co.kg_mentions,
+        "kg_triples": co.kg_triples,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": rel.Q1_SQL,
+        "q3_top_orders": rel.Q3_SQL,
+        "q5_region_revenue": rel.Q5_SQL,
+        "q6_forecast_revenue": rel.Q6_SQL,
+        "q_top_orders_by_price": rel.TOP_ORDERS_SQL,
+        "q_distinct_segments": rel.DISTINCT_SQL,
+        "q_segment_revenue": rel.SEGMENT_REVENUE_SQL,
+        "q_events_hourly": rel.EVENTS_HOURLY_SQL,
+        "q_user_sessions": rel.USER_SESSIONS_SQL,
+        "q_brand_stats": rel.BRAND_STATS_SQL,
+        "doc_token_count": co.TOKEN_COUNT_SQL,
+        "doc_text_stats": co.TEXT_STATS_SQL,
+        "doc_sha256": co.SHA256_SQL,
+        "doc_exact_dedup": co.EXACT_DEDUP_SQL,
+        "emb_ann_topk": co.ANN_TOPK_SQL,
+    }

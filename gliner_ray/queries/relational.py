@@ -1,0 +1,504 @@
+"""Relational pipelines over the driver test tables + exact SQL oracles.
+
+Design rules (so the driver's order-insensitive value-hash matches):
+
+- every aggregate / computed column carries the SAME name in the Ray
+  code and the SQL (``AS ...``);
+- money/measure columns are converted to integer units with
+  ``floor(x * scale)`` on BOTH sides — identical IEEE doubles in,
+  identical integers out; no float columns in oracle-checked outputs;
+- LIMIT queries sort on a key made unique by including the id column;
+- timestamps are formatted to strings before leaving the query.
+
+Scale notes per query are in the docstrings: small dimension tables
+are broadcast (driver-side lookup structures captured in the batch
+closure — at cluster scale a ``ray.put`` handle), the two big fact
+tables join via Ray's hash ``Dataset.join``, and every groupby is
+preceded by an in-batch partial aggregation where the key cardinality
+is low.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _floor_units(arr: pa.ChunkedArray | pa.Array, scale: int) -> pa.Array:
+    vals = np.floor(arr.to_numpy(zero_copy_only=False) * scale)
+    return pa.array(vals.astype(np.int64), pa.int64())
+
+
+# ------------------------------------------------------------------ q1
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filtered scan → low-cardinality groupby.
+
+    Partial aggregation inside map_batches (pandas groupby per batch,
+    ≤ 6 key combinations) shrinks the shuffle to (keys × batches) rows
+    before the global groupby — the combiner pattern.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    cutoff = datetime(1998, 9, 2)
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], pa.scalar(cutoff)))
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pandas(),
+                "l_linestatus": batch["l_linestatus"].to_pandas(),
+                "sum_qty": batch["l_quantity"].to_numpy().astype(np.int64),
+                "sum_base_cents": np.floor(
+                    batch["l_extendedprice"].to_numpy() * 100
+                ).astype(np.int64),
+                "sum_disc_e4": np.floor(
+                    batch["l_extendedprice"].to_numpy()
+                    * (1.0 - batch["l_discount"].to_numpy())
+                    * 10000
+                ).astype(np.int64),
+                "count_order": np.ones(batch.num_rows, dtype=np.int64),
+            }
+        )
+        agg = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_cents", alias_name="sum_base_cents"),
+            Sum("sum_disc_e4", alias_name="sum_disc_e4"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------------------------ q3
+
+
+def q3_top_orders(sf_dir: str):
+    """TPC-H Q3 shape: broadcast semi-join (customer segment filter) +
+    hash join lineitem⋈orders + groupby + top-k.
+
+    customer is the small side → its key set is collected once and the
+    orders scan filters against it in-batch (broadcast semi-join); the
+    two fact tables use the hash-partitioned ``Dataset.join``.
+    """
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    building = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    keys = pa.array(building["c_custkey"].tolist(), pa.int64())
+
+    cutoff = datetime(1998, 1, 1)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.is_in(t["o_custkey"], value_set=keys),
+                pc.less(t["o_orderdate"], pa.scalar(cutoff)),
+            )
+        ).select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    line = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "rev_e4": pa.array(
+                    np.floor(
+                        t["l_extendedprice"].to_numpy()
+                        * (1.0 - t["l_discount"].to_numpy())
+                        * 10000
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = line.join(
+        orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    agg = joined.groupby("l_orderkey").aggregate(Sum("rev_e4", alias_name="revenue_e4"))
+    top = agg.sort(["revenue_e4", "l_orderkey"], descending=[True, False]).limit(10)
+    return top
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey
+ORDER BY revenue_e4 DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ------------------------------------------------------------------ q5
+
+
+def q5_region_revenue(sf_dir: str):
+    """TPC-H Q5 shape: 4 broadcast dimension lookups + 1 big hash join.
+
+    region→nation→{customer, supplier} are all tiny: folded into
+    driver-built dicts used inside map_batches. lineitem⋈orders is the
+    only real shuffle. Same-nation (customer nation == supplier
+    nation) enforced in the final vectorized filter.
+    """
+    from ray.data.aggregate import Sum
+
+    region = _read(sf_dir, "region").to_pandas()
+    nation = _read(sf_dir, "nation").to_pandas()
+    asia_key = int(region[region.r_name == "ASIA"].r_regionkey.iloc[0])
+    asia_nations = nation[nation.n_regionkey == asia_key]
+    nation_name = dict(zip(asia_nations.n_nationkey, asia_nations.n_name))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust.c_nationkey.isin(nation_name)]
+    cust_nation = dict(zip(cust.c_custkey, cust.c_nationkey))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp[supp.s_nationkey.isin(nation_name)]
+    supp_nation = dict(zip(supp.s_suppkey, supp.s_nationkey))
+
+    lo = datetime(1996, 1, 1)
+    hi = datetime(1998, 1, 1)
+    cust_keys = pa.array(list(cust_nation), pa.int64())
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.is_in(t["o_custkey"], value_set=cust_keys),
+                pc.and_(
+                    pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                    pc.less(t["o_orderdate"], pa.scalar(hi)),
+                ),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    line = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+    joined = line.join(
+        orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def per_nation(batch: pa.Table) -> pa.Table:
+        supp_n = np.array(
+            [supp_nation.get(k, -1) for k in batch["l_suppkey"].to_pylist()]
+        )
+        cust_n = np.array(
+            [cust_nation.get(k, -2) for k in batch["o_custkey"].to_pylist()]
+        )
+        mask = supp_n == cust_n
+        rev = np.floor(
+            batch["l_extendedprice"].to_numpy()
+            * (1.0 - batch["l_discount"].to_numpy())
+            * 10000
+        ).astype(np.int64)[mask]
+        names = [nation_name[n] for n in supp_n[mask]]
+        df = pd.DataFrame({"n_name": names, "revenue_e4": rev})
+        agg = df.groupby("n_name", as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        joined.map_batches(per_nation, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+# ------------------------------------------------------------------ q6
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: pure vectorized filter + global aggregate
+    (no shuffle at all — each batch emits one partial row)."""
+    from ray.data.aggregate import Sum
+
+    lo = datetime(1996, 1, 1)
+    hi = datetime(1997, 1, 1)
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        date = batch["l_shipdate"]
+        disc = batch["l_discount"].to_numpy()
+        mask = (
+            pc.and_(
+                pc.greater_equal(date, pa.scalar(lo)), pc.less(date, pa.scalar(hi))
+            ).to_numpy(zero_copy_only=False)
+            & (disc >= 0.05) & (disc <= 0.07)
+            & (batch["l_quantity"].to_numpy() < 24)
+        )
+        rev = np.floor(
+            batch["l_extendedprice"].to_numpy()[mask] * disc[mask] * 10000
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "revenue_e4": pa.array([int(rev.sum())], pa.int64()),
+                "n_items": pa.array([int(mask.sum())], pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("revenue_e4", alias_name="revenue_e4"),
+        Sum("n_items", alias_name="n_items"),
+    )
+    return pa.table(
+        {
+            "revenue_e4": pa.array([agg["revenue_e4"]], pa.int64()),
+            "n_items": pa.array([agg["n_items"]], pa.int64()),
+        }
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# ------------------------------------------------------- sort / limit
+
+
+def q_top_orders_by_price(sf_dir: str):
+    """Global sort + limit (distributed sort, tie-broken by key)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "total_cents": _floor_units(t["o_totalprice"], 100),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return ds.sort(["total_cents", "o_orderkey"], descending=[True, False]).limit(100)
+
+
+TOP_ORDERS_SQL = """
+SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS total_cents
+FROM orders ORDER BY total_cents DESC, o_orderkey LIMIT 100
+"""
+
+
+# ----------------------------------------------------------- distinct
+
+
+def q_distinct_segments(sf_dir: str):
+    """Distinct values of one column (shuffle-dedup)."""
+    vals = sorted(_read(sf_dir, "customer", ["c_mktsegment"]).unique("c_mktsegment"))
+    return pa.table({"c_mktsegment": pa.array(vals, pa.string())})
+
+
+DISTINCT_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+# ----------------------------------------------- broadcast join + agg
+
+
+def q_segment_revenue(sf_dir: str):
+    """orders ⋈ customer via broadcast dict lookup, grouped aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_of = dict(zip(cust.c_custkey, cust.c_mktsegment))
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        segs = [seg_of.get(k) for k in batch["o_custkey"].to_pylist()]
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(segs, pa.string()),
+                "total_cents": _floor_units(batch["o_totalprice"], 100),
+            }
+        )
+
+    return (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(lookup, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("total_cents", alias_name="revenue_cents"),
+        )
+    )
+
+
+SEGMENT_REVENUE_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ------------------------------------------------------ events hourly
+
+
+def q_events_hourly(sf_dir: str):
+    """Time-bucketed aggregate: hour truncation done vectorized with
+    pyarrow.compute, keys formatted to strings for type-stable output."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        hours = pc.strftime(
+            pc.floor_temporal(batch["ts"], unit="hour"), format="%Y-%m-%d %H:00:00"
+        )
+        return pa.table(
+            {
+                "hour": hours,
+                "event_type": batch["event_type"],
+                "value_cents": _floor_units(batch["value"], 100),
+            }
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_cents", alias_name="sum_value_cents"),
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------- sessionize (window)
+
+
+def q_user_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Session windowing: partition by user, sort by ts inside the
+    group, count gap-delimited sessions — ``groupby.map_groups`` with
+    pandas, the engine's streaming-window idiom (ray_guide
+    'Streaming-shaped workloads'). Ordering assumption: rows within a
+    user group are sorted in the group function, never globally.
+    """
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        gaps = ts.diff() > pd.Timedelta(minutes=gap_minutes)
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(gaps.sum()) + 1]}
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+USER_SESSIONS_SQL = """
+SELECT user_id,
+       CAST(1 + SUM(CASE WHEN gap > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sessions
+FROM (
+    SELECT user_id, ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+    FROM events
+)
+GROUP BY user_id
+"""
+
+
+# ------------------------------------------------------- part stats
+
+
+def q_brand_stats(sf_dir: str):
+    """min/max/count per group over the part table."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"]).map_batches(
+        lambda t: pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "price_cents": _floor_units(t["p_retailprice"], 100),
+                "p_size": pc.cast(t["p_size"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return ds.groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"),
+        Min("price_cents", alias_name="min_price_cents"),
+        Max("price_cents", alias_name="max_price_cents"),
+        Sum("p_size", alias_name="sum_size"),
+    )
+
+
+BRAND_STATS_SQL = """
+SELECT p_brand, COUNT(*) AS n_parts,
+       MIN(CAST(FLOOR(p_retailprice * 100) AS BIGINT)) AS min_price_cents,
+       MAX(CAST(FLOOR(p_retailprice * 100) AS BIGINT)) AS max_price_cents,
+       CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS sum_size
+FROM part GROUP BY p_brand
+"""

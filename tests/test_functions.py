@@ -1,0 +1,216 @@
+"""Tests for the training-data operators: text analysis, dedup family,
+similarity search, multimodal plumbing — with planted ground truth."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gliner_ray.functions import dedup as fdedup
+from gliner_ray.functions import multimodal as mm
+from gliner_ray.functions import similarity as fsim
+from gliner_ray.functions import text as ftext
+
+
+def _docs_ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the green forest to find some food for the long cold winter"
+)
+
+
+class TestTextOps:
+    def test_token_count_matches_regex(self):
+        t = pa.table({"doc_id": pa.array([1], pa.int64()), "text": ["a b-c d_e (f)"]})
+        out = ftext.token_count_batch(t)
+        # tokens: a, b-c, d_e, (, f, )
+        assert out["n_tokens"].to_pylist() == [6]
+
+    def test_text_stats(self):
+        t = pa.table({"doc_id": pa.array([1], pa.int64()), "text": ["The cat, the hat!"]})
+        out = ftext.text_stats_batch(t)
+        r = out.to_pylist()[0]
+        assert r["n_chars"] == 17
+        assert r["n_words"] == 4
+        assert r["n_punct"] == 2
+        assert r["n_stopwords"] == 2  # 'the' twice
+
+    def test_lang_id_english(self):
+        t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": [BASE, "zzz qqq www"]})
+        out = ftext.lang_id_batch(t)
+        assert out["lang_pred"].to_pylist() == ["en", "und"]
+
+    def test_quality_score_ordering(self):
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": [BASE * 3, "!!! ??? ;;; ###"],
+            }
+        )
+        out = ftext.quality_score_batch(t)
+        scores = out["quality_score"].to_pylist()
+        assert scores[0] > scores[1]
+
+    def test_rolling_fingerprint_similarity(self):
+        # identical docs share fingerprints; different docs don't
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": [BASE, BASE, "completely different content here"],
+            }
+        )
+        out = ftext.rolling_fingerprint_batch(t)
+        fps = out["fingerprint"].to_pylist()
+        assert fps[0] == fps[1]
+        assert fps[0] != fps[2]
+
+
+class TestExactDedup:
+    def test_keeps_min_id(self):
+        ds = _docs_ds([(5, "aaa"), (2, "aaa"), (3, "bbb"), (9, "aaa")])
+        out = fdedup.exact_dedup(ds).to_pandas()
+        assert sorted(out["doc_id"]) == [2, 3]
+
+
+class TestMinHash:
+    def test_signature_jaccard_estimate(self):
+        a, b = fdedup._minhash_params(128)
+        s1 = fdedup.minhash_signature(BASE, a, b)
+        edited = BASE.replace("fox", "wolf")
+        s2 = fdedup.minhash_signature(edited, a, b)
+        s3 = fdedup.minhash_signature("totally unrelated words here", a, b)
+        est_close = (s1 == s2).mean()
+        est_far = (s1 == s3).mean()
+        true_j = fdedup.jaccard(fdedup.word_ngrams(BASE), fdedup.word_ngrams(edited))
+        assert abs(est_close - true_j) < 0.25
+        assert est_far < 0.1 < est_close
+
+    def test_minhash_dedup_finds_planted_cluster(self):
+        near = BASE.replace("winter", "spring")
+        rows = [(1, BASE), (2, near), (3, "other text entirely unrelated to anything"),
+                (4, BASE)]
+        out = fdedup.minhash_dedup(_docs_ds(rows), threshold=0.7).to_pylist()
+        clusters = {r["doc_id"]: r["cluster_id"] for r in out}
+        assert clusters.get(1) == 1 and clusters.get(2) == 1 and clusters.get(4) == 1
+        assert 3 not in clusters
+
+    def test_no_dups(self):
+        rows = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+                (2, "one two three four five six seven eight nine")]
+        out = fdedup.minhash_dedup(_docs_ds(rows))
+        assert out.num_rows == 0
+
+
+class TestSimHash:
+    def test_identical_distance_zero(self):
+        assert fdedup.hamming64(fdedup.simhash64(BASE), fdedup.simhash64(BASE)) == 0
+
+    def test_near_text_small_distance(self):
+        d_near = fdedup.hamming64(
+            fdedup.simhash64(BASE), fdedup.simhash64(BASE.replace("fox", "wolf"))
+        )
+        d_far = fdedup.hamming64(
+            fdedup.simhash64(BASE), fdedup.simhash64("unrelated totally different words")
+        )
+        assert d_near < d_far
+
+    def test_near_dup_pairs(self):
+        rows = [(1, BASE), (2, BASE), (3, "something else entirely different")]
+        out = fdedup.simhash_near_dups(_docs_ds(rows), max_hamming=3).to_pylist()
+        assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
+
+
+class TestEmbeddingOps:
+    def _emb_ds(self, n=64, dim=16, seed=0):
+        import ray.data as rd
+
+        rng = np.random.RandomState(seed)
+        mat = rng.randn(n, dim).astype(np.float32)
+        mat[7] = mat[3] + 1e-4  # planted near-dup pair (3, 7)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(n), pa.int64()),
+                    "embedding": pa.array([row.tolist() for row in mat],
+                                          pa.list_(pa.float32())),
+                }
+            )
+        ), mat
+
+    def test_brute_force_topk_exact(self):
+        ds, mat = self._emb_ds()
+        q = mat[3].astype(np.float64)
+        top = fsim.brute_force_topk(ds, q, k=5).to_pylist()
+        normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = normed @ (q / np.linalg.norm(q))
+        expect = sorted(range(len(sims)), key=lambda i: (-sims[i], i))[:5]
+        assert [r["vec_id"] for r in top] == expect
+        assert top[0]["vec_id"] in (3, 7)
+
+    def test_cosine_near_dups_finds_planted(self):
+        ds, _ = self._emb_ds()
+        out = fdedup.embedding_near_dups(ds, threshold=0.999).to_pylist()
+        assert (3, 7) in {(r["id_a"], r["id_b"]) for r in out}
+
+    def test_ivf_recall(self):
+        ds, mat = self._emb_ds(n=128)
+        q = mat[5].astype(np.float64)
+        exact = {r["vec_id"] for r in fsim.brute_force_topk(ds, q, k=10).to_pylist()}
+        index = fsim.IVFIndex.build(ds, n_clusters=8)
+        approx = {r["vec_id"] for r in index.search(q, k=10, nprobe=8).to_pylist()}
+        # nprobe == n_clusters → exhaustive → exact recall
+        assert approx == exact
+        partial = {r["vec_id"] for r in index.search(q, k=10, nprobe=3).to_pylist()}
+        assert len(partial & exact) >= 5  # decent recall with 3/8 probes
+
+
+class TestMultimodal:
+    def test_decode_requires_fake_flag(self):
+        with pytest.raises(NotImplementedError):
+            mm.DecodeStub(fake=False)
+
+    def test_decode_deterministic_features(self):
+        import ray.data as rd
+
+        t = mm.synth_media_table(n=12, seed=1)
+        ds = rd.from_arrow(t)
+        out1 = mm.decode_features(ds, fake=True).to_pandas()
+        out2 = mm.decode_features(rd.from_arrow(t), fake=True).to_pandas()
+        assert list(out1["payload_sha256"]) == list(out2["payload_sha256"])
+        assert "payload" not in out1.columns
+        assert all(len(f) == 16 for f in out1["feature"])
+
+    def test_resize_bounds(self):
+        t = mm.synth_media_table(n=24, seed=2)
+        out = mm.ResizeStub(max_side=512)(t)
+        w = out["resized_width"].to_pylist()
+        h = out["resized_height"].to_pylist()
+        kinds = out["kind"].to_pylist()
+        for kind, wi, hi in zip(kinds, w, h):
+            if kind != "audio":
+                assert wi <= 512 and hi <= 512
+
+    def test_frame_plan(self):
+        t = mm.synth_media_table(n=9, seed=3)
+        out = mm.frame_sample_plan_batch(t, fps=2.0)
+        for kind, dur, plan in zip(
+            out["kind"].to_pylist(),
+            out["meta_duration_ms"].to_pylist(),
+            out["frame_ts_ms"].to_pylist(),
+        ):
+            if kind == "video":
+                assert plan and plan[0] == 0 and all(b - a == 500 for a, b in zip(plan, plan[1:]))
+            else:
+                assert plan == []

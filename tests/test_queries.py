@@ -1,0 +1,53 @@
+"""Driver-style oracle parity: every queries() entry with an
+oracle_sql() twin must match DuckDB exactly (schema + rows + values)
+at sf0.001. Mirrors the driver's CORRECTNESS gate locally."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+ORACLE_NAMES = sorted(E.oracle_sql())
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(name, con):
+    res = E.queries()[name](SF)
+    rdf = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+    odf = con.sql(E.oracle_sql()[name]).df()
+    a, b = _norm(rdf), _norm(odf)
+    assert list(a.columns) == list(b.columns), f"schema mismatch: {list(a.columns)} vs {list(b.columns)}"
+    assert len(a) == len(b), f"row count {len(a)} vs {len(b)}"
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_rows_only_queries_run():
+    # every non-oracle query must at least execute and return rows schema
+    qs = E.queries()
+    for name in set(qs) - set(E.oracle_sql()):
+        if name.startswith("kg_"):
+            continue  # exercised (with an exact oracle) in test_pipeline.py
+        res = qs[name](SF)
+        df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+        assert df is not None and len(df.columns) > 0, name
