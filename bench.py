@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: runs the headline KG-construction pipeline over a
+synthesized source-code corpus scaled to the sf of ``$GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) plus a representative query set over
+the sf tables, and prints ONE JSON line::
+
+    {"metric": "kg_build_seconds", "value": <sec>, "unit": "sec",
+     "queries": {...}, "sf": 0.1, "num_cpus": N, "files_per_sec": ...}
+
+``--scaling``: runs the same bench in two fresh subprocesses at
+num_cpus=8 and num_cpus=32 (the sandbox stand-in for N vs 4N nodes)
+and prints throughput at both plus scaling efficiency.
+
+Owns its Ray session (ray.init/shutdown) — the only scripts allowed to.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _bench_corpus(sf: float) -> str:
+    """Deterministic cached corpus: sf0.1 → 20k files / 200 repos
+    (FIXTURES.md sf_bench), scaled linearly."""
+    from gliner_ray.corpus import write_corpus
+
+    n_files = max(200, int(200_000 * sf))
+    n_repos = max(20, int(2_000 * sf))
+    d = f"/tmp/gliner_ray_bench/files_n{n_files}"
+    write_corpus(d, n_files=n_files, n_repos=n_repos, seed=42, n_shards=32)
+    return d
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import logging
+
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from gliner_ray.pipelines.kg import build_kg
+    from gliner_ray.queries import corpus_ops as co
+    from gliner_ray.queries import relational as rel
+
+    sf = _sf_from_dir(sf_dir)
+    corpus_dir = _bench_corpus(sf)
+    n_files = sum(
+        1 for _ in open(os.path.join(corpus_dir, "_COMPLETE"))
+    )  # marker exists
+    import pyarrow.dataset as pads
+
+    n_files = pads.dataset(
+        corpus_dir, format="parquet", ignore_prefixes=["_", "."]
+    ).count_rows()
+
+    # warm OS page cache (untimed) so we measure compute, not first read
+    pads.dataset(corpus_dir, format="parquet", ignore_prefixes=["_", "."]).head(1)
+
+    out_dir = f"/tmp/gliner_ray_bench/out_{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_kg(corpus_dir, out_dir)
+    kg_sec = time.perf_counter() - t0
+
+    query_fns = {
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "q3_top_orders": rel.q3_top_orders,
+        "q_events_hourly": rel.q_events_hourly,
+        "doc_token_count": co.doc_token_count,
+        "doc_exact_dedup": co.doc_exact_dedup,
+        "doc_minhash_dedup": co.doc_minhash_dedup,
+        "emb_ann_topk": co.emb_ann_topk,
+    }
+    qtimes: dict[str, float] = {}
+    for name, fn in query_fns.items():
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()  # consume the lazy Dataset
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "kg_build_seconds",
+        "value": round(kg_sec, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "n_files": n_files,
+        "files_per_sec": round(n_files / kg_sec, 2),
+    }
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    """Same job at two parallelism levels in fresh processes."""
+    results = {}
+    for n in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        results[n] = json.loads(out.strip().splitlines()[-1])
+    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+    fps_lo, fps_hi = results[lo]["files_per_sec"], results[hi]["files_per_sec"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"files_per_sec_{lo}": fps_lo,
+        f"files_per_sec_{hi}": fps_hi,
+        "sf": results[lo]["sf"],
+    }
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        print(json.dumps(run_bench(sf_dir, num_cpus)))
+
+
+if __name__ == "__main__":
+    main()

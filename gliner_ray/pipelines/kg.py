@@ -77,7 +77,10 @@ def extract_mentions(
         import ray
 
         total_cpus = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = (1, max(2, total_cpus - 2))
+        # fixed pool (not autoscaling): the pool spins up immediately
+        # instead of ramping actor-by-actor; 2 CPUs of headroom keep
+        # the read/chunk/decode task stages fed
+        concurrency = max(2, total_cpus - 2)
     scored = chunks.map_batches(
         scorer_cls,
         fn_constructor_kwargs={"cfg": cfg},
@@ -161,8 +164,13 @@ def build_kg(
     triples_dir = os.path.join(out_dir, "triples")
     cfg_hash = _config_hash(cfg)
 
+    import time as _time
+
+    timings: dict[str, float] = {}
+    t0 = _time.perf_counter()
     files_ds = read_files(input_path, cfg)
     fingerprints = _bucket_fingerprints(files_ds)
+    timings["fingerprint_sec"] = round(_time.perf_counter() - t0, 3)
 
     manifests = read_manifests(mentions_dir) if resume else {}
     done = {
@@ -180,6 +188,7 @@ def build_kg(
         "buckets_processed": len(todo),
     }
 
+    t0 = _time.perf_counter()
     if todo:
         # clear any partial output from an interrupted run of a todo
         # bucket so the partitioned write is effectively atomic per bucket
@@ -191,8 +200,13 @@ def build_kg(
             batch_format="pyarrow",
         )
         mentions = extract_mentions(todo_files, cfg, scorer_cls)
-        # partitioned write → resumable layout; one dir per bucket
-        mentions.write_parquet(mentions_dir, partition_cols=["bucket"])
+        # partitioned write → resumable layout; one dir per bucket.
+        # Coalesce blocks first: a partitioned write emits one file per
+        # (block × bucket), and thousands of tiny files make the
+        # read-back pay ~10 ms of metadata fetch each.
+        mentions.repartition(len(todo)).write_parquet(
+            mentions_dir, partition_cols=["bucket"], min_rows_per_file=500_000
+        )
         for b in todo:
             write_manifest(
                 mentions_dir,
@@ -207,16 +221,27 @@ def build_kg(
                 ),
             )
 
+    timings["extract_sec"] = round(_time.perf_counter() - t0, 3)
+
     # ---- stage 2: global linking + triples (always recomputed) ----
+    t0 = _time.perf_counter()
     mentions_ds = read_mentions(mentions_dir)
     if mentions_ds is None:  # zero mentions extracted (or empty corpus)
         from ..stages.decode_stage import MENTION_SCHEMA
 
         mentions_ds = rd.from_arrow(MENTION_SCHEMA.empty_table())
+    # pin the linked mentions: they feed BOTH the triples and the
+    # entities sinks — without materialize the lazy lineage (scan +
+    # linking shuffle) would re-execute once per consumer
     linked = attach_entities(
         mentions_ds, cfg, force_distributed=force_distributed_linking
+    ).materialize()
+    # file triples need only (repo, path): column-pruned re-read, never
+    # the content column
+    light_files = rd.read_parquet(input_path, columns=["repo", "path"]).map_batches(
+        lambda t: add_bucket_column(t, cfg.n_buckets), batch_format="pyarrow"
     )
-    file_triples = files_ds.map_batches(files_to_triples, batch_format="pyarrow")
+    file_triples = light_files.map_batches(files_to_triples, batch_format="pyarrow")
     mention_triples = linked.map_batches(mentions_to_triples, batch_format="pyarrow")
     triples = dedup_triples(file_triples.union(mention_triples))
 
@@ -226,12 +251,16 @@ def build_kg(
     for d in (entities_dir, triples_dir):
         if os.path.isdir(d):
             _clear_dir(d)
-    entities.write_parquet(entities_dir)
-    triples.write_parquet(triples_dir, partition_cols=["bucket"])
+    entities.repartition(4).write_parquet(entities_dir, min_rows_per_file=1_000_000)
+    triples.repartition(cfg.n_buckets).write_parquet(
+        triples_dir, partition_cols=["bucket"], min_rows_per_file=1_000_000
+    )
 
     n_triples = _count_dir(triples_dir)
     n_mentions = _count_dir(mentions_dir)
+    timings["link_triples_sec"] = round(_time.perf_counter() - t0, 3)
     summary.update({"n_mentions": n_mentions, "n_triples": n_triples})
+    summary["timings"] = timings
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
         json.dump(summary, f, indent=1)
     return summary
@@ -275,7 +304,7 @@ def _entities_table(linked_ds: "ray.data.Dataset") -> "ray.data.Dataset":
 
     return (
         linked_ds.map_batches(project, batch_format="pyarrow")
-        .groupby(["entity_id", "surface", "label"])
+        .groupby(["entity_id", "surface", "label"], num_partitions=8)
         .aggregate(Count(alias_name="n_mentions"))
     )
 

@@ -168,8 +168,8 @@ def _kg_out(sf_dir: str) -> str:
     from ..pipelines.kg import build_kg
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    corpus_dir = f"/tmp/gliner_ray/{tag}/files"
-    out_dir = f"/tmp/gliner_ray/{tag}/out"
+    corpus_dir = f"/tmp/gliner_ray_scratch/{tag}/files"
+    out_dir = f"/tmp/gliner_ray_scratch/{tag}/out"
     write_corpus(corpus_dir, n_files=120, n_repos=15, seed=42)
     build_kg(corpus_dir, out_dir)  # resumes from checkpoint if present
     return out_dir

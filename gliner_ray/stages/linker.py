@@ -72,7 +72,7 @@ def unique_edges(mentions_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     from ray.data.aggregate import Count
 
     edges = mentions_ds.map_batches(edges_from_mentions_batch, batch_format="pyarrow")
-    return edges.groupby(["va", "vb"]).aggregate(Count(alias_name="n")).drop_columns(["n"])
+    return edges.groupby(["va", "vb"], num_partitions=8).aggregate(Count(alias_name="n")).drop_columns(["n"])
 
 
 def entity_map_driver(edge_pairs) -> dict[str, str]:

@@ -93,7 +93,7 @@ def dedup_triples(triples_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Global exact dedup: groupby full key, keep max score + bucket."""
     from ray.data.aggregate import Max
 
-    return triples_ds.groupby(["subj", "pred", "obj", "repo"]).aggregate(
+    return triples_ds.groupby(["subj", "pred", "obj", "repo"], num_partitions=16).aggregate(
         Max("bucket", alias_name="bucket"),
         Max("score", alias_name="score"),
     )
