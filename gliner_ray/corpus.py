@@ -102,23 +102,24 @@ def generate_files(
         else:
             n_words = int(rng.randint(30, 380))
 
-        pieces: list[str] = []
-        i = 0
-        while i < n_words:
-            r = rng.rand()
-            if r < 0.02 and i > 2:
-                pieces.append(surfaces[rng.randint(len(surfaces))])  # planted entity
-            elif r < 0.10:
-                pieces.append(_SYMBOL_FILLERS[rng.randint(len(_SYMBOL_FILLERS))])
-            else:
-                pieces.append(fillers[rng.randint(len(fillers))])
-            i += 1
+        # vectorized piece selection (one rng batch per file, not per token)
+        r = rng.rand(n_words)
+        pick_f = np.array(fillers, dtype=object)[rng.randint(0, len(fillers), n_words)]
+        pick_s = np.array(_SYMBOL_FILLERS, dtype=object)[
+            rng.randint(0, len(_SYMBOL_FILLERS), n_words)
+        ]
+        pick_e = np.array(surfaces, dtype=object)[
+            rng.randint(0, len(surfaces), n_words)
+        ]
+        pos = np.arange(n_words)
+        pieces = np.where(
+            (r < 0.02) & (pos > 2), pick_e, np.where(r < 0.10, pick_s, pick_f)
+        )
         # newline every ~14 pieces so content looks line-structured
-        out: list[str] = []
-        for j, p in enumerate(pieces):
-            out.append(p)
-            out.append("\n" if (j + 1) % 14 == 0 else " ")
-        content = "".join(out).rstrip()
+        seps = np.where((pos + 1) % 14 == 0, "\n", " ")
+        content = "".join(
+            p + s for p, s in zip(pieces.tolist(), seps.tolist())
+        ).rstrip()
 
         repos.append(repo)
         paths.append(path)

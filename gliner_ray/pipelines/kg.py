@@ -77,10 +77,11 @@ def extract_mentions(
         import ray
 
         total_cpus = int(ray.cluster_resources().get("CPU", 4))
-        # fixed pool (not autoscaling): the pool spins up immediately
-        # instead of ramping actor-by-actor; 2 CPUs of headroom keep
-        # the read/chunk/decode task stages fed
-        concurrency = max(2, total_cpus - 2)
+        # fixed pool (not autoscaling) sized to HALF the CPUs: a pool
+        # that reserves nearly every CPU starves the stateless
+        # read/chunk/decode task stages and the pipeline serializes
+        # (measured 2.5× slower with pool = cpus-2 at 32 CPUs)
+        concurrency = max(2, (total_cpus * 2) // 3)
     scored = chunks.map_batches(
         scorer_cls,
         fn_constructor_kwargs={"cfg": cfg},
@@ -92,41 +93,31 @@ def extract_mentions(
     return scored.map_batches(make_decoder(cfg), batch_format="pyarrow")
 
 
-def _bucket_fingerprints(files_ds: "ray.data.Dataset") -> dict[int, str]:
-    """Per-bucket input fingerprint from (repo, path, commit) only —
-    order-independent xor of row-identity hashes + row count.
+def _input_metadata_fingerprint(input_path: str) -> str:
+    """Whole-input fingerprint from parquet FOOTER metadata only
+    (file name, size, row count) — no data scan.
 
-    Batch-local partials (one row per bucket per batch) keep the
-    driver-side reduce tiny regardless of corpus size.
+    Invalidation granularity trades off against resume cost: a
+    row-level per-bucket hash would cost a full column scan on every
+    resume attempt (prohibitive at 10^12 files), so manifests bind a
+    bucket's completion to this cheap global fingerprint instead.
+    Input changed at all → every bucket recomputes; input unchanged →
+    completed buckets skip. Completion granularity stays per-bucket.
     """
-
-    def partial(batch: pa.Table) -> pa.Table:
-        acc: dict[int, list] = defaultdict(lambda: [0, 0])
-        for b, repo, path, commit in zip(
-            batch["bucket"].to_pylist(),
-            batch["repo"].to_pylist(),
-            batch["path"].to_pylist(),
-            batch["commit"].to_pylist(),
-        ):
-            h = hashlib.sha256(f"{repo}\x00{path}\x00{commit}".encode()).digest()
-            acc[b][0] ^= int.from_bytes(h[:8], "big")
-            acc[b][1] += 1
-        return pa.table(
-            {
-                "bucket": pa.array(list(acc), pa.int32()),
-                "xh": pa.array([str(v[0]) for v in acc.values()], pa.string()),
-                "n": pa.array([v[1] for v in acc.values()], pa.int64()),
-            }
+    parts = []
+    if os.path.isdir(input_path):
+        names = sorted(
+            f for f in os.listdir(input_path) if f.endswith(".parquet")
         )
+        paths = [os.path.join(input_path, f) for f in names]
+    else:
+        paths = [input_path]
+    import pyarrow.parquet as pq
 
-    partials = files_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    out: dict[int, list] = defaultdict(lambda: [0, 0])
-    if len(partials) == 0:
-        return {}
-    for b, xh, n in zip(partials["bucket"], partials["xh"], partials["n"]):
-        out[int(b)][0] ^= int(xh)
-        out[int(b)][1] += int(n)
-    return {b: f"{v[1]}:{v[0]:016x}" for b, v in out.items()}
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        parts.append(f"{os.path.basename(p)}:{os.path.getsize(p)}:{md.num_rows}")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:24]
 
 
 def _count_dir(dir_path: str) -> int:
@@ -169,21 +160,22 @@ def build_kg(
     timings: dict[str, float] = {}
     t0 = _time.perf_counter()
     files_ds = read_files(input_path, cfg)
-    fingerprints = _bucket_fingerprints(files_ds)
+    input_fp = _input_metadata_fingerprint(input_path)
+    all_buckets = set(range(cfg.n_buckets))
     timings["fingerprint_sec"] = round(_time.perf_counter() - t0, 3)
 
     manifests = read_manifests(mentions_dir) if resume else {}
     done = {
         b
         for b, m in manifests.items()
-        if m.input_fingerprint == fingerprints.get(b)
+        if m.input_fingerprint == input_fp
         and m.config_hash == cfg_hash
         and m.stage == "mentions"
     }
-    todo = sorted(set(fingerprints) - done)
+    todo = sorted(all_buckets - done)
 
     summary: dict = {
-        "buckets_total": len(fingerprints),
+        "buckets_total": len(all_buckets),
         "buckets_skipped": len(done),
         "buckets_processed": len(todo),
     }
@@ -194,11 +186,14 @@ def build_kg(
         # bucket so the partitioned write is effectively atomic per bucket
         for b in todo:
             _clear_dir(os.path.join(mentions_dir, f"bucket={b}"))
-        todo_arr = pa.array(todo, pa.int32())
-        todo_files = files_ds.map_batches(
-            lambda t: t.filter(pc.is_in(t["bucket"], value_set=todo_arr)),
-            batch_format="pyarrow",
-        )
+        if set(todo) == all_buckets:
+            todo_files = files_ds  # fresh run: no filter stage needed
+        else:
+            todo_arr = pa.array(todo, pa.int32())
+            todo_files = files_ds.map_batches(
+                lambda t: t.filter(pc.is_in(t["bucket"], value_set=todo_arr)),
+                batch_format="pyarrow",
+            )
         mentions = extract_mentions(todo_files, cfg, scorer_cls)
         # partitioned write → resumable layout; one dir per bucket.
         # Coalesce blocks first: a partitioned write emits one file per
@@ -212,8 +207,8 @@ def build_kg(
                 mentions_dir,
                 BucketManifest(
                     bucket=b,
-                    input_fingerprint=fingerprints[b],
-                    n_input_rows=int(fingerprints[b].split(":")[0]),
+                    input_fingerprint=input_fp,
+                    n_input_rows=-1,  # row-level counts would need a scan
                     n_output_rows=_count_partition_rows(mentions_dir, b),
                     stage="mentions",
                     config_hash=cfg_hash,
@@ -230,12 +225,53 @@ def build_kg(
         from ..stages.decode_stage import MENTION_SCHEMA
 
         mentions_ds = rd.from_arrow(MENTION_SCHEMA.empty_table())
-    # pin the linked mentions: they feed BOTH the triples and the
-    # entities sinks — without materialize the lazy lineage (scan +
-    # linking shuffle) would re-execute once per consumer
-    linked = attach_entities(
-        mentions_ds, cfg, force_distributed=force_distributed_linking
-    ).materialize()
+
+    for d in (entities_dir, triples_dir):
+        if os.path.isdir(d):
+            _clear_dir(d)
+
+    if force_distributed_linking:
+        # scale path: distributed label propagation + shuffle join;
+        # pinned once because it feeds two consumers
+        linked = attach_entities(
+            mentions_ds, cfg, force_distributed=True
+        ).materialize()
+        entities = _entities_table(linked)
+        entities.write_parquet(entities_dir, min_rows_per_file=1_000_000)
+    else:
+        # broadcast path: ONE column-pruned pass over the checkpoint
+        # yields both the variant edge set (→ driver union-find →
+        # broadcast map) and the entities table (vocabulary-sized,
+        # merged and written driver-side)
+        import ray
+
+        from ..stages.linker import link_partials_batch, link_summary_driver
+
+        partial_cols = ["variant0", "variant1", "text", "label"]
+        partials_ds = (
+            rd.read_parquet(
+                mentions_dir, columns=partial_cols, file_extensions=["parquet"]
+            )
+            if _has_parquet(mentions_dir)
+            else mentions_ds.select_columns(partial_cols)
+        )
+        partials = partials_ds.map_batches(
+            link_partials_batch, batch_format="pyarrow"
+        ).to_pandas()
+        emap, entities_df = link_summary_driver(partials)
+        os.makedirs(entities_dir, exist_ok=True)
+        _write_entities_df(entities_df, entities_dir)
+        ref = ray.put(emap)
+
+        def attach_fn(batch: pa.Table) -> pa.Table:
+            emap_local = ray.get(ref)  # plasma read per task, no copy
+            ids = batch["variant0"].to_pandas().map(emap_local)
+            return batch.append_column(
+                "entity_id", pa.array(ids.where(ids.notna(), None), pa.string())
+            )
+
+        linked = mentions_ds.map_batches(attach_fn, batch_format="pyarrow")
+
     # file triples need only (repo, path): column-pruned re-read, never
     # the content column
     light_files = rd.read_parquet(input_path, columns=["repo", "path"]).map_batches(
@@ -244,15 +280,7 @@ def build_kg(
     file_triples = light_files.map_batches(files_to_triples, batch_format="pyarrow")
     mention_triples = linked.map_batches(mentions_to_triples, batch_format="pyarrow")
     triples = dedup_triples(file_triples.union(mention_triples))
-
-    # entities table: distinct (entity_id, variant0 surface, label) rows
-    entities = _entities_table(linked)
-
-    for d in (entities_dir, triples_dir):
-        if os.path.isdir(d):
-            _clear_dir(d)
-    entities.repartition(4).write_parquet(entities_dir, min_rows_per_file=1_000_000)
-    triples.repartition(cfg.n_buckets).write_parquet(
+    triples.write_parquet(
         triples_dir, partition_cols=["bucket"], min_rows_per_file=1_000_000
     )
 
@@ -264,6 +292,35 @@ def build_kg(
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
         json.dump(summary, f, indent=1)
     return summary
+
+
+def _has_parquet(dir_path: str) -> bool:
+    if not os.path.isdir(dir_path):
+        return False
+    return any(
+        f.endswith(".parquet") for _, _, fs in os.walk(dir_path) for f in fs
+    )
+
+
+def _write_entities_df(entities_df, entities_dir: str) -> None:
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("entity_id", pa.string()),
+            ("surface", pa.string()),
+            ("label", pa.string()),
+            ("n_mentions", pa.int64()),
+        ]
+    )
+    if len(entities_df) == 0:
+        table = schema.empty_table()
+    else:
+        table = pa.Table.from_pandas(
+            entities_df[["entity_id", "surface", "label", "n_mentions"]],
+            preserve_index=False,
+        ).cast(schema)
+    pq.write_table(table, os.path.join(entities_dir, "part-00000.parquet"))
 
 
 def read_mentions(mentions_dir: str) -> "ray.data.Dataset | None":
@@ -291,21 +348,35 @@ def read_mentions(mentions_dir: str) -> "ray.data.Dataset | None":
 
 
 def _entities_table(linked_ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    from ray.data.aggregate import Count, Max
+    """Distinct (entity_id, surface, label) + mention counts — same
+    hash-partition + pandas-combine pattern as dedup_triples, with a
+    batch-local partial count first so the shuffle carries one row per
+    distinct key per batch."""
+    import pandas as pd
 
-    def project(batch: pa.Table) -> pa.Table:
-        return pa.table(
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
             {
-                "entity_id": batch["entity_id"],
-                "surface": batch["text"],
-                "label": batch["label"],
+                "entity_id": batch["entity_id"].to_pandas(),
+                "surface": batch["text"].to_pandas(),
+                "label": batch["label"].to_pandas(),
             }
+        )
+        agg = df.groupby(["entity_id", "surface", "label"], as_index=False).size()
+        agg = agg.rename(columns={"size": "n_mentions"})
+        h = pd.util.hash_pandas_object(agg["entity_id"], index=False).to_numpy()
+        agg["part"] = (h % 8).astype("int32")
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["entity_id", "surface", "label"], as_index=False).agg(
+            n_mentions=("n_mentions", "sum")
         )
 
     return (
-        linked_ds.map_batches(project, batch_format="pyarrow")
-        .groupby(["entity_id", "surface", "label"], num_partitions=8)
-        .aggregate(Count(alias_name="n_mentions"))
+        linked_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
     )
 
 

@@ -21,6 +21,7 @@ import pyarrow as pa
 
 from ..config import PipelineConfig
 from ..kernels.decode import decode_candidates
+from ..kernels.normalize import variants
 
 MENTION_SCHEMA = pa.schema(
     [
@@ -36,6 +37,11 @@ MENTION_SCHEMA = pa.schema(
         ("text", pa.string()),
         ("label", pa.string()),
         ("score", pa.float64()),
+        # normalization variants precomputed here (single regex pass);
+        # the linking stage consumes these columns instead of
+        # re-normalizing every mention a second and third time
+        ("variant0", pa.string()),
+        ("variant1", pa.string()),  # null when it equals variant0
     ]
 )
 
@@ -85,9 +91,13 @@ def make_decoder(cfg: PipelineConfig):
                 cols["end"].append(end)
                 cols["tok_start"].append(off + s_rel)
                 cols["tok_end"].append(abs_te)
-                cols["text"].append(chunk_text[start - ccs : end - ccs])
+                text = chunk_text[start - ccs : end - ccs]
+                vs = variants(text)
+                cols["text"].append(text)
                 cols["label"].append(label)
                 cols["score"].append(float(score))
+                cols["variant0"].append(vs[0] if vs else None)
+                cols["variant1"].append(vs[1] if len(vs) > 1 else None)
         return pa.table(
             {name: pa.array(cols[name], type=MENTION_SCHEMA.field(name).type)
              for name in MENTION_SCHEMA.names}

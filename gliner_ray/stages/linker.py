@@ -34,7 +34,6 @@ import pyarrow as pa
 
 from ..config import PipelineConfig
 from ..kernels.linking import link_variant_edges
-from ..kernels.normalize import variants
 
 if TYPE_CHECKING:  # pragma: no cover
     import ray.data
@@ -43,22 +42,23 @@ if TYPE_CHECKING:  # pragma: no cover
 def edges_from_mentions_batch(batch: pa.Table) -> pa.Table:
     """mentions batch → deduped symmetric variant edges (va, vb).
 
-    A mention's variant list [v0, v1, ...] contributes chain edges
-    (v0,v1), (v1,v2)...; single-variant mentions contribute a self-edge
-    so the variant appears as a graph node. Batch-local dedup is the
-    partial-aggregation step before the global edge groupby.
+    Consumes the precomputed ``variant0``/``variant1`` columns (decode
+    stage): a mention with two variants contributes the edge both ways;
+    single-variant mentions contribute a self-edge so the variant
+    appears as a graph node. Batch-local dedup is the
+    partial-aggregation step before any global combine.
     """
+    v0 = batch["variant0"].to_pylist()
+    v1 = batch["variant1"].to_pylist()
     seen: set[tuple[str, str]] = set()
-    for text in batch["text"].to_pylist():
-        vs = variants(text)
-        if not vs:
+    for a, b in zip(v0, v1):
+        if a is None:
             continue
-        if len(vs) == 1:
-            seen.add((vs[0], vs[0]))
+        if b is None:
+            seen.add((a, a))
         else:
-            for a, b in zip(vs, vs[1:]):
-                seen.add((a, b))
-                seen.add((b, a))
+            seen.add((a, b))
+            seen.add((b, a))
     if seen:
         va, vb = zip(*sorted(seen))
     else:
@@ -78,6 +78,65 @@ def unique_edges(mentions_ds: "ray.data.Dataset") -> "ray.data.Dataset":
 def entity_map_driver(edge_pairs) -> dict[str, str]:
     """Driver-side union-find over the (small) deduped edge set."""
     return link_variant_edges(edge_pairs)
+
+
+def link_partials_batch(batch: pa.Table) -> pa.Table:
+    """One pruned pass over the mentions checkpoint that feeds BOTH
+    linking and the entities table: per-batch distinct
+    (variant0, variant1, surface, label) with mention counts.
+
+    The driver merges these partials (vocabulary-sized), derives the
+    variant edge set for union-find, and builds the entities table —
+    one distributed execution instead of two."""
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "variant0": batch["variant0"].to_pandas(),
+            "variant1": batch["variant1"].to_pandas(),
+            "surface": batch["text"].to_pandas(),
+            "label": batch["label"].to_pandas(),
+        }
+    )
+    agg = (
+        df.groupby(["variant0", "variant1", "surface", "label"],
+                   as_index=False, dropna=False)
+        .size()
+        .rename(columns={"size": "n_mentions"})
+    )
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def link_summary_driver(partials: "pd.DataFrame"):  # noqa: F821
+    """Merge batch partials on the driver → (entity map, entities table).
+
+    Returns ``(emap, entities_df)`` where emap maps variant → canonical
+    entity id and entities_df has columns (entity_id, surface, label,
+    n_mentions). Everything here is bounded by the distinct-surface
+    vocabulary, not the corpus."""
+    import pandas as pd
+
+    merged = (
+        partials.groupby(["variant0", "variant1", "surface", "label"],
+                         as_index=False, dropna=False)
+        .agg(n_mentions=("n_mentions", "sum"))
+    )
+    edges = []
+    for v0, v1 in merged[["variant0", "variant1"]].drop_duplicates().itertuples(index=False):
+        if v0 is None or (isinstance(v0, float) and pd.isna(v0)):
+            continue
+        if v1 is None or (isinstance(v1, float) and pd.isna(v1)):
+            edges.append((v0, v0))
+        else:
+            edges.append((v0, v1))
+    emap = entity_map_driver(edges)
+    ent = merged[merged["variant0"].notna()].copy()
+    ent["entity_id"] = ent["variant0"].map(emap)
+    entities_df = (
+        ent.groupby(["entity_id", "surface", "label"], as_index=False)
+        .agg(n_mentions=("n_mentions", "sum"))
+    )
+    return emap, entities_df
 
 
 def entity_map_distributed(
@@ -168,16 +227,10 @@ class AttachEntities:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = []
-        for text in batch["text"].to_pylist():
-            vs = variants(text)
-            ids.append(self.entity_map.get(vs[0]) if vs else None)
-        return batch.append_column("entity_id", pa.array(ids, pa.string()))
-
-
-def add_primary_variant(batch: pa.Table) -> pa.Table:
-    v0 = [vs[0] if (vs := variants(t)) else None for t in batch["text"].to_pylist()]
-    return batch.append_column("variant0", pa.array(v0, pa.string()))
+        ids = batch["variant0"].to_pandas().map(self.entity_map)
+        return batch.append_column(
+            "entity_id", pa.array(ids.where(ids.notna(), None), pa.string())
+        )
 
 
 def attach_entities(
@@ -189,32 +242,47 @@ def attach_entities(
     """Full [D] stage: returns mentions with an ``entity_id`` column."""
     import ray
 
-    edges_ds = unique_edges(mentions_ds)
     if not force_distributed:
-        edges_df = _collect_small(edges_ds, cfg.link_broadcast_limit)
+        # driver path: batch-local-deduped edge partials stream straight
+        # to the driver (bounded by distinct variants per batch — no
+        # groupby shuffle needed before the final pandas dedup)
+        edges_raw = mentions_ds.map_batches(
+            edges_from_mentions_batch, batch_format="pyarrow"
+        )
+        edges_df = _collect_small(edges_raw, cfg.link_broadcast_limit)
+        if edges_df is not None and len(edges_df):
+            edges_df = edges_df.drop_duplicates()
         if edges_df is not None:
             if len(edges_df) == 0 or "va" not in edges_df.columns:
                 emap: dict[str, str] = {}  # zero mentions → empty map
             else:
                 emap = entity_map_driver(zip(edges_df["va"], edges_df["vb"]))
             ref = ray.put(emap)
-            return mentions_ds.map_batches(
-                AttachEntities,
-                fn_constructor_kwargs={"entity_map_ref": ref},
-                batch_format="pyarrow",
-                concurrency=(1, 8),
-            )
+
+            def attach(batch: pa.Table) -> pa.Table:
+                # stateless task: ray.get of the broadcast map is a
+                # zero-copy-ish plasma read per task (actor-pool variant
+                # AttachEntities exists for heavy per-worker state; for
+                # a dict lookup, task elasticity beats pool spin-up).
+                # vectorized: pandas .map over the precomputed variant0
+                emap_local = ray.get(ref)
+                ids = batch["variant0"].to_pandas().map(emap_local)
+                return batch.append_column(
+                    "entity_id", pa.array(ids.where(ids.notna(), None), pa.string())
+                )
+
+            return mentions_ds.map_batches(attach, batch_format="pyarrow")
         force_distributed = True
-    # scale path: shuffle join on the primary variant
+    # scale path: shuffle join on the (precomputed) primary variant
+    edges_ds = unique_edges(mentions_ds)
     emap_ds = entity_map_distributed(edges_ds, num_partitions=num_partitions)
-    with_v0 = mentions_ds.map_batches(add_primary_variant, batch_format="pyarrow")
-    return with_v0.join(
+    return mentions_ds.join(
         emap_ds,
         join_type="left_outer",
         num_partitions=num_partitions,
         on=("variant0",),
         right_on=("variant",),
-    ).drop_columns(["variant0"])
+    )
 
 
 def _collect_small(ds: "ray.data.Dataset", limit: int):
