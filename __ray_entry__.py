@@ -60,6 +60,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ivf_topk": co.emb_ivf_topk,
         # multimodal plumbing
         "media_features": co.media_features,
+        # multitask pipelines (reference task API)
+        "mt_classification": co.mt_classification,
+        "mt_relation_triples": co.mt_relation_triples,
+        "mt_summarize": co.mt_summarize,
+        "doc_split_counts": co.doc_split_counts,
         # knowledge-graph construction (reference-parity ops)
         "kg_mentions": co.kg_mentions,
         "kg_triples": co.kg_triples,

@@ -1,0 +1,94 @@
+"""Sampling / splitting utilities — reference §2.7 analogs, seeded and
+shuffle-free where possible.
+
+- ``hash_train_test_split``: deterministic 90/10-style split by key
+  hash — replaces the reference's in-memory ``random.shuffle`` + slice
+  (``train.py:36-40``); hash-based so the split is stable under
+  re-partitioning and resume.
+- ``hash_kfold``: k-fold assignment by key hash — the distributed
+  analog of ``sklearn.KFold(5, shuffle, seed=42)``
+  (``create_confidence_splits.py:74-78``).
+- ``seeded_sample``: ``ds.random_sample`` with a fixed seed (negative
+  sampling analog, ``processor.py:74-82``).
+- ``limit_per_group``: cap rows per group — ``sample_train_data``'s
+  10k-per-dataset cap (``evaluate.py:165-188``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import TYPE_CHECKING
+
+import pandas as pd
+import pyarrow as pa
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+
+def _stable_frac(key: str, salt: str) -> float:
+    h = hashlib.sha1(f"{salt}:{key}".encode()).digest()
+    return int.from_bytes(h[:8], "big") / float(1 << 64)
+
+
+def add_split_column(
+    batch: pa.Table, key_col: str, test_frac: float, salt: str = "split"
+) -> pa.Table:
+    splits = [
+        "test" if _stable_frac(str(k), salt) < test_frac else "train"
+        for k in batch[key_col].to_pylist()
+    ]
+    return batch.append_column("split", pa.array(splits, pa.string()))
+
+
+def hash_train_test_split(
+    ds: "ray.data.Dataset", key_col: str, test_frac: float = 0.1, salt: str = "split"
+) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """Deterministic split: same key → same side, any run, any plan."""
+    tagged = ds.map_batches(
+        lambda t: add_split_column(t, key_col, test_frac, salt),
+        batch_format="pyarrow",
+    )
+    import pyarrow.compute as pc
+
+    train = tagged.map_batches(
+        lambda t: t.filter(pc.equal(t["split"], "train")).drop_columns(["split"]),
+        batch_format="pyarrow",
+    )
+    test = tagged.map_batches(
+        lambda t: t.filter(pc.equal(t["split"], "test")).drop_columns(["split"]),
+        batch_format="pyarrow",
+    )
+    return train, test
+
+
+def hash_kfold(
+    ds: "ray.data.Dataset", key_col: str, k: int = 5, salt: str = "kfold"
+) -> "ray.data.Dataset":
+    """Adds a ``fold`` column in [0, k): hash-mod partitioning."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        folds = [
+            int(_stable_frac(str(key), salt) * k)
+            for key in batch[key_col].to_pylist()
+        ]
+        return batch.append_column("fold", pa.array(folds, pa.int32()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def seeded_sample(ds: "ray.data.Dataset", frac: float, seed: int = 42):
+    return ds.random_sample(frac, seed=seed)
+
+
+def limit_per_group(
+    ds: "ray.data.Dataset", group_col: str, limit: int
+) -> "ray.data.Dataset":
+    """Keep at most ``limit`` rows per group, deterministically (rows
+    sorted by their stable hash inside the group before the cut)."""
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        order = pd.util.hash_pandas_object(g.astype(str).sum(axis=1), index=False)
+        return g.iloc[order.argsort().to_numpy()[:limit]]
+
+    return ds.groupby(group_col).map_groups(head, batch_format="pandas")

@@ -45,6 +45,55 @@ def tokenize_batch(
     return all_tokens, all_starts, all_ends
 
 
+class WordsSplitter:
+    """Tokenizer registry — mirrors the reference dispatch
+    (``gliner/data_processing/tokenizer.py:269-296``).
+
+    Only ``whitespace`` is self-contained; the language-specific
+    splitters (spacy/mecab/janome/jieba/camel/hanlp/stanza,
+    ``tokenizer.py:24-266``) require models not present in this
+    container and are import-gated: requesting one raises
+    ``NotImplementedError`` naming the missing dependency. In the
+    engine they would run as per-``lang`` actor pools (stateful model
+    load in ``__init__``), routed by partitioning on the ``lang``
+    column (SURVEY.md §2.2).
+    """
+
+    GATED = {
+        "spacy": "spacy",
+        "mecab": "mecab-python3",
+        "janome": "janome",
+        "jieba": "jieba",
+        "camel": "camel-tools",
+        "hanlp": "hanlp",
+        "stanza": "stanza",
+        "multilang": "langdetect",
+    }
+
+    def __init__(self, splitter_type: str = "whitespace"):
+        if splitter_type == "whitespace":
+            self._call = tokenize_with_offsets
+        elif splitter_type in self.GATED:
+            dep = self.GATED[splitter_type]
+            try:
+                __import__(dep.replace("-", "_"))
+            except ImportError as e:
+                raise NotImplementedError(
+                    f"splitter '{splitter_type}' needs '{dep}', which is "
+                    "not available in this environment"
+                ) from e
+            raise NotImplementedError(
+                f"splitter '{splitter_type}' is registered but not wired"
+            )
+        else:
+            raise ValueError(f"unknown splitter_type: {splitter_type!r}")
+
+    def __call__(self, text: str):
+        tokens, starts, ends = self._call(text)
+        # reference yields (token, start, end) triples
+        yield from zip(tokens, starts, ends)
+
+
 def sanitize_tokens(tokens: list[str]) -> list[str]:
     """Replace empty tokens with [PAD] — reference ``processor.py:84-97``.
 

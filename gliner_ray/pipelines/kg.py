@@ -258,6 +258,16 @@ def build_kg(
         partials = partials_ds.map_batches(
             link_partials_batch, batch_format="pyarrow"
         ).to_pandas()
+        # quarantined rows (label tag, see stages/decode_stage.py) are
+        # counted but never linked — their variant columns are null
+        from ..stages.decode_stage import QUARANTINE_LABEL
+
+        if len(partials):
+            qmask = partials["label"] == QUARANTINE_LABEL
+            summary["n_quarantined"] = int(partials.loc[qmask, "n_mentions"].sum())
+            partials = partials[~qmask]
+        else:
+            summary["n_quarantined"] = 0
         emap, entities_df = link_summary_driver(partials)
         os.makedirs(entities_dir, exist_ok=True)
         _write_entities_df(entities_df, entities_dir)

@@ -213,3 +213,77 @@ def media_features(sf_dir: str):
         batch_format="pyarrow", concurrency=(1, 2), batch_size=16,
     )
     return resized.map_batches(mm.frame_sample_plan_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------- multitask
+
+
+def mt_classification(sf_dir: str):
+    """Multitask classification pipeline (rows-only; deterministic
+    softmax top-1 over candidate labels)."""
+    from ..pipelines.multitask import ClassificationPipeline, run_task
+
+    return run_task(
+        _docs(sf_dir, ["doc_id", "text"]),
+        ClassificationPipeline,
+        classes=["news", "code", "chat", "docs"],
+    )
+
+
+def mt_relation_triples(sf_dir: str):
+    """Multitask relation extraction: entity-pair cross product →
+    (source, relation, target) records (rows-only). Runs over the
+    synthesized source-code corpus (the driver ``documents`` table has
+    no planted code entities, so relations there are vacuously empty)."""
+    import pyarrow.compute as pc_
+    import ray.data as rd
+
+    from ..corpus import write_corpus
+    from ..pipelines.multitask import RelationExtractionPipeline, run_task
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    corpus_dir = f"/tmp/gliner_ray_scratch/{tag}/files"
+    write_corpus(corpus_dir, n_files=120, n_repos=15, seed=42)
+    files = rd.read_parquet(corpus_dir, columns=["content"])
+
+    def with_ids(batch, *, start=[0]):  # noqa: B006 — per-task counter
+        import pyarrow as pa_
+
+        n = batch.num_rows
+        ids = pa_.array(
+            [hash_id for hash_id in (
+                int.from_bytes(__import__("hashlib").sha1(t[:64].encode()).digest()[:4], "big")
+                for t in batch["content"].to_pylist()
+            )],
+            pa_.int64(),
+        )
+        return pa_.table({"doc_id": ids, "text": batch["content"]})
+
+    docs = files.map_batches(with_ids, batch_format="pyarrow")
+    return run_task(docs, RelationExtractionPipeline, relations=["depends-on", "mentions"])
+
+
+def mt_summarize(sf_dir: str):
+    from ..pipelines.multitask import SummarizationPipeline, run_task
+
+    return run_task(_docs(sf_dir, ["doc_id", "text"]), SummarizationPipeline)
+
+
+def doc_split_counts(sf_dir: str):
+    """Deterministic hash train/test split + kfold assignment counts
+    (rows-only; hash scheme is engine-defined)."""
+    import pyarrow as pa_
+
+    from ..functions.sampling import hash_kfold, hash_train_test_split
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    train, test = hash_train_test_split(docs, "doc_id", test_frac=0.2)
+    folds = hash_kfold(docs, "doc_id", k=5)
+    fold_counts = folds.to_pandas().groupby("fold").size()
+    return pa_.table(
+        {
+            "n_train": pa_.array([train.count()], pa_.int64()),
+            "n_test": pa_.array([test.count()], pa_.int64()),
+            "n_folds": pa_.array([int(fold_counts.count())], pa_.int64()),
+        }
+    )

@@ -23,6 +23,9 @@ from ..config import PipelineConfig
 from ..kernels.decode import decode_candidates
 from ..kernels.normalize import variants
 
+#: label tag for rows routed to quarantine instead of being dropped
+QUARANTINE_LABEL = "__quarantine__"
+
 MENTION_SCHEMA = pa.schema(
     [
         ("repo", pa.string()),
@@ -65,7 +68,26 @@ def make_decoder(cfg: PipelineConfig):
         texts, ccs_col = get("chunk_text"), get("chunk_char_start")
         cands_s, cands_k = get("cand_s"), get("cand_k")
         cands_lab, cands_sc = get("cand_label"), get("cand_score")
+        chunk_ids = get("chunk_id")
         for i in range(n):
+            if chunk_ids[i] == -1:
+                # quarantined input row (see stages/normalize.py): keep
+                # it as a tagged row so nothing is silently dropped
+                cols["repo"].append(repos[i])
+                cols["path"].append(paths[i])
+                cols["commit"].append(commits[i])
+                cols["bucket"].append(buckets[i])
+                cols["doc_sha256"].append(shas[i])
+                cols["start"].append(-1)
+                cols["end"].append(-1)
+                cols["tok_start"].append(-1)
+                cols["tok_end"].append(-1)
+                cols["text"].append(texts[i])  # the error message
+                cols["label"].append(QUARANTINE_LABEL)
+                cols["score"].append(0.0)
+                cols["variant0"].append(None)
+                cols["variant1"].append(None)
+                continue
             cands = list(zip(cands_s[i], cands_k[i], cands_lab[i], cands_sc[i]))
             spans = decode_candidates(
                 cands,

@@ -62,8 +62,30 @@ def make_chunker(cfg: PipelineConfig):
         for repo, path, commit, lang, bucket, content in zip(
             repos, paths, commits, langs, buckets, contents
         ):
-            doc_sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
-            tokens, starts, ends = tokenize_with_offsets(content)
+            try:
+                doc_sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
+                tokens, starts, ends = tokenize_with_offsets(content)
+            except Exception as e:  # noqa: BLE001
+                # never silently drop a row (the reference's
+                # skip-on-error, dataset.py:75-77, loses data): emit a
+                # QUARANTINE chunk (chunk_id = -1) that the decode
+                # stage forwards to the quarantine rows of the mentions
+                # checkpoint, preserving the row for inspection/rerun
+                cols["repo"].append(repo)
+                cols["path"].append(path)
+                cols["commit"].append(commit)
+                cols["lang"].append(lang)
+                cols["bucket"].append(bucket)
+                cols["doc_sha256"].append("")
+                cols["n_doc_tokens"].append(0)
+                cols["chunk_id"].append(-1)
+                cols["tok_offset"].append(0)
+                cols["tokens"].append([])
+                cols["char_starts"].append([])
+                cols["char_ends"].append([])
+                cols["chunk_text"].append(f"{type(e).__name__}: {e}"[:500])
+                cols["chunk_char_start"].append(0)
+                continue
             n = len(tokens)
             for cid, (cs, ce) in enumerate(chunk_token_ranges(n, max_len, overlap)):
                 ccs = starts[cs] if n else 0

@@ -1,0 +1,238 @@
+"""Tests for multitask pipelines, distributed evaluation, sampling,
+tokenizer registry, trie, sources, and quarantine routing."""
+
+import pyarrow as pa
+import pytest
+
+from gliner_ray.kernels.evalmetrics import compute_prf
+from gliner_ray.kernels.tokenize import WordsSplitter
+from gliner_ray.kernels.trie import LabelsTrie
+from gliner_ray.pipelines.evaluate import evaluate_mentions
+from gliner_ray.pipelines.multitask import (
+    ClassificationPipeline,
+    OpenExtractionPipeline,
+    QuestionAnsweringPipeline,
+    RelationExtractionPipeline,
+    SummarizationPipeline,
+    run_task,
+)
+
+DOCS = [
+    (1, "we import numpy and call parse_config to boot the HttpClient service"),
+    (2, "left-pad is licensed under MIT and maintained by Jane Doe since 1.2.3"),
+    (3, "plain text with no entities whatsoever in it at all"),
+]
+
+
+def _docs_ds():
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in DOCS], pa.int64()),
+                "text": pa.array([t for _, t in DOCS], pa.string()),
+            }
+        )
+    )
+
+
+class TestMultitask:
+    def test_classification_deterministic_softmax(self):
+        out = run_task(
+            _docs_ds(), ClassificationPipeline, classes=["a", "b", "c"]
+        ).to_pandas().sort_values("doc_id")
+        out2 = run_task(
+            _docs_ds(), ClassificationPipeline, classes=["a", "b", "c"]
+        ).to_pandas().sort_values("doc_id")
+        assert list(out["predicted_class"]) == list(out2["predicted_class"])
+        assert ((out["confidence"] > 1 / 3) & (out["confidence"] < 1)).all()
+
+    def test_qa_prompt_shift(self):
+        # answer spans must be char-correct in the ORIGINAL text despite
+        # the prompt prepend (relation_extraction.py:85-105 semantics)
+        out = run_task(
+            _docs_ds(), QuestionAnsweringPipeline, question="which library?"
+        ).to_pandas().sort_values("doc_id")
+        row = out[out.doc_id == 1].iloc[0]
+        text = DOCS[0][1]
+        assert row["answer"] is not None
+        start = int(row["answer_start"])  # nullable col → float in pandas
+        assert text[start : start + len(row["answer"])] == row["answer"]
+        assert out[out.doc_id == 3].iloc[0]["answer"] is None
+
+    def test_summarization_topk_in_doc_order(self):
+        out = run_task(_docs_ds(), SummarizationPipeline, top_k=2).to_pandas()
+        s = out[out.doc_id == 2].iloc[0]["summary"]
+        assert s  # doc 2 has several vocab spans
+        assert out[out.doc_id == 3].iloc[0]["summary"] == ""
+
+    def test_relation_cross_product_and_parseback(self):
+        out = run_task(
+            _docs_ds(), RelationExtractionPipeline, relations=["depends-on"]
+        ).to_pandas()
+        # all sources/targets are co-occurring detected entities, never equal
+        assert (out["source"] != out["target"]).all()
+        assert set(out["relation"]) <= {"depends-on"}
+        # doc 3 has no entities → no relations
+        assert not (out["doc_id"] == 3).any()
+        # triple string identity (relation_extraction.py:236)
+        tbl = pa.Table.from_pandas(out, preserve_index=False)
+        strs = RelationExtractionPipeline.triple_strings(tbl)
+        assert all(s.count(" <> ") == 2 for s in strs)
+
+    def test_open_extraction_offsets(self):
+        out = run_task(
+            _docs_ds(), OpenExtractionPipeline, prompt="Find all code entities:"
+        ).to_pandas()
+        texts = dict(DOCS)
+        for _, r in out.iterrows():
+            assert texts[r["doc_id"]][r["start"] : r["end"]] == r["match"]
+
+
+class TestDistributedEval:
+    def test_matches_sequential_kernel(self):
+        import ray.data as rd
+
+        def mk(rows):
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "doc_sha256": pa.array([r[0] for r in rows], pa.string()),
+                        "label": pa.array([r[1] for r in rows], pa.string()),
+                        "tok_start": pa.array([r[2] for r in rows], pa.int32()),
+                        "tok_end": pa.array([r[3] for r in rows], pa.int32()),
+                    }
+                )
+            )
+
+        gold = [("d1", "a", 0, 1), ("d1", "b", 3, 4), ("d2", "a", 5, 6), ("d2", "a", 9, 9)]
+        pred = [("d1", "a", 0, 1), ("d1", "a", 3, 4), ("d2", "a", 5, 6), ("d3", "b", 0, 0)]
+        got = evaluate_mentions(mk(pred), mk(gold), num_partitions=4)
+        want = compute_prf(
+            [(l, (s, e), d) for d, l, s, e in gold],
+            [(l, (s, e), d) for d, l, s, e in pred],
+        )
+        assert got["precision"] == pytest.approx(want["precision"])
+        assert got["recall"] == pytest.approx(want["recall"])
+        assert got["f_score"] == pytest.approx(want["f_score"])
+        assert got["per_type"]["a"]["precision"] == pytest.approx(2 / 3)
+
+
+class TestSampling:
+    def _ds(self, n=500):
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                      "text": pa.array([f"t{i}" for i in range(n)], pa.string())})
+        )
+
+    def test_split_disjoint_deterministic(self):
+        from gliner_ray.functions.sampling import hash_train_test_split
+
+        tr1, te1 = hash_train_test_split(self._ds(), "doc_id", 0.2)
+        tr2, te2 = hash_train_test_split(self._ds(), "doc_id", 0.2)
+        a, b = set(tr1.to_pandas()["doc_id"]), set(te1.to_pandas()["doc_id"])
+        assert a.isdisjoint(b) and len(a) + len(b) == 500
+        assert set(te2.to_pandas()["doc_id"]) == b
+        assert 0.1 < len(b) / 500 < 0.3
+
+    def test_kfold_partition(self):
+        from gliner_ray.functions.sampling import hash_kfold
+
+        df = hash_kfold(self._ds(), "doc_id", k=5).to_pandas()
+        assert set(df["fold"]) == {0, 1, 2, 3, 4}
+        assert df.groupby("fold").size().min() > 50
+
+    def test_limit_per_group(self):
+        import ray.data as rd
+
+        from gliner_ray.functions.sampling import limit_per_group
+
+        ds = rd.from_arrow(
+            pa.table({"g": pa.array([1] * 40 + [2] * 5, pa.int64()),
+                      "v": pa.array(range(45), pa.int64())})
+        )
+        out = limit_per_group(ds, "g", 10).to_pandas()
+        assert out.groupby("g").size().to_dict() == {1: 10, 2: 5}
+
+
+class TestRegistryAndTrie:
+    def test_whitespace_splitter_yields_triples(self):
+        ws = WordsSplitter("whitespace")
+        assert list(ws("a b")) == [("a", 0, 1), ("b", 2, 3)]
+
+    def test_gated_splitter_raises(self):
+        with pytest.raises(NotImplementedError):
+            WordsSplitter("stanza")
+        with pytest.raises(ValueError):
+            WordsSplitter("nope")
+
+    def test_trie_contract(self):
+        # mirrors python_labels_trie.py:89-143 add/get/remove
+        t = LabelsTrie([[1, 2, 3], [1, 2, 4], [9]])
+        assert len(t) == 3
+        assert sorted(t.get([1, 2])) == [3, 4]
+        assert t.get([]) == [1, 9]
+        assert t.get([7]) == []
+        assert t.is_terminal([9]) and not t.is_terminal([1, 2])
+        assert t.remove([1, 2, 3]) and not t.remove([1, 2, 3])
+        assert t.get([1, 2]) == [4]
+        assert len(t) == 2
+
+
+class TestSources:
+    def test_gliner_json_roundtrip(self, tmp_path):
+        import json
+
+        from gliner_ray.sources.io import read_gliner_json, write_json_records
+
+        records = [
+            {"tokenized_text": ["def", "f", "(", ")"], "ner": [[1, 1, "function"]]},
+            {"tokenized_text": ["x"], "ner": []},
+        ]
+        p = tmp_path / "data.json"
+        write_json_records(records, str(p))
+        assert json.load(open(p)) == records
+        ds = read_gliner_json(str(p))
+        rows = ds.to_pandas()
+        assert list(rows["tokenized_text"][0]) == ["def", "f", "(", ")"]
+        assert list(rows["ner_label"][0]) == ["function"]
+
+
+class TestQuarantine:
+    def test_null_content_routed_not_dropped(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from gliner_ray.pipelines.kg import build_kg
+
+        t = pa.table(
+            {
+                "repo": ["r/a", "r/a"],
+                "path": ["ok.py", "bad.py"],
+                "commit": ["0" * 40, "1" * 40],
+                "lang": ["python", "python"],
+                "content": ["numpy uses parse_config", None],
+            }
+        )
+        src = tmp_path / "files"
+        src.mkdir()
+        pq.write_table(t, str(src / "part-0.parquet"))
+        out = str(tmp_path / "out")
+        summary = build_kg(str(src), out)
+        assert summary["n_quarantined"] == 1
+        import pyarrow.dataset as pads
+
+        mentions = pads.dataset(
+            f"{out}/mentions", format="parquet", partitioning="hive"
+        ).to_table().to_pylist()
+        q = [m for m in mentions if m["label"] == "__quarantine__"]
+        assert len(q) == 1 and q[0]["path"] == "bad.py"
+        # the good row still extracted normally
+        assert any(m["text"] == "numpy" for m in mentions)
+        # quarantine rows never leak into triples
+        triples = pads.dataset(
+            f"{out}/triples", format="parquet", partitioning="hive"
+        ).to_table().to_pylist()
+        assert all("__quarantine__" not in (t_["subj"], t_["obj"]) for t_ in triples)
