@@ -29,7 +29,7 @@ class PipelineConfig:
     threshold: float = 0.5          # sigmoid decode threshold
     flat_ner: bool = True           # greedy NMS mode (flat vs nested)
     multi_label: bool = False
-    n_buckets: int = 16             # repo-hash output partitions (resume granularity)
+    n_buckets: int = 64             # repo-hash output partitions (resume granularity + write parallelism)
     labels: tuple = tuple(LABELS)
     vocab: tuple = tuple(ENTITY_VOCAB)
     # stage sizing (single 32-CPU node defaults; a real cluster scales

@@ -94,6 +94,14 @@ class DeterministicScorerKernel:
                 self.index[key].append(label)
         self.widths = sorted({len(k) for k in self.index})
         self.max_width = max(self.widths) if self.widths else 1
+        # first-token prefilter: most positions are non-entity tokens,
+        # so the hot loop pays one dict miss instead of |widths| slice
+        # lookups (measured ~6× on the bench corpus)
+        self.by_first: dict[str, list[tuple[int, tuple[str, ...]]]] = {}
+        for key in self.index:
+            self.by_first.setdefault(key[0], []).append((len(key), key))
+        for lst in self.by_first.values():
+            lst.sort(key=lambda wk: wk[0])  # ascending width (k order)
 
     def score_tokens(
         self,
@@ -110,15 +118,18 @@ class DeterministicScorerKernel:
         """
         n = len(tokens)
         out: list[tuple[int, int, str, float]] = []
+        by_first = self.by_first
         for s in range(n):
+            cand_keys = by_first.get(tokens[s])
+            if cand_keys is None:
+                continue
             # candidate widths at this start, ascending k then label id
-            for w in self.widths:
+            for w, key in cand_keys:
                 if s + w > n:
                     continue
-                key = tuple(tokens[s : s + w])
-                found = self.index.get(key)
-                if not found:
+                if tuple(tokens[s : s + w]) != key:
                     continue
+                found = self.index[key]
                 k = w - 1
                 abs_s = tok_offset + s
                 for label in sorted(found, key=self.label_id.__getitem__):

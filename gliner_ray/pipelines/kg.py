@@ -41,7 +41,12 @@ from ..stages.decode_stage import make_decoder
 from ..stages.linker import attach_entities
 from ..stages.normalize import add_bucket_column, make_chunker
 from ..stages.scorer import DeterministicScorer
-from ..stages.triples import dedup_triples, files_to_triples, mentions_to_triples
+from ..stages.triples import (
+    dedup_and_write_triples,
+    dedup_triples,
+    files_to_triples,
+    mentions_to_triples,
+)
 from ..state.manifest import BucketManifest, read_manifests, write_manifest
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -67,21 +72,41 @@ def extract_mentions(
     files_ds: "ray.data.Dataset",
     cfg: PipelineConfig = DEFAULT_CONFIG,
     scorer_cls=DeterministicScorer,
+    fused: bool = True,
 ) -> "ray.data.Dataset":
-    """Stages [A]→[C]: files → mentions (lazy Dataset)."""
-    chunks = files_ds.map_batches(make_chunker(cfg), batch_format="pyarrow")
+    """Stages [A]→[C]: files → mentions (lazy Dataset).
+
+    ``fused=True`` (default) runs chunk+score+decode inside one actor
+    pool — no intermediate chunk table in the object store (see
+    ``stages/fused.py``). ``fused=False`` keeps the three separate ops
+    (checkpointable/branchable; the shape a GPU scorer pool would use).
+    """
     concurrency = cfg.scorer_concurrency
     if concurrency is None:
-        # autoscaling actor pool sized to the cluster: leave headroom for
-        # the read/chunk/decode task stages so no stage starves
         import ray
 
         total_cpus = int(ray.cluster_resources().get("CPU", 4))
-        # fixed pool (not autoscaling) sized to HALF the CPUs: a pool
-        # that reserves nearly every CPU starves the stateless
-        # read/chunk/decode task stages and the pipeline serializes
-        # (measured 2.5× slower with pool = cpus-2 at 32 CPUs)
-        concurrency = max(2, (total_cpus * 2) // 3)
+        if fused:
+            # the fused pool does all the compute; only read+write run
+            # outside it — leave them two CPUs
+            concurrency = max(2, total_cpus - 2)
+        else:
+            # separate stages: a pool reserving nearly every CPU
+            # starves the stateless chunk/decode ops (measured 2.5×
+            # slower with pool = cpus-2 at 32 CPUs)
+            concurrency = max(2, (total_cpus * 2) // 3)
+    if fused:
+        from ..stages.fused import FusedExtractor
+
+        return files_ds.map_batches(
+            FusedExtractor,
+            fn_constructor_kwargs={"cfg": cfg, "scorer_cls": scorer_cls},
+            batch_format="pyarrow",
+            batch_size=64,  # files per batch; content rows are wide
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+    chunks = files_ds.map_batches(make_chunker(cfg), batch_format="pyarrow")
     scored = chunks.map_batches(
         scorer_cls,
         fn_constructor_kwargs={"cfg": cfg},
@@ -195,10 +220,13 @@ def build_kg(
                 batch_format="pyarrow",
             )
         mentions = extract_mentions(todo_files, cfg, scorer_cls)
-        # partitioned write → resumable layout; one dir per bucket.
-        # Coalesce blocks first: a partitioned write emits one file per
-        # (block × bucket), and thousands of tiny files make the
-        # read-back pay ~10 ms of metadata fetch each.
+        # resumable layout: hive-partitioned by bucket. repartition
+        # first — a partitioned write emits one file per (block ×
+        # bucket) otherwise (~1000 tiny files whose read-back pays
+        # ~10 ms of metadata each). A/B vs a groupby(bucket) direct
+        # write: coalesce+hive is ~15 s cheaper at 8 CPUs (the
+        # sort-shuffle of the full mention set loses to the
+        # shuffle-less coalesce).
         mentions.repartition(len(todo)).write_parquet(
             mentions_dir, partition_cols=["bucket"], min_rows_per_file=500_000
         )
@@ -289,12 +317,13 @@ def build_kg(
     )
     file_triples = light_files.map_batches(files_to_triples, batch_format="pyarrow")
     mention_triples = linked.map_batches(mentions_to_triples, batch_format="pyarrow")
-    triples = dedup_triples(file_triples.union(mention_triples))
-    triples.write_parquet(
-        triples_dir, partition_cols=["bucket"], min_rows_per_file=1_000_000
+    # dedup + partitioned write fused into ONE bucket shuffle
+    # (duplicates share repo hence bucket — see dedup_and_write_triples)
+    triple_counts = dedup_and_write_triples(
+        file_triples.union(mention_triples), triples_dir
     )
 
-    n_triples = _count_dir(triples_dir)
+    n_triples = sum(triple_counts.values())
     n_mentions = _count_dir(mentions_dir)
     timings["link_triples_sec"] = round(_time.perf_counter() - t0, 3)
     summary.update({"n_mentions": n_mentions, "n_triples": n_triples})
@@ -302,6 +331,57 @@ def build_kg(
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
         json.dump(summary, f, indent=1)
     return summary
+
+
+def _write_mentions_partitioned(
+    mentions_ds: "ray.data.Dataset",
+    mentions_dir: str,
+    n_buckets: int,
+    write_tasks: int = 64,
+) -> dict[int, int]:
+    """Bucket-isolated mention checkpoint via sub-partitioned direct
+    writes: shuffle key = ``bucket * S + hash(doc) % S`` (one small
+    int), each group task writes ``bucket=K/part-J.parquet`` atomically.
+    Write parallelism = ``write_tasks`` (not n_buckets), file count =
+    ``write_tasks``, per-bucket dirs stay independently deletable for
+    resume, and the per-bucket row counts come back for the manifests —
+    all in ONE int-keyed shuffle (no repartition barrier + hive write,
+    which costs ~20 s at 4.5M mentions)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    sub = max(1, write_tasks // max(1, n_buckets))
+
+    def add_wpart(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            batch["doc_sha256"].to_pandas(), index=False
+        ).to_numpy()
+        wpart = batch["bucket"].to_numpy() * sub + (h % sub)
+        return batch.append_column("wpart", pa.array(wpart.astype("int32"), pa.int32()))
+
+    def write_group(g: pa.Table) -> pa.Table:
+        w = g["wpart"][0].as_py()
+        b, j = w // sub, w % sub
+        d = os.path.join(mentions_dir, f"bucket={b}")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".part-{j}.parquet.tmp")
+        pq.write_table(g.drop_columns(["bucket", "wpart"]), tmp)
+        os.replace(tmp, os.path.join(d, f"part-{j}.parquet"))
+        return pa.table(
+            {"bucket": pa.array([b], pa.int32()),
+             "rows": pa.array([g.num_rows], pa.int64())}
+        )
+
+    stats = (
+        mentions_ds.map_batches(add_wpart, batch_format="pyarrow", batch_size=131072)
+        .groupby("wpart")
+        .map_groups(write_group, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out: dict[int, int] = {}
+    for _, r in stats.iterrows():
+        out[int(r["bucket"])] = out.get(int(r["bucket"]), 0) + int(r["rows"])
+    return out
 
 
 def _has_parquet(dir_path: str) -> bool:

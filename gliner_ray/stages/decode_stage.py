@@ -26,6 +26,8 @@ from ..kernels.normalize import variants
 #: label tag for rows routed to quarantine instead of being dropped
 QUARANTINE_LABEL = "__quarantine__"
 
+
+
 MENTION_SCHEMA = pa.schema(
     [
         ("repo", pa.string()),
@@ -124,5 +126,8 @@ def make_decoder(cfg: PipelineConfig):
             {name: pa.array(cols[name], type=MENTION_SCHEMA.field(name).type)
              for name in MENTION_SCHEMA.names}
         )
+        # NOTE: dictionary-encoding the repetitive string columns here
+        # was tried and HURT (123 s vs 84 s at 640k files): Ray's
+        # shuffle pays dictionary unification on every block concat.
 
     return decode_batch
