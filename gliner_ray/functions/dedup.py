@@ -218,8 +218,6 @@ def minhash_dedup(
 ) -> pa.Table:
     """Full near-dup pipeline. Returns (doc_id, cluster_id) for docs in
     a near-dup cluster of size ≥ 2 (cluster_id = min member id)."""
-    import ray
-
     pairs_ds = minhash_candidate_pairs(ds, num_perm, bands, ngram)
     pairs = [(r["id_a"], r["id_b"]) for r in pairs_ds.take_all()]
     if not pairs:

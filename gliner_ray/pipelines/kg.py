@@ -28,7 +28,6 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-from collections import defaultdict
 from typing import TYPE_CHECKING
 
 import pyarrow as pa
@@ -43,7 +42,6 @@ from ..stages.normalize import add_bucket_column, make_chunker
 from ..stages.scorer import DeterministicScorer
 from ..stages.triples import (
     dedup_and_write_triples,
-    dedup_triples,
     files_to_triples,
     mentions_to_triples,
 )

@@ -12,7 +12,6 @@ from __future__ import annotations
 import os
 
 import numpy as np
-import pyarrow as pa
 
 from ..functions import dedup as fdedup
 from ..functions import similarity as fsim
@@ -235,7 +234,6 @@ def mt_relation_triples(sf_dir: str):
     (source, relation, target) records (rows-only). Runs over the
     synthesized source-code corpus (the driver ``documents`` table has
     no planted code entities, so relations there are vacuously empty)."""
-    import pyarrow.compute as pc_
     import ray.data as rd
 
     from ..corpus import write_corpus

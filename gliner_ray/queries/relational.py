@@ -20,7 +20,6 @@ is low.
 
 from __future__ import annotations
 
-import math
 from datetime import datetime
 
 import numpy as np

@@ -65,6 +65,32 @@ def read_gliner_json(path: str) -> "ray.data.Dataset":
     return rd.from_arrow(table)
 
 
+def open_content(dataset_dir: str):
+    """Glob a reference-layout dataset dir → (train, dev, test, labels).
+
+    Mirrors ``gliner/evaluation/evaluate.py:11-27``: the dir holds
+    ``*train*.json`` / ``*dev*.json`` / ``*test*.json`` record files
+    plus a ``*labels*.json`` label list. Splits come back as Datasets
+    (via :func:`read_gliner_json`), labels as a driver-side list —
+    the label vocabulary is broadcast config, never a Dataset.
+    Missing splits return None.
+    """
+    import glob as _glob
+
+    out: dict[str, object] = {"train": None, "dev": None, "test": None}
+    labels: list[str] | None = None
+    for p in sorted(_glob.glob(os.path.join(dataset_dir, "*.json"))):
+        name = os.path.basename(p).lower()
+        if "label" in name:
+            with open(p) as f:
+                labels = json.load(f)
+        else:
+            for split in out:
+                if split in name:
+                    out[split] = read_gliner_json(p)
+    return out["train"], out["dev"], out["test"], labels
+
+
 def read_jsonl_corpus(path_or_dir: str) -> "ray.data.Dataset":
     """Read JSONL documents (one JSON object per line) — distributed
     (``ray.data.read_json``), unlike the reference's in-memory loop."""

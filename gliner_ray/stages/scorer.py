@@ -69,6 +69,29 @@ class DeterministicScorer:
         return batch
 
 
+class OnnxGlinerScorer:
+    """ONNX-runtime backend stub: same batch contract as the torch
+    path but CPU-friendly — the reference ships an ORT session wrapper
+    (``gliner/onnx/model.py:10-119``, ``SpanORTModel.forward``). The
+    actor would hold one ``ort.InferenceSession`` per replica
+    (``__init__``), run the span head per batch, and emit the sparse
+    above-threshold candidate set. onnxruntime is not in this
+    container, so construction is import-gated."""
+
+    def __init__(self, cfg: PipelineConfig, model_path: str = ""):
+        try:
+            import onnxruntime  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "OnnxGlinerScorer requires onnxruntime (not available "
+                "here). Use DeterministicScorer (same batch contract)."
+            ) from e
+        raise NotImplementedError("ONNX backend not wired in this sandbox")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # pragma: no cover
+        raise NotImplementedError
+
+
 class TorchGlinerScorer:
     """Real-model backend stub: same interface, torch-gated.
 

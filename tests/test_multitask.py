@@ -236,3 +236,29 @@ class TestQuarantine:
             f"{out}/triples", format="parquet", partitioning="hive"
         ).to_table().to_pylist()
         assert all("__quarantine__" not in (t_["subj"], t_["obj"]) for t_ in triples)
+
+
+class TestOpenContentAndBackends:
+    def test_open_content_glob(self, tmp_path):
+        import json
+
+        from gliner_ray.sources.io import open_content
+
+        records = [{"tokenized_text": ["a"], "ner": []}]
+        for name in ["foo_train.json", "foo_dev.json", "foo_test.json"]:
+            (tmp_path / name).write_text(json.dumps(records))
+        (tmp_path / "labels.json").write_text(json.dumps(["function", "class"]))
+        train, dev, test, labels = open_content(str(tmp_path))
+        assert labels == ["function", "class"]
+        assert train.count() == 1 and dev.count() == 1 and test.count() == 1
+
+    def test_model_backend_stubs_gated(self):
+        import pytest as _pytest
+
+        from gliner_ray.config import DEFAULT_CONFIG
+        from gliner_ray.stages.scorer import OnnxGlinerScorer, TorchGlinerScorer
+
+        with _pytest.raises(NotImplementedError):
+            TorchGlinerScorer(DEFAULT_CONFIG)
+        with _pytest.raises(NotImplementedError):
+            OnnxGlinerScorer(DEFAULT_CONFIG)
