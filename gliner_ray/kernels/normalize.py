@@ -38,7 +38,11 @@ def normalize_ident(text: str) -> str:
     t = _CAMEL_1.sub(r"\1 \2", t)
     t = _CAMEL_2.sub(r"\1 \2", t)
     t = _SEP.sub(" ", t)
-    return _WS.sub(" ", t.strip().lower())
+    t = _WS.sub(" ", t.strip().lower())
+    # separator collapse can expose new edge punctuation (e.g. control
+    # chars next to a stripped '-') — strip once more so the function
+    # is idempotent (property-tested)
+    return _EDGE_PUNCT.sub("", t)
 
 
 def variants(text: str) -> list[str]:

@@ -1,0 +1,179 @@
+"""Property-based conformance tests (hypothesis).
+
+The reference ships no property tests (SURVEY.md §5); these pin the
+kernel invariants that the e2e parity gate depends on, over random
+inputs rather than hand-picked cases."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gliner_ray.kernels.chunk import chunk_token_ranges
+from gliner_ray.kernels.decode import (
+    decode_candidates,
+    decode_logits,
+    greedy_nms,
+    has_overlapping,
+    has_overlapping_nested,
+)
+from gliner_ray.kernels.linking import link_variant_edges
+from gliner_ray.kernels.normalize import normalize_ident, normalize_primary, variants
+from gliner_ray.kernels.tokenize import tokenize_with_offsets
+
+spans_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 20),                      # start
+        st.integers(0, 8),                       # width-1
+        st.sampled_from(["a", "b", "c"]),        # label
+        st.floats(0.01, 0.99),                   # score
+    ),
+    max_size=25,
+).map(lambda xs: [(s, s + w, lab, sc) for s, w, lab, sc in xs])
+
+
+class TestNMSProperties:
+    @given(spans_strategy, st.booleans(), st.booleans())
+    @settings(max_examples=200, deadline=None)
+    def test_kept_spans_mutually_compatible(self, spans, flat, multi):
+        kept = greedy_nms(list(spans), flat_ner=flat, multi_label=multi)
+        pred = has_overlapping if flat else has_overlapping_nested
+        for i in range(len(kept)):
+            for j in range(i + 1, len(kept)):
+                assert not pred(kept[i], kept[j], multi)
+
+    @given(spans_strategy, st.booleans())
+    @settings(max_examples=200, deadline=None)
+    def test_dropped_spans_blocked_by_higher_rank(self, spans, flat):
+        # greedy first-fit: every dropped candidate overlaps a kept span
+        # that precedes it in the (stable) score-descending order
+        kept = greedy_nms(list(spans), flat_ner=flat)
+        pred = has_overlapping if flat else has_overlapping_nested
+        order = sorted(spans, key=lambda x: -x[-1])
+        kept_set = set(kept)
+        for idx, cand in enumerate(order):
+            if cand in kept_set:
+                continue
+            earlier_kept = [k for k in order[:idx] if k in kept_set]
+            assert any(pred(cand, k) for k in earlier_kept)
+
+    @given(spans_strategy)
+    @settings(max_examples=100, deadline=None)
+    def test_output_sorted_and_subset(self, spans):
+        kept = greedy_nms(list(spans))
+        starts = [k[0] for k in kept]
+        assert starts == sorted(starts)
+        assert all(k in spans for k in kept)
+
+
+class TestDenseSparseEquivalence:
+    @given(
+        st.integers(1, 12),   # n_tokens
+        st.integers(1, 4),    # K
+        st.integers(1, 3),    # C
+        st.integers(0, 10_000),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_decode_paths_agree(self, L, K, C, seed):
+        rng = np.random.RandomState(seed)
+        logits = rng.randn(L, K, C) * 3
+        id_to_class = {i + 1: f"c{i}" for i in range(C)}
+        dense = decode_logits(L, id_to_class, logits)
+        probs = 1 / (1 + np.exp(-logits))
+        cands = [
+            (s, k, id_to_class[c + 1], float(probs[s, k, c]))
+            for s in range(L)
+            for k in range(K)
+            for c in range(C)
+            if probs[s, k, c] > 0.5
+        ]
+        sparse = decode_candidates(cands, L)
+        assert [x[:3] for x in dense] == [x[:3] for x in sparse]
+
+
+class TestChunkProperties:
+    @given(st.integers(0, 5000), st.integers(2, 400), st.integers(0, 50))
+    @settings(max_examples=200, deadline=None)
+    def test_full_coverage_no_gaps(self, n, max_len, overlap):
+        if overlap >= max_len:
+            overlap = max_len - 1
+        ranges = chunk_token_ranges(n, max_len, overlap)
+        assert ranges[0][0] == 0
+        assert ranges[-1][1] == max(n, 0)
+        for (s0, e0), (s1, e1) in zip(ranges, ranges[1:]):
+            assert s1 <= e0  # no gap
+            assert e1 > e0   # progress
+            assert e0 - s1 == overlap  # exact lookback
+
+
+class TestTokenizerProperties:
+    @given(st.text(max_size=200))
+    @settings(max_examples=200, deadline=None)
+    def test_offsets_slice_back(self, text):
+        toks, starts, ends = tokenize_with_offsets(text)
+        for t, s, e in zip(toks, starts, ends):
+            assert text[s:e] == t
+        # offsets strictly increasing, non-overlapping
+        for i in range(1, len(toks)):
+            assert starts[i] >= ends[i - 1]
+
+    @given(st.text(max_size=100))
+    @settings(max_examples=100, deadline=None)
+    def test_no_whitespace_in_tokens(self, text):
+        toks, _, _ = tokenize_with_offsets(text)
+        assert all(not any(ch.isspace() for ch in t) for t in toks)
+
+
+class TestNormalizeProperties:
+    @given(st.text(max_size=60))
+    @settings(max_examples=200, deadline=None)
+    def test_idempotent(self, text):
+        assert normalize_primary(normalize_primary(text)) == normalize_primary(text)
+        assert normalize_ident(normalize_ident(text)) == normalize_ident(text)
+
+    @given(st.text(max_size=60))
+    @settings(max_examples=100, deadline=None)
+    def test_variants_nonempty_unique(self, text):
+        vs = variants(text)
+        assert len(vs) == len(set(vs))
+        assert all(v == v.lower() for v in vs)
+
+
+class TestUnionFindProperties:
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from("abcdefgh"), st.sampled_from("abcdefgh")),
+            max_size=20,
+        ),
+        st.integers(0, 1000),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_edge_order_invariant(self, edges, seed):
+        m1 = link_variant_edges(list(edges))
+        rng = np.random.RandomState(seed)
+        shuffled = list(edges)
+        rng.shuffle(shuffled)
+        m2 = link_variant_edges(shuffled)
+        assert m1 == m2
+
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from("abcdef"), st.sampled_from("abcdef")),
+            max_size=15,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_canonical_is_component_min(self, edges):
+        m = link_variant_edges(list(edges))
+        # brute-force components
+        nodes = {v for e in edges for v in e}
+        for v in nodes:
+            comp = {v}
+            changed = True
+            while changed:
+                changed = False
+                for a, b in edges:
+                    if a in comp and b not in comp:
+                        comp.add(b); changed = True
+                    if b in comp and a not in comp:
+                        comp.add(a); changed = True
+            assert m[v] == "ent:" + min(comp)
