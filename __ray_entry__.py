@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_hourly": rel.q_events_hourly,
         "q_user_sessions": rel.q_user_sessions,
         "q_brand_stats": rel.q_brand_stats,
+        "q_priority_with_late_items": rel.q_priority_with_late_items,
+        "q_customers_without_big_orders": rel.q_customers_without_big_orders,
         # text analysis
         "doc_token_count": co.doc_token_count,
         "doc_text_stats": co.doc_text_stats,
@@ -83,6 +85,8 @@ def oracle_sql() -> dict[str, str]:
         "q_events_hourly": rel.EVENTS_HOURLY_SQL,
         "q_user_sessions": rel.USER_SESSIONS_SQL,
         "q_brand_stats": rel.BRAND_STATS_SQL,
+        "q_priority_with_late_items": rel.PRIORITY_LATE_SQL,
+        "q_customers_without_big_orders": rel.CUSTOMERS_NO_BIG_ORDERS_SQL,
         "doc_token_count": co.TOKEN_COUNT_SQL,
         "doc_text_stats": co.TEXT_STATS_SQL,
         "doc_sha256": co.SHA256_SQL,

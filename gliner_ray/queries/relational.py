@@ -501,3 +501,83 @@ SELECT p_brand, COUNT(*) AS n_parts,
        CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS sum_size
 FROM part GROUP BY p_brand
 """
+
+
+# ------------------------------------------------- semi / anti joins
+
+
+def q_priority_with_late_items(sf_dir: str):
+    """TPC-H Q4 shape: EXISTS semi-join — count orders per priority
+    having at least one lineitem shipped after the order date.
+
+    The per-order predicate needs both sides' columns, so lineitem
+    hash-joins orders (big-big); the distinct qualifying orderkeys are
+    then a batch-local partial-distinct → small groupby, and the final
+    per-priority count joins back via a broadcast orderkey set.
+    """
+    from ray.data.aggregate import Count
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    joined = line.join(
+        orders.select_columns(["o_orderkey", "o_orderdate"]),
+        join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def qualifying(batch: pa.Table) -> pa.Table:
+        mask = pc.greater(batch["l_shipdate"], batch["o_orderdate"])
+        keys = pc.unique(batch.filter(mask)["l_orderkey"])
+        return pa.table({"o_orderkey": keys})
+
+    qualified = set(
+        joined.map_batches(qualifying, batch_format="pyarrow")
+        .unique("o_orderkey")
+    )
+    qual_arr = pa.array(sorted(qualified), pa.int64())
+    return (
+        orders.map_batches(
+            lambda t: t.filter(pc.is_in(t["o_orderkey"], value_set=qual_arr)).select(
+                ["o_orderpriority"]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+
+
+PRIORITY_LATE_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q_customers_without_big_orders(sf_dir: str):
+    """Anti join: customers who never placed an order above 400k —
+    broadcast the (distinct) qualifying custkey set, anti-filter with a
+    vectorized NOT IN per batch (Bloom-filter slot at cluster scale)."""
+    big = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 400_000.0)).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    big_set = pa.array(sorted(set(big.unique("o_custkey"))), pa.int64())
+    return _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda t: t.filter(
+            pc.invert(pc.is_in(t["c_custkey"], value_set=big_set))
+        ),
+        batch_format="pyarrow",
+    )
+
+
+CUSTOMERS_NO_BIG_ORDERS_SQL = """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+"""
