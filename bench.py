@@ -39,8 +39,13 @@ def _bench_corpus(sf: float) -> str:
     (FIXTURES.md sf_bench), scaled linearly."""
     from gliner_ray.corpus import write_corpus
 
-    n_files = max(200, int(6_400_000 * sf))
-    n_repos = max(20, int(64_000 * sf))
+    # files per sf unit: default sized so the driver's per-round bench
+    # finishes quickly even from a cold cache; the --scaling run uses a
+    # larger corpus (via this env var) so compute dominates fixed costs
+    # when measuring the N vs 4N efficiency ratio
+    files_per_sf = int(os.environ.get("GRAFT_BENCH_FILES_PER_SF", "6400000"))
+    n_files = max(200, int(files_per_sf * sf))
+    n_repos = max(20, n_files // 100)
     d = f"/tmp/gliner_ray_bench/files_n{n_files}"
     write_corpus(d, n_files=n_files, n_repos=n_repos, seed=42, n_shards=32)
     return d
@@ -131,7 +136,9 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     """Same job at two parallelism levels in fresh processes."""
     results = {}
     for n in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir,
+                   GRAFT_BENCH_FILES_PER_SF=os.environ.get(
+                       "GRAFT_BENCH_FILES_PER_SF", "16000000"))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

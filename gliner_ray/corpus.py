@@ -133,7 +133,9 @@ def generate_files(
             "path": pa.array(paths, pa.string()),
             "commit": pa.array(commits, pa.string()),
             "lang": pa.array(langs, pa.string()),
-            "content": pa.array(contents, pa.string()),
+            # large_string: a multi-GB corpus overflows 32-bit string
+            # offsets in a single-chunk array
+            "content": pa.array(contents, pa.large_string()),
         }
     )
 
@@ -144,19 +146,50 @@ def write_corpus(
     n_repos: int = 20,
     seed: int = 42,
     n_shards: int = 4,
+    cluster_buckets: int = 64,
 ) -> str:
-    """Write the corpus as sharded Parquet (idempotent cache: skips if
-    the directory already holds the expected shards)."""
+    """Write the corpus as BUCKET-CLUSTERED sharded Parquet: rows are
+    grouped by ``sha1(repo) % cluster_buckets`` and each shard file
+    holds whole buckets (filename ``part-b{first}-{last}.parquet``).
+
+    This models the standard cluster-by-key ingest layout: a real
+    100 TB corpus pays one bucketing repartition at ingest, after which
+    every downstream read block is bucket-pure — the KG pipeline's
+    partitioned checkpoint write then streams with no repartition, and
+    resume prunes whole FILES (the bucket range is in the name).
+    Unclustered inputs still work (the write just emits more files, or
+    use ``read_files`` + an explicit ingest repartition).
+
+    Idempotent cache: skips if ``_COMPLETE`` exists.
+    """
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_COMPLETE")
     if os.path.exists(marker):
         return out_dir
     table = generate_files(n_files=n_files, n_repos=n_repos, seed=seed)
-    shard_size = (table.num_rows + n_shards - 1) // n_shards
-    for s in range(n_shards):
-        shard = table.slice(s * shard_size, shard_size)
-        if shard.num_rows:
-            pq.write_table(shard, os.path.join(out_dir, f"part-{s:05d}.parquet"))
+    buckets = np.array(
+        [
+            int.from_bytes(hashlib.sha1(r.encode()).digest()[:8], "big")
+            % cluster_buckets
+            for r in table["repo"].to_pylist()
+        ]
+    )
+    # split bucket ids into n_shards contiguous ranges of whole buckets;
+    # take per range (a single global take can overflow 32-bit string
+    # offsets on multi-GB corpora)
+    per_shard = max(1, (cluster_buckets + n_shards - 1) // n_shards)
+    for lo in range(0, cluster_buckets, per_shard):
+        hi = min(lo + per_shard - 1, cluster_buckets - 1)
+        idx = np.nonzero((buckets >= lo) & (buckets <= hi))[0]
+        if len(idx) == 0:
+            continue
+        shard = table.take(pa.array(idx))
+        pq.write_table(
+            shard, os.path.join(out_dir, f"part-b{lo:04d}-{hi:04d}.parquet")
+        )
     with open(marker, "w") as f:
-        f.write(f"n_files={n_files} n_repos={n_repos} seed={seed}\n")
+        f.write(
+            f"n_files={n_files} n_repos={n_repos} seed={seed} "
+            f"cluster_buckets={cluster_buckets}\n"
+        )
     return out_dir

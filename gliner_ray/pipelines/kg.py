@@ -116,6 +116,199 @@ def extract_mentions(
     return scored.map_batches(make_decoder(cfg), batch_format="pyarrow")
 
 
+def _read_todo_files(
+    input_path: str, cfg: PipelineConfig, todo: list[int], all_buckets: set[int]
+):
+    """Read the input, pruning at FILE level on resume when the corpus
+    layout encodes bucket ranges in filenames (``part-bLLLL-HHHH``,
+    the bucket-clustered ingest layout); rows of completed buckets
+    inside a kept file are then row-filtered. Unclustered layouts fall
+    back to the plain read + row filter."""
+    import re
+
+    import ray.data as rd
+
+    todo_set = set(todo)
+    paths = None
+    if os.path.isdir(input_path) and todo_set != all_buckets:
+        pat = re.compile(r"part-b(\d+)-(\d+)\.parquet$")
+        files = sorted(f for f in os.listdir(input_path) if f.endswith(".parquet"))
+        parsed = [(f, pat.search(f)) for f in files]
+        if parsed and all(m for _, m in parsed):
+            keep = [
+                os.path.join(input_path, f)
+                for f, m in parsed
+                if any(int(m.group(1)) <= b <= int(m.group(2)) for b in todo_set)
+            ]
+            paths = keep
+    ds = (
+        rd.read_parquet(paths, columns=FILES_COLUMNS)
+        if paths
+        else rd.read_parquet(input_path, columns=FILES_COLUMNS)
+    )
+    ds = ds.map_batches(
+        lambda t: add_bucket_column(t, cfg.n_buckets), batch_format="pyarrow"
+    )
+    if todo_set != all_buckets:
+        todo_arr = pa.array(sorted(todo_set), pa.int32())
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.is_in(t["bucket"], value_set=todo_arr)),
+            batch_format="pyarrow",
+        )
+    return ds
+
+
+def _corpus_bucket_files(input_path: str) -> dict[int, str] | None:
+    """bucket id → corpus shard path, when the input layout encodes
+    bucket ranges in filenames (``part-bLLLL-HHHH``). None otherwise."""
+    import re
+
+    if not os.path.isdir(input_path):
+        return None
+    pat = re.compile(r"part-b(\d+)-(\d+)\.parquet$")
+    out: dict[int, str] = {}
+    files = sorted(f for f in os.listdir(input_path) if f.endswith(".parquet"))
+    if not files:
+        return None
+    for f in files:
+        m = pat.search(f)
+        if not m:
+            return None
+        for b in range(int(m.group(1)), int(m.group(2)) + 1):
+            out[b] = os.path.join(input_path, f)
+    return out
+
+
+def _stage2_bucket_triples(
+    input_path: str,
+    mentions_dir: str,
+    triples_dir: str,
+    bucket_files: dict[int, str],
+    emap_ref,
+    cfg: PipelineConfig,
+) -> dict[int, int]:
+    """Shuffle-free stage 2 for bucket-clustered layouts.
+
+    Every exact-dedup group of a triple shares ``repo`` (it is part of
+    the dedup key), hence one bucket — so buckets are independent
+    dedup domains. Each task: read its bucket's mention partition +
+    the (repo, path) slice of its corpus shard, attach entity ids from
+    the broadcast map, build + pandas-dedup the triples, write
+    ``triples/bucket=K`` atomically, return the row count. ~n_buckets
+    parallel tasks, ZERO bytes through a shuffle — stage-2 wall time
+    scales with CPUs instead of object-store bandwidth (which is a
+    shared single-node resource and flat from 8→32 CPUs).
+    """
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..stages.decode_stage import QUARANTINE_LABEL
+
+    buckets = sorted(
+        set(bucket_files)
+        | {
+            int(d.split("=")[1])
+            for d in (os.listdir(mentions_dir) if os.path.isdir(mentions_dir) else [])
+            if d.startswith("bucket=")
+        }
+    )
+    n_buckets = cfg.n_buckets
+
+    def work(batch: pa.Table) -> pa.Table:
+        emap = ray.get(emap_ref)
+        out_b, out_rows = [], []
+        for b in batch["bucket"].to_pylist():
+            frames = []
+            # file triples from the corpus slice (repo, path only)
+            cpath = bucket_files.get(b)
+            if cpath is not None:
+                ft = pq.read_table(cpath, columns=["repo", "path"])
+                df = ft.to_pandas()
+                hb = df["repo"].map(
+                    lambda r: int.from_bytes(
+                        hashlib.sha1(r.encode()).digest()[:8], "big"
+                    )
+                    % n_buckets
+                )
+                df = df[hb == b]
+                if len(df):
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "subj": df["repo"],
+                                "pred": "repo-contains-file",
+                                "obj": df["repo"] + "/" + df["path"],
+                                "repo": df["repo"],
+                                "score": 1.0,
+                            }
+                        )
+                    )
+            # mention triples from this bucket's checkpoint partition
+            mdir = os.path.join(mentions_dir, f"bucket={b}")
+            if os.path.isdir(mdir):
+                mt = pq.read_table(
+                    mdir, columns=["repo", "path", "variant0", "label", "score"]
+                )
+                mdf = mt.to_pandas()
+                mdf = mdf[mdf["label"] != QUARANTINE_LABEL]
+                mdf["entity_id"] = mdf["variant0"].map(emap)
+                mdf = mdf[mdf["entity_id"].notna()]
+                if len(mdf):
+                    fsub = mdf["repo"] + "/" + mdf["path"]
+                    frames.append(
+                        pd.DataFrame(
+                            {"subj": fsub, "pred": "file-defines-entity",
+                             "obj": mdf["entity_id"], "repo": mdf["repo"],
+                             "score": mdf["score"]}
+                        )
+                    )
+                    frames.append(
+                        pd.DataFrame(
+                            {"subj": mdf["entity_id"], "pred": "entity-typed-as",
+                             "obj": mdf["label"], "repo": mdf["repo"],
+                             "score": mdf["score"]}
+                        )
+                    )
+            out_schema = pa.schema(
+                [("subj", pa.string()), ("pred", pa.string()),
+                 ("obj", pa.string()), ("repo", pa.string()),
+                 ("score", pa.float64())]
+            )
+            if frames:
+                allt = (
+                    pd.concat(frames, ignore_index=True)
+                    .groupby(["subj", "pred", "obj", "repo"], as_index=False)
+                    .agg(score=("score", "max"))
+                )
+                table_out = pa.Table.from_pandas(
+                    allt, preserve_index=False
+                ).cast(out_schema)
+            else:
+                # empty frame → explicit schema (a null-typed empty file
+                # would poison the dataset-wide unified schema)
+                table_out = out_schema.empty_table()
+            d = os.path.join(triples_dir, f"bucket={b}")
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, ".part-0.parquet.tmp")
+            pq.write_table(table_out, tmp)
+            os.replace(tmp, os.path.join(d, "part-0.parquet"))
+            out_b.append(b)
+            out_rows.append(table_out.num_rows)
+        return pa.table(
+            {"bucket": pa.array(out_b, pa.int32()),
+             "rows": pa.array(out_rows, pa.int64())}
+        )
+
+    stats = (
+        rd.from_items([{"bucket": b} for b in buckets])
+        .map_batches(work, batch_format="pyarrow", batch_size=1)
+        .to_pandas()
+    )
+    return {int(r["bucket"]): int(r["rows"]) for _, r in stats.iterrows()}
+
+
 def _input_metadata_fingerprint(input_path: str) -> str:
     """Whole-input fingerprint from parquet FOOTER metadata only
     (file name, size, row count) — no data scan.
@@ -155,11 +348,20 @@ def _count_dir(dir_path: str) -> int:
 
 
 def _count_partition_rows(dir_path: str, bucket: int) -> int:
+    """Row count of one bucket dir from parquet FOOTERS directly —
+    ~1 ms/file. (pads.dataset().count_rows() per bucket cost 100-200 ms
+    each; across 64 buckets that was a hidden ~10 s of fixed wall time
+    charged to the extraction phase.)"""
+    import pyarrow.parquet as pq
+
     part_dir = os.path.join(dir_path, f"bucket={bucket}")
     if not os.path.isdir(part_dir):
         return 0
-    dataset = pads.dataset(part_dir, format="parquet")
-    return dataset.count_rows()
+    total = 0
+    for f in os.listdir(part_dir):
+        if f.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(part_dir, f)).metadata.num_rows
+    return total
 
 
 def build_kg(
@@ -209,24 +411,20 @@ def build_kg(
         # bucket so the partitioned write is effectively atomic per bucket
         for b in todo:
             _clear_dir(os.path.join(mentions_dir, f"bucket={b}"))
-        if set(todo) == all_buckets:
-            todo_files = files_ds  # fresh run: no filter stage needed
-        else:
-            todo_arr = pa.array(todo, pa.int32())
-            todo_files = files_ds.map_batches(
-                lambda t: t.filter(pc.is_in(t["bucket"], value_set=todo_arr)),
-                batch_format="pyarrow",
-            )
+        todo_files = _read_todo_files(input_path, cfg, todo, set(all_buckets))
         mentions = extract_mentions(todo_files, cfg, scorer_cls)
-        # resumable layout: hive-partitioned by bucket. repartition
-        # first — a partitioned write emits one file per (block ×
-        # bucket) otherwise (~1000 tiny files whose read-back pays
-        # ~10 ms of metadata each). A/B vs a groupby(bucket) direct
-        # write: coalesce+hive is ~15 s cheaper at 8 CPUs (the
-        # sort-shuffle of the full mention set loses to the
-        # shuffle-less coalesce).
-        mentions.repartition(len(todo)).write_parquet(
-            mentions_dir, partition_cols=["bucket"], min_rows_per_file=500_000
+        # resumable layout: hive-partitioned by bucket, written
+        # STREAMING (no repartition barrier). With a bucket-clustered
+        # input layout (corpus.write_corpus; one ingest repartition at
+        # 100 TB buys it) every read block is bucket-pure, so the
+        # partitioned write emits ~one file per block and overlaps
+        # fully with extraction. A repartition here cost a fixed
+        # ~13 s at 640k files on BOTH 8 and 32 CPUs (plasma bandwidth
+        # is a shared single-node resource), flattening the scaling
+        # curve. Unclustered inputs still work — they just emit more
+        # files per bucket dir.
+        mentions.write_parquet(
+            mentions_dir, partition_cols=["bucket"], min_rows_per_file=150_000
         )
         for b in todo:
             write_manifest(
@@ -306,20 +504,27 @@ def build_kg(
                 "entity_id", pa.array(ids.where(ids.notna(), None), pa.string())
             )
 
-        linked = mentions_ds.map_batches(attach_fn, batch_format="pyarrow")
+        bucket_files = _corpus_bucket_files(input_path)
+        if bucket_files is not None:
+            # bucket-clustered layout → shuffle-free per-bucket stage 2
+            triple_counts = _stage2_bucket_triples(
+                input_path, mentions_dir, triples_dir, bucket_files, ref, cfg
+            )
+            linked = None
+        else:
+            linked = mentions_ds.map_batches(attach_fn, batch_format="pyarrow")
 
-    # file triples need only (repo, path): column-pruned re-read, never
-    # the content column
-    light_files = rd.read_parquet(input_path, columns=["repo", "path"]).map_batches(
-        lambda t: add_bucket_column(t, cfg.n_buckets), batch_format="pyarrow"
-    )
-    file_triples = light_files.map_batches(files_to_triples, batch_format="pyarrow")
-    mention_triples = linked.map_batches(mentions_to_triples, batch_format="pyarrow")
-    # dedup + partitioned write fused into ONE bucket shuffle
-    # (duplicates share repo hence bucket — see dedup_and_write_triples)
-    triple_counts = dedup_and_write_triples(
-        file_triples.union(mention_triples), triples_dir
-    )
+    if linked is not None:
+        # generic layout: file triples from a column-pruned re-read,
+        # dedup + write in one bucket-key shuffle
+        light_files = rd.read_parquet(input_path, columns=["repo", "path"]).map_batches(
+            lambda t: add_bucket_column(t, cfg.n_buckets), batch_format="pyarrow"
+        )
+        file_triples = light_files.map_batches(files_to_triples, batch_format="pyarrow")
+        mention_triples = linked.map_batches(mentions_to_triples, batch_format="pyarrow")
+        triple_counts = dedup_and_write_triples(
+            file_triples.union(mention_triples), triples_dir
+        )
 
     n_triples = sum(triple_counts.values())
     n_mentions = _count_dir(mentions_dir)
