@@ -90,6 +90,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_count": co.TOKEN_COUNT_SQL,
         "doc_text_stats": co.TEXT_STATS_SQL,
         "doc_sha256": co.SHA256_SQL,
+        "doc_lang_id": co.LANG_ID_SQL,
+        "doc_split_counts": co.SPLIT_COUNTS_SQL,
         "doc_exact_dedup": co.EXACT_DEDUP_SQL,
         "emb_ann_topk": co.ANN_TOPK_SQL,
     }

@@ -27,8 +27,14 @@ if TYPE_CHECKING:  # pragma: no cover
 
 
 def _stable_frac(key: str, salt: str) -> float:
-    h = hashlib.sha1(f"{salt}:{key}".encode()).digest()
-    return int.from_bytes(h[:8], "big") / float(1 << 64)
+    """Uniform [0,1) fraction from sha256(salt:key).
+
+    Uses the first 15 hex chars (60 bits) so the identical value is
+    SQL-expressible in DuckDB for the oracle check:
+    ``('0x' || substr(sha256(salt || ':' || key), 1, 15))::BIGINT / 2^60``.
+    """
+    h = hashlib.sha256(f"{salt}:{key}".encode()).hexdigest()
+    return int(h[:15], 16) / float(1 << 60)
 
 
 def add_split_column(

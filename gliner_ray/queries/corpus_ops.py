@@ -76,10 +76,42 @@ SHA256_SQL = "SELECT doc_id, sha256(text) AS sha256 FROM documents"
 
 
 def doc_lang_id(sf_dir: str):
-    """Heuristic language ID (rows-only: no SQL analog)."""
+    """Heuristic stopword-vote language ID (exact SQL analog below)."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         ftext.lang_id_batch, batch_format="pyarrow"
     )
+
+
+def _lang_sql_list(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in sorted(ftext.STOPWORDS[lang]))
+
+
+_LANGS = sorted(ftext.STOPWORDS)  # de en es fr it — the vote iteration order
+_HITS_COLS = ",\n       ".join(
+    f"coalesce(array_length(list_filter(words, x -> x IN ({_lang_sql_list(lg)}))), 0) AS h_{lg}"
+    for lg in _LANGS
+)
+_GREATEST = "greatest(" + ", ".join(f"h_{lg}" for lg in _LANGS) + ")"
+_WINNER_CASES = "\n           ".join(
+    f"WHEN h_{lg} = {_GREATEST} THEN '{lg}'" for lg in _LANGS[:-1]
+)
+LANG_ID_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(substr(text, 1, 4000), '[A-Za-z]+'),
+                        x -> lower(x)) AS words
+  FROM documents
+), h AS (
+  SELECT doc_id,
+       {_HITS_COLS}
+  FROM w
+)
+SELECT doc_id,
+       CASE WHEN {_GREATEST} = 0 THEN 'und'
+           {_WINNER_CASES}
+           ELSE '{_LANGS[-1]}' END AS lang_pred
+FROM h
+"""
 
 
 def doc_quality(sf_dir: str):
@@ -268,20 +300,58 @@ def mt_summarize(sf_dir: str):
 
 
 def doc_split_counts(sf_dir: str):
-    """Deterministic hash train/test split + kfold assignment counts
-    (rows-only; hash scheme is engine-defined)."""
+    """Deterministic sha256 train/test split + kfold assignment counts,
+    fully distributed (per-bucket groupby count; nothing materializes on
+    the driver). The sha256-hex hash scheme is SQL-expressible, so this
+    has an exact DuckDB oracle."""
     import pyarrow as pa_
+    import pyarrow.compute as pc_
+    from ray.data.aggregate import Count
 
-    from ..functions.sampling import hash_kfold, hash_train_test_split
+    from ..functions.sampling import add_split_column, hash_kfold
 
-    docs = _docs(sf_dir, ["doc_id", "text"])
-    train, test = hash_train_test_split(docs, "doc_id", test_frac=0.2)
-    folds = hash_kfold(docs, "doc_id", k=5)
-    fold_counts = folds.to_pandas().groupby("fold").size()
-    return pa_.table(
-        {
-            "n_train": pa_.array([train.count()], pa_.int64()),
-            "n_test": pa_.array([test.count()], pa_.int64()),
-            "n_folds": pa_.array([int(fold_counts.count())], pa_.int64()),
-        }
+    docs = _docs(sf_dir, ["doc_id"])
+    splits = docs.map_batches(
+        lambda t: pa_.table(
+            {"bucket": add_split_column(t, "doc_id", 0.2)["split"]}
+        ),
+        batch_format="pyarrow",
     )
+    folds = hash_kfold(docs, "doc_id", k=5).map_batches(
+        lambda t: pa_.table(
+            {
+                "bucket": pc_.binary_join_element_wise(
+                    pa_.array(["fold"] * t.num_rows),
+                    pc_.cast(t["fold"], pa_.string()),
+                    "",
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return (
+        splits.union(folds)
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+# 2^60 as a double — matches sampling._stable_frac exactly (both sides
+# do the same IEEE double divide / multiply / truncate)
+_HASH_DENOM = "1152921504606846976.0"
+_FRAC = (
+    "(('0x' || substr(sha256('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    f" / {_HASH_DENOM})"
+)
+SPLIT_COUNTS_SQL = f"""
+WITH s AS (
+  SELECT CASE WHEN {_FRAC.format(salt='split')} < 0.2 THEN 'test' ELSE 'train' END AS bucket
+  FROM documents
+), f AS (
+  SELECT 'fold' || CAST(CAST(FLOOR({_FRAC.format(salt='kfold')} * 5) AS BIGINT) AS VARCHAR) AS bucket
+  FROM documents
+)
+SELECT bucket, COUNT(*) AS n
+FROM (SELECT * FROM s UNION ALL SELECT * FROM f)
+GROUP BY bucket
+"""
