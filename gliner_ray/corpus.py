@@ -160,12 +160,26 @@ def write_corpus(
     Unclustered inputs still work (the write just emits more files, or
     use ``read_files`` + an explicit ingest repartition).
 
-    Idempotent cache: skips if ``_COMPLETE`` exists.
+    Idempotent cache: skips if ``_COMPLETE`` exists AND its recorded
+    params match this call — a param mismatch regenerates instead of
+    silently returning a stale corpus (round-1 ADVICE; matters for the
+    shared scratch dirs used by the query layer).
     """
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_COMPLETE")
+    params = (
+        f"n_files={n_files} n_repos={n_repos} seed={seed} "
+        f"cluster_buckets={cluster_buckets}\n"
+    )
     if os.path.exists(marker):
-        return out_dir
+        with open(marker) as f:
+            if f.read() == params:
+                return out_dir
+        # stale corpus with different params — wipe and regenerate
+        for name in os.listdir(out_dir):
+            p = os.path.join(out_dir, name)
+            if os.path.isfile(p):
+                os.remove(p)
     table = generate_files(n_files=n_files, n_repos=n_repos, seed=seed)
     buckets = np.array(
         [
@@ -188,8 +202,5 @@ def write_corpus(
             shard, os.path.join(out_dir, f"part-b{lo:04d}-{hi:04d}.parquet")
         )
     with open(marker, "w") as f:
-        f.write(
-            f"n_files={n_files} n_repos={n_repos} seed={seed} "
-            f"cluster_buckets={cluster_buckets}\n"
-        )
+        f.write(params)
     return out_dir

@@ -30,6 +30,7 @@ import json
 import os
 from typing import TYPE_CHECKING
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
@@ -130,7 +131,11 @@ def _read_todo_files(
 
     todo_set = set(todo)
     paths = None
-    if os.path.isdir(input_path) and todo_set != all_buckets:
+    if (
+        os.path.isdir(input_path)
+        and todo_set != all_buckets
+        and _layout_modulus(input_path) == cfg.n_buckets
+    ):
         pat = re.compile(r"part-b(\d+)-(\d+)\.parquet$")
         files = sorted(f for f in os.listdir(input_path) if f.endswith(".parquet"))
         parsed = [(f, pat.search(f)) for f in files]
@@ -158,12 +163,34 @@ def _read_todo_files(
     return ds
 
 
-def _corpus_bucket_files(input_path: str) -> dict[int, str] | None:
+def _layout_modulus(input_path: str) -> int | None:
+    """Clustering modulus recorded by ``corpus.write_corpus`` in the
+    ``_COMPLETE`` marker. The ``part-bLLLL-HHHH`` filename ranges are
+    only trustworthy for pruning / per-bucket stage 2 when this equals
+    ``cfg.n_buckets`` — a corpus clustered with a different modulus
+    would silently lose rows on resume and misroute stage-2 triples
+    (round-1 ADVICE). None when the marker is absent or unparseable."""
+    import re
+
+    try:
+        with open(os.path.join(input_path, "_COMPLETE")) as f:
+            m = re.search(r"cluster_buckets=(\d+)", f.read())
+        return int(m.group(1)) if m else None
+    except OSError:
+        return None
+
+
+def _corpus_bucket_files(
+    input_path: str, n_buckets: int | None = None
+) -> dict[int, str] | None:
     """bucket id → corpus shard path, when the input layout encodes
-    bucket ranges in filenames (``part-bLLLL-HHHH``). None otherwise."""
+    bucket ranges in filenames (``part-bLLLL-HHHH``) AND the recorded
+    clustering modulus matches ``n_buckets``. None otherwise."""
     import re
 
     if not os.path.isdir(input_path):
+        return None
+    if n_buckets is not None and _layout_modulus(input_path) != n_buckets:
         return None
     pat = re.compile(r"part-b(\d+)-(\d+)\.parquet$")
     out: dict[int, str] = {}
@@ -194,7 +221,7 @@ def _stage2_bucket_triples(
     dedup domains. Each task: read its bucket's mention partition +
     the (repo, path) slice of its corpus shard, attach entity ids from
     the broadcast map, build + pandas-dedup the triples, write
-    ``triples/bucket=K`` atomically, return the row count. ~n_buckets
+    ``triples/part=K`` atomically, return the row count. ~n_buckets
     parallel tasks, ZERO bytes through a shuffle — stage-2 wall time
     scales with CPUs instead of object-store bandwidth (which is a
     shared single-node resource and flat from 8→32 CPUs).
@@ -271,10 +298,14 @@ def _stage2_bucket_triples(
                              "score": mdf["score"]}
                         )
                     )
+            # same partition-dir name (part=K) and column set as
+            # dedup_and_write_triples so consumers see ONE layout
+            # regardless of input clustering (round-1 ADVICE); here
+            # part == bucket because buckets are the dedup domains
             out_schema = pa.schema(
                 [("subj", pa.string()), ("pred", pa.string()),
                  ("obj", pa.string()), ("repo", pa.string()),
-                 ("score", pa.float64())]
+                 ("bucket", pa.int32()), ("score", pa.float64())]
             )
             if frames:
                 allt = (
@@ -282,14 +313,15 @@ def _stage2_bucket_triples(
                     .groupby(["subj", "pred", "obj", "repo"], as_index=False)
                     .agg(score=("score", "max"))
                 )
+                allt["bucket"] = np.int32(b)
                 table_out = pa.Table.from_pandas(
                     allt, preserve_index=False
-                ).cast(out_schema)
+                ).select(out_schema.names).cast(out_schema)
             else:
                 # empty frame → explicit schema (a null-typed empty file
                 # would poison the dataset-wide unified schema)
                 table_out = out_schema.empty_table()
-            d = os.path.join(triples_dir, f"bucket={b}")
+            d = os.path.join(triples_dir, f"part={b}")
             os.makedirs(d, exist_ok=True)
             tmp = os.path.join(d, ".part-0.parquet.tmp")
             pq.write_table(table_out, tmp)
@@ -454,22 +486,20 @@ def build_kg(
         if os.path.isdir(d):
             _clear_dir(d)
 
-    if force_distributed_linking:
-        # scale path: distributed label propagation + shuffle join;
-        # pinned once because it feeds two consumers
-        linked = attach_entities(
-            mentions_ds, cfg, force_distributed=True
-        ).materialize()
-        entities = _entities_table(linked)
-        entities.write_parquet(entities_dir, min_rows_per_file=1_000_000)
-    else:
+    partials_mat = None
+    use_broadcast = not force_distributed_linking
+    if use_broadcast:
         # broadcast path: ONE column-pruned pass over the checkpoint
         # yields both the variant edge set (→ driver union-find →
         # broadcast map) and the entities table (vocabulary-sized,
-        # merged and written driver-side)
-        import ray
-
-        from ..stages.linker import link_partials_batch, link_summary_driver
+        # merged and written driver-side). The partials are batch-local
+        # distinct (variant0, variant1, text, label) aggregates — count
+        # them BEFORE collecting: code-identifier vocabularies grow
+        # with the corpus, and an unguarded to_pandas() here is a
+        # driver OOM at 10^12 files (round-1 verdict #1). Above
+        # cfg.link_broadcast_limit we auto-fall-through to the
+        # distributed label-propagation path below.
+        from ..stages.linker import link_partials_batch
 
         partial_cols = ["variant0", "variant1", "text", "label"]
         partials_ds = (
@@ -479,9 +509,37 @@ def build_kg(
             if _has_parquet(mentions_dir)
             else mentions_ds.select_columns(partial_cols)
         )
-        partials = partials_ds.map_batches(
+        partials_mat = partials_ds.map_batches(
             link_partials_batch, batch_format="pyarrow"
-        ).to_pandas()
+        ).materialize()
+        if partials_mat.count() > cfg.link_broadcast_limit:
+            use_broadcast = False
+
+    if not use_broadcast:
+        # scale path: distributed label propagation + shuffle join;
+        # pinned once because it feeds two consumers
+        from ..stages.decode_stage import QUARANTINE_LABEL
+
+        if partials_mat is not None:  # auto-switched: partials already built
+            summary["n_quarantined"] = int(
+                sum(
+                    r["n_mentions"]
+                    for r in partials_mat.filter(
+                        lambda row: row["label"] == QUARANTINE_LABEL
+                    ).take_all()
+                )
+            )
+        linked = attach_entities(
+            mentions_ds, cfg, force_distributed=True
+        ).materialize()
+        entities = _entities_table(linked)
+        entities.write_parquet(entities_dir, min_rows_per_file=1_000_000)
+    else:
+        import ray
+
+        from ..stages.linker import link_summary_driver
+
+        partials = partials_mat.to_pandas()
         # quarantined rows (label tag, see stages/decode_stage.py) are
         # counted but never linked — their variant columns are null
         from ..stages.decode_stage import QUARANTINE_LABEL
@@ -504,7 +562,7 @@ def build_kg(
                 "entity_id", pa.array(ids.where(ids.notna(), None), pa.string())
             )
 
-        bucket_files = _corpus_bucket_files(input_path)
+        bucket_files = _corpus_bucket_files(input_path, n_buckets=cfg.n_buckets)
         if bucket_files is not None:
             # bucket-clustered layout → shuffle-free per-bucket stage 2
             triple_counts = _stage2_bucket_triples(

@@ -121,3 +121,30 @@ class TestDistributedLinking:
             [(t["subj"], t["pred"], t["obj"]) for t in dt],
         )
         assert prf["f_score"] == 1.0
+
+    def test_broadcast_limit_auto_switches_to_distributed(
+        self, small_corpus, tmp_path
+    ):
+        """link_broadcast_limit=1 forces the guard in build_kg's default
+        path to reject the driver-side partials merge and fall through
+        to the distributed linking path — triples must be identical
+        (round-1 verdict item: unguarded to_pandas() at corpus scale)."""
+        from dataclasses import replace
+
+        from gliner_ray.config import DEFAULT_CONFIG
+
+        out_b = str(tmp_path / "out_broadcast")
+        build_kg(small_corpus, out_b)
+        baseline = sorted(
+            (t["subj"], t["pred"], t["obj"])
+            for t in _read(os.path.join(out_b, "triples"))
+        )
+
+        out_d = str(tmp_path / "out_guarded")
+        cfg = replace(DEFAULT_CONFIG, link_broadcast_limit=1)
+        build_kg(small_corpus, out_d, cfg=cfg)
+        guarded = sorted(
+            (t["subj"], t["pred"], t["obj"])
+            for t in _read(os.path.join(out_d, "triples"))
+        )
+        assert guarded == baseline
