@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split_counts": co.doc_split_counts,
         # knowledge-graph construction (reference-parity ops)
         "kg_mentions": co.kg_mentions,
+        "kg_mentions_numpy": co.kg_mentions_numpy,
         "kg_triples": co.kg_triples,
     }
 

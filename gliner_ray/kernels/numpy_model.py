@@ -1,0 +1,231 @@
+"""Numpy span-model forward — the real GLiNER scoring math with small
+deterministic fixed weights (no torch in this environment).
+
+Faithful to the reference dataflow, layer by layer:
+
+- encoder-lite: embedding table + sinusoid positions + one
+  tanh-mixing layer with a ±1 neighborhood average — the structural
+  stand-in for ``gliner/modeling/encoder.py:41-186`` (contextual
+  subword embeddings in, contextual subword embeddings out).
+- prompt/word embedding extraction: ``modeling/base.py:33-82``
+  (``extract_prompt_features_and_word_embeddings``) — class-token
+  gather at ``input_ids == class_token_index``, first-subtoken scatter
+  via ``words_mask`` values (1-based target word index).
+- span representation: SpanMarkerV0 (``modeling/span_rep.py:262-286``)
+  — project_start/project_end MLPs, endpoint gather by ``span_idx``,
+  concat → relu → out_project, reshape ``(B, L, K, D)``.
+- prompt projection: ``prompt_rep_layer`` (``modeling/base.py:401``),
+  the ``create_projection_layer`` MLP (``modeling/layers.py:30-42``:
+  Linear(D→4D) → ReLU → Linear(4D→D); dropout inert at eval).
+- scorer: ``scores = einsum("BLKD,BCD->BLKC", span_rep,
+  prompts_embedding)`` (``modeling/base.py:547``).
+- span grid: ``preprocess_example`` (``processor.py:345-367``) —
+  ``span_idx = [(i, i+j) for i in range(L) for j in range(K)]``, mask
+  invalid when the end exceeds the sentence.
+
+Weights are drawn once from a seeded RNG scaled ``1/sqrt(fan_in)``, so
+every actor holds the identical model and results are reproducible —
+the checkpoint-loading analog of ``GLiNER.from_pretrained``
+(``gliner/model.py:768-919``).
+
+The logits feed :func:`gliner_ray.kernels.decode.decode_logits`
+unchanged — that is the whole contract: tokenize → forward → dense
+``(L, K, C)`` logits → sigmoid decode + NMS.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .subword import ENT_TOKEN_ID, ToySubwordTokenizer, encode_batch
+
+
+def _linear_init(rng: np.random.RandomState, fan_in: int, fan_out: int):
+    w = rng.standard_normal((fan_in, fan_out)) / np.sqrt(fan_in)
+    b = rng.standard_normal(fan_out) * 0.01
+    return w.astype(np.float64), b.astype(np.float64)
+
+
+class _Projection:
+    """``create_projection_layer`` (layers.py:30-42): D→4·out → ReLU →
+    4·out→out. Dropout is eval-inert and omitted."""
+
+    def __init__(self, rng: np.random.RandomState, d_in: int, d_out: int | None = None):
+        d_out = d_in if d_out is None else d_out
+        self.w1, self.b1 = _linear_init(rng, d_in, d_out * 4)
+        self.w2, self.b2 = _linear_init(rng, d_out * 4, d_out)
+
+    def __call__(self, x: np.ndarray) -> np.ndarray:
+        h = np.maximum(x @ self.w1 + self.b1, 0.0)
+        return h @ self.w2 + self.b2
+
+
+class NumpySpanModel:
+    """SpanModel forward (``modeling/base.py:498-551``) in numpy."""
+
+    def __init__(
+        self,
+        labels: list[str],
+        hidden_size: int = 64,
+        max_width: int = 12,
+        vocab_size: int = 50_000,
+        seed: int = 1234,
+    ):
+        rng = np.random.RandomState(seed)
+        D = hidden_size
+        self.labels = list(labels)
+        self.hidden_size = D
+        self.max_width = max_width
+        self.tokenizer = ToySubwordTokenizer(vocab_size=vocab_size)
+        # encoder-lite weights
+        self.embed = (rng.standard_normal((vocab_size, D)) / np.sqrt(D)).astype(
+            np.float64
+        )
+        self.mix_w, self.mix_b = _linear_init(rng, D, D)
+        # heads (reference layer names)
+        self.project_start = _Projection(rng, D)
+        self.project_end = _Projection(rng, D)
+        self.out_project = _Projection(rng, D * 2, D)
+        self.prompt_rep_layer = _Projection(rng, D)
+        # sinusoid positions, precomputed lazily per max length seen
+        self._pos_cache: np.ndarray | None = None
+
+    # ------------------------------------------------------ encoder-lite
+    def _positions(self, T: int) -> np.ndarray:
+        if self._pos_cache is None or self._pos_cache.shape[0] < T:
+            D = self.hidden_size
+            pos = np.arange(max(T, 512))[:, None]
+            div = np.exp(np.arange(0, D, 2) * (-np.log(10000.0) / D))
+            pe = np.zeros((max(T, 512), D))
+            pe[:, 0::2] = np.sin(pos * div)
+            pe[:, 1::2] = np.cos(pos * div)
+            self._pos_cache = pe
+        return self._pos_cache[:T]
+
+    def encode_tokens(
+        self, input_ids: np.ndarray, attention_mask: np.ndarray
+    ) -> np.ndarray:
+        """(B, T) ids → (B, T, D) contextual embeddings."""
+        B, T = input_ids.shape
+        e = self.embed[input_ids] + self._positions(T)[None, :, :]
+        e = e * attention_mask[:, :, None]
+        # ±1 neighborhood average = minimal context mixing
+        ctx = e.copy()
+        ctx[:, 1:] += e[:, :-1]
+        ctx[:, :-1] += e[:, 1:]
+        ctx /= 3.0
+        return np.tanh(ctx @ self.mix_w + self.mix_b)
+
+    # ----------------------------------- embedding extraction (base.py:33-82)
+    def extract_embeddings(
+        self,
+        token_embeds: np.ndarray,
+        input_ids: np.ndarray,
+        words_mask: np.ndarray,
+        text_lengths: np.ndarray,
+    ):
+        """→ (prompts_embedding (B,C,D), prompts_mask (B,C),
+        words_embedding (B,W,D), words_mask_out (B,W))."""
+        B, T, D = token_embeds.shape
+        class_token_mask = input_ids == ENT_TOKEN_ID
+        num_class_tokens = class_token_mask.sum(axis=1)
+        C = int(num_class_tokens.max()) if B else 0
+        W = int(text_lengths.max()) if B else 0
+
+        prompts_embedding = np.zeros((B, C, D))
+        prompts_mask = (
+            np.arange(C)[None, :] < num_class_tokens[:, None]
+        ).astype(np.int64)
+        b_idx, t_idx = np.nonzero(class_token_mask)
+        # within-row running index of each class token
+        order = np.concatenate([np.arange(n) for n in num_class_tokens]) if B else []
+        prompts_embedding[b_idx, order] = token_embeds[b_idx, t_idx]
+
+        words_embedding = np.zeros((B, W, D))
+        wb_idx, wt_idx = np.nonzero(words_mask > 0)
+        target = words_mask[wb_idx, wt_idx] - 1
+        words_embedding[wb_idx, target] = token_embeds[wb_idx, wt_idx]
+        words_mask_out = (
+            np.arange(W)[None, :] < text_lengths[:, None]
+        ).astype(np.int64)
+        return prompts_embedding, prompts_mask, words_embedding, words_mask_out
+
+    # --------------------------------------------- span grid (processor.py)
+    def span_grid(self, text_lengths: np.ndarray, W: int):
+        """→ span_idx (B, L·K, 2), span_mask (B, L·K) over a padded
+        length-W grid (``preprocess_example`` + ``create_batch_dict``)."""
+        K = self.max_width
+        B = len(text_lengths)
+        starts = np.repeat(np.arange(W), K)
+        ends = starts + np.tile(np.arange(K), W)
+        span_idx = np.stack([starts, ends], axis=1)[None].repeat(B, axis=0)
+        span_mask = ends[None, :] <= (text_lengths[:, None] - 1)
+        # zero invalid idx like ``span_idx * span_mask`` (base.py:533)
+        span_idx = span_idx * span_mask[:, :, None]
+        return span_idx, span_mask.astype(np.int64)
+
+    # ------------------------------------------------------------ forward
+    def label_embeddings(self) -> np.ndarray:
+        """(C, D) prompt embeddings from a prompt-only input — the
+        bi-encoder label pre-embedding cache (``gliner/model.py:604-630``,
+        ``encode_labels``): compute once, reuse for every batch via
+        :meth:`forward` ``prompts_embedding=``."""
+        enc = encode_batch(self.tokenizer, [[]], self.labels)
+        token_embeds = self.encode_tokens(enc["input_ids"], enc["attention_mask"])
+        pe, _, _, _ = self.extract_embeddings(
+            token_embeds, enc["input_ids"], enc["words_mask"],
+            np.maximum(enc["text_lengths"], 1),
+        )
+        return self.prompt_rep_layer(pe[0])
+
+    def forward(
+        self,
+        token_lists: list[list[str]],
+        prompts_embedding: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batch of word-token lists → (logits (B, W, K, C), text_lengths).
+
+        ``prompts_embedding`` (C, D): optional pre-projected label
+        embeddings (the ``batch_predict_with_embeds`` fast path,
+        ``model.py:476-531``) — skips per-batch prompt extraction and
+        drops the prompt tokens from the encoder input entirely.
+        """
+        if prompts_embedding is not None:
+            enc = encode_batch(self.tokenizer, token_lists, [])
+        else:
+            enc = encode_batch(self.tokenizer, token_lists, self.labels)
+        text_lengths = enc["text_lengths"]
+        token_embeds = self.encode_tokens(enc["input_ids"], enc["attention_mask"])
+        pe, _, words_embedding, _ = self.extract_embeddings(
+            token_embeds, enc["input_ids"], enc["words_mask"], text_lengths
+        )
+        B, W, D = words_embedding.shape
+        K = self.max_width
+        if W == 0:  # all-empty batch
+            C = len(self.labels)
+            return np.zeros((B, 0, K, C)), text_lengths
+
+        span_idx, span_mask = self.span_grid(text_lengths, W)
+
+        # SpanMarkerV0 (span_rep.py:262-286)
+        start_rep = self.project_start(words_embedding)
+        end_rep = self.project_end(words_embedding)
+        b_ar = np.arange(B)[:, None]
+        start_span = start_rep[b_ar, span_idx[:, :, 0]]
+        end_span = end_rep[b_ar, span_idx[:, :, 1]]
+        cat = np.maximum(np.concatenate([start_span, end_span], axis=-1), 0.0)
+        span_rep = self.out_project(cat).reshape(B, W, K, D)
+
+        if prompts_embedding is None:
+            prompts_embedding_b = self.prompt_rep_layer(pe)  # (B, C, D)
+        else:
+            prompts_embedding_b = np.broadcast_to(
+                prompts_embedding[None], (B,) + prompts_embedding.shape
+            )
+        logits = np.einsum("BLKD,BCD->BLKC", span_rep, prompts_embedding_b)
+        # mask invalid spans hard-off so sigmoid can never cross 0.5
+        # (-30 → sigmoid ≈ 1e-13 without float64 exp overflow warnings)
+        logits = np.where(
+            span_mask.reshape(B, W, K, 1).astype(bool), logits, -30.0
+        )
+        return logits, text_lengths

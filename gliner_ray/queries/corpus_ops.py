@@ -230,6 +230,35 @@ def kg_triples(sf_dir: str):
     )
 
 
+def kg_mentions_numpy(sf_dir: str):
+    """Mention extraction through the NUMPY SPAN-MODEL backend — the
+    real GLiNER forward math (subword+words_mask → encoder-lite →
+    span reps → einsum scorer → dense sigmoid decode) with fixed
+    deterministic weights, run through the un-fused three-stage path
+    (rows-only; pytest checks dense≡sparse decode parity and
+    label-cache equivalence)."""
+    import ray.data as rd
+
+    from ..config import DEFAULT_CONFIG
+    from ..corpus import write_corpus
+    from ..pipelines.kg import extract_mentions, read_files
+    from ..stages.scorer import NumpyGlinerScorer
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    corpus_dir = f"/tmp/gliner_ray_scratch/{tag}/files"
+    write_corpus(corpus_dir, n_files=120, n_repos=15, seed=42)
+    cfg = DEFAULT_CONFIG
+    mentions = extract_mentions(
+        read_files(corpus_dir, cfg), cfg, scorer_cls=NumpyGlinerScorer, fused=False
+    )
+    out = mentions.select_columns(
+        ["doc_sha256", "start", "end", "tok_start", "tok_end", "text", "label", "score"]
+    ).to_pandas()
+    return out.sort_values(
+        ["doc_sha256", "start", "end", "label"], kind="mergesort"
+    ).reset_index(drop=True)
+
+
 def media_features(sf_dir: str):
     """Multimodal plumbing demo over the synthetic media table
     (rows-only): decode-stub features + resize plan + frame sampling."""

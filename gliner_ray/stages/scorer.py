@@ -69,6 +69,67 @@ class DeterministicScorer:
         return batch
 
 
+class NumpyGlinerScorer:
+    """Real span-model math backend (``kernels/numpy_model.py``):
+    subword tokenize + words_mask → encoder-lite → prompt/word
+    embedding extraction → SpanMarkerV0 span reps → prompt projection
+    → ``BLKD,BCD->BLKC`` einsum → dense sigmoid over the span grid —
+    the reference forward (``modeling/base.py:498-551``) with small
+    deterministic fixed weights instead of a trained checkpoint.
+
+    Same sparse candidate output contract as
+    :class:`DeterministicScorer` (row-major ``(s, k, c)`` emission of
+    ``sigmoid(logit) > emit_threshold``), so the decode stage consumes
+    it unchanged. ``__init__`` builds the weights AND pre-embeds the
+    label prompts once per actor — the bi-encoder label-cache fast
+    path (``gliner/model.py:604-630`` ``encode_labels``;
+    ``batch_predict_with_embeds`` ``model.py:476-531``).
+    """
+
+    def __init__(self, cfg: PipelineConfig, hidden_size: int = 64, seed: int = 1234):
+        import numpy as np
+
+        from ..kernels.numpy_model import NumpySpanModel
+
+        self._np = np
+        self.model = NumpySpanModel(
+            labels=list(cfg.labels),
+            hidden_size=hidden_size,
+            max_width=cfg.max_width,
+            seed=seed,
+        )
+        self.label_embeds = self.model.label_embeddings()  # (C, D), cached
+        self.emit_threshold = cfg.threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        np = self._np
+        token_lists = batch["tokens"].to_pylist()
+        logits, text_lengths = self.model.forward(
+            token_lists, prompts_embedding=self.label_embeds
+        )
+        probs = 1.0 / (1.0 + np.exp(-logits))  # (B, W, K, C)
+        labels = self.model.labels
+        out_s, out_k, out_label, out_score = [], [], [], []
+        for i in range(len(token_lists)):
+            n = int(text_lengths[i])
+            # row-major (s, k, c) — torch.where order (decoder.py:100)
+            s_idx, k_idx, c_idx = np.nonzero(probs[i] > self.emit_threshold)
+            keep = s_idx + k_idx + 1 <= n
+            out_s.append(s_idx[keep].astype("int32").tolist())
+            out_k.append(k_idx[keep].astype("int32").tolist())
+            out_label.append([labels[c] for c in c_idx[keep]])
+            out_score.append(probs[i][s_idx[keep], k_idx[keep], c_idx[keep]].tolist())
+        arrays = [
+            pa.array(out_s, pa.list_(pa.int32())),
+            pa.array(out_k, pa.list_(pa.int32())),
+            pa.array(out_label, pa.list_(pa.string())),
+            pa.array(out_score, pa.list_(pa.float64())),
+        ]
+        for (name, _), arr in zip(CANDIDATE_FIELDS, arrays):
+            batch = batch.append_column(name, arr)
+        return batch
+
+
 class OnnxGlinerScorer:
     """ONNX-runtime backend stub: same batch contract as the torch
     path but CPU-friendly — the reference ships an ORT session wrapper
