@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mt_summarize": co.mt_summarize,
         "doc_split_counts": co.doc_split_counts,
         # knowledge-graph construction (reference-parity ops)
+        "doc_gen_labels": co.doc_gen_labels,
         "kg_mentions": co.kg_mentions,
         "kg_mentions_numpy": co.kg_mentions_numpy,
         "kg_triples": co.kg_triples,

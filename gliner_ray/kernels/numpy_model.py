@@ -203,6 +203,7 @@ class NumpySpanModel:
         K = self.max_width
         if W == 0:  # all-empty batch
             C = len(self.labels)
+            self.last_span_rep = np.zeros((B, 0, K, D))
             return np.zeros((B, 0, K, C)), text_lengths
 
         span_idx, span_mask = self.span_grid(text_lengths, W)
@@ -215,6 +216,9 @@ class NumpySpanModel:
         end_span = end_rep[b_ar, span_idx[:, :, 1]]
         cat = np.maximum(np.concatenate([start_span, end_span], axis=-1), 0.0)
         span_rep = self.out_project(cat).reshape(B, W, K, D)
+        # kept for the decoder-mode stage (select_span_decoder_embedding
+        # consumes span_rep alongside the scores, base.py:549-560)
+        self.last_span_rep = span_rep
 
         if prompts_embedding is None:
             prompts_embedding_b = self.prompt_rep_layer(pe)  # (B, C, D)

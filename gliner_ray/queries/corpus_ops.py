@@ -230,6 +230,25 @@ def kg_triples(sf_dir: str):
     )
 
 
+def doc_gen_labels(sf_dir: str):
+    """Decoder-mode span labeling over the documents table: numpy
+    forward → span selection → trie-constrained label generation →
+    aligned decode (rows-only; pytest covers update_id_to_classes,
+    trie terminality, and sel_idx alignment)."""
+    from ..stages.labelgen import GenLabelExtractor
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        GenLabelExtractor,
+        fn_constructor_kwargs={
+            "labels": ["person", "organization", "location"],
+            "max_width": 4,
+        },
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 8),
+    )
+
+
 def kg_mentions_numpy(sf_dir: str):
     """Mention extraction through the NUMPY SPAN-MODEL backend — the
     real GLiNER forward math (subword+words_mask → encoder-lite →
