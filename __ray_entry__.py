@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_customers_without_big_orders": rel.q_customers_without_big_orders,
         # text analysis
         "doc_token_count": co.doc_token_count,
+        "doc_tokens_routed": co.doc_tokens_routed,
         "doc_text_stats": co.doc_text_stats,
         "doc_sha256": co.doc_sha256,
         "doc_lang_id": co.doc_lang_id,
@@ -90,6 +91,7 @@ def oracle_sql() -> dict[str, str]:
         "q_priority_with_late_items": rel.PRIORITY_LATE_SQL,
         "q_customers_without_big_orders": rel.CUSTOMERS_NO_BIG_ORDERS_SQL,
         "doc_token_count": co.TOKEN_COUNT_SQL,
+        "doc_tokens_routed": co.TOKENS_ROUTED_SQL,
         "doc_text_stats": co.TEXT_STATS_SQL,
         "doc_sha256": co.SHA256_SQL,
         "doc_lang_id": co.LANG_ID_SQL,

@@ -109,9 +109,15 @@ class IVFIndex:
     dir and only those blocks are read.
     """
 
-    def __init__(self, centroids: np.ndarray, assignments: "ray.data.Dataset"):
+    def __init__(
+        self,
+        centroids: np.ndarray,
+        assignments: "ray.data.Dataset | None",
+        index_dir: str | None = None,
+    ):
         self.centroids = centroids
-        self.assignments = assignments  # (id, cluster, embedding)
+        self.assignments = assignments  # (id, cluster, embedding), in-memory mode
+        self.index_dir = index_dir  # cluster=K-partitioned parquet, pruned mode
 
     @classmethod
     def build(
@@ -122,7 +128,15 @@ class IVFIndex:
         id_col: str = "vec_id",
         emb_col: str = "embedding",
         seed: int = 0,
+        index_dir: str | None = None,
     ) -> "IVFIndex":
+        """``index_dir`` set → persist assignments as
+        ``cluster=K``-partitioned parquet (one dir per inverted list);
+        ``search`` then READS only the ``nprobe`` probed dirs instead of
+        filtering every block — the actual IVF I/O win at scale."""
+        import os
+        import shutil
+
         sample_rows = ds.limit(sample_limit).select_columns([emb_col]).take_all()
         sample = np.asarray([r[emb_col] for r in sample_rows], dtype=np.float64)
         centroids = kmeans_lite(sample, n_clusters, seed=seed)
@@ -138,8 +152,45 @@ class IVFIndex:
                 }
             )
 
-        assigned = ds.map_batches(assign, batch_format="pyarrow").materialize()
-        return cls(centroids, assigned)
+        assigned = ds.map_batches(assign, batch_format="pyarrow")
+        if index_dir is not None:
+            shutil.rmtree(index_dir, ignore_errors=True)
+            os.makedirs(index_dir, exist_ok=True)
+            # coalesce blocks first: a partitioned write emits one file
+            # per (block × partition value) — without this, file count
+            # explodes and read-back metadata cost dominates
+            assigned.repartition(min(8, n_clusters)).write_parquet(
+                index_dir, partition_cols=["cluster"]
+            )
+            np.save(os.path.join(index_dir, "_centroids.npy"), centroids)
+            return cls(centroids, None, index_dir=index_dir)
+        return cls(centroids, assigned.materialize())
+
+    @classmethod
+    def load(cls, index_dir: str) -> "IVFIndex":
+        import os
+
+        centroids = np.load(os.path.join(index_dir, "_centroids.npy"))
+        return cls(centroids, None, index_dir=index_dir)
+
+    def _probe_clusters(self, q: np.ndarray, nprobe: int) -> np.ndarray:
+        return np.argsort(-(self.centroids @ q))[:nprobe].astype(np.int32)
+
+    def _probe_dirs(self, probe: np.ndarray) -> list[str]:
+        """Only the probed inverted lists' directories — what search
+        opens; everything else is never read."""
+        import os
+
+        import glob
+
+        out = []
+        for c in probe.tolist():
+            d = os.path.join(self.index_dir, f"cluster={c}")
+            if os.path.isdir(d):
+                # explicit file list: read_parquet with a path LIST does
+                # not expand directories
+                out.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+        return out
 
     def search(
         self,
@@ -153,10 +204,21 @@ class IVFIndex:
 
         q = np.asarray(query, dtype=np.float64)
         q = q / np.maximum(np.linalg.norm(q), 1e-12)
-        probe = np.argsort(-(self.centroids @ q))[:nprobe].astype(np.int32)
-        probe_arr = pa.array(probe.tolist(), pa.int32())
-        subset = self.assignments.map_batches(
-            lambda t: t.filter(pc.is_in(t["cluster"], value_set=probe_arr)),
-            batch_format="pyarrow",
-        )
+        probe = self._probe_clusters(q, nprobe)
+        if self.index_dir is not None:
+            import ray.data as rd
+
+            dirs = self._probe_dirs(probe)
+            if not dirs:
+                return pa.table(
+                    {id_col: pa.array([], pa.int64()),
+                     "cosine": pa.array([], pa.float64())}
+                )
+            subset = rd.read_parquet(dirs, columns=[id_col, emb_col])
+        else:
+            probe_arr = pa.array(probe.tolist(), pa.int32())
+            subset = self.assignments.map_batches(
+                lambda t: t.filter(pc.is_in(t["cluster"], value_set=probe_arr)),
+                batch_format="pyarrow",
+            )
         return brute_force_topk(subset, q, k, id_col, emb_col)

@@ -17,6 +17,44 @@ import numpy as np
 
 WORD_RE = re.compile(r"\w+(?:[-_]\w+)*|\S")
 
+# CJK ranges: hiragana+katakana, CJK ext A, CJK unified, hangul
+_CJK = "぀-ヿ㐀-䶿一-鿿가-힯"
+# character-level segmentation for CJK scripts (the jieba/mecab-less
+# standard fallback): one token per ideograph/kana/hangul syllable,
+# while non-CJK word runs keep whitespace-splitter semantics. The
+# word-run branch excludes CJK chars so a Latin run never swallows an
+# adjoining ideograph.
+CJK_WORD_RE = re.compile(
+    rf"[{_CJK}]|(?:(?![{_CJK}])\w)+(?:[-_](?:(?![{_CJK}])\w)+)*|(?![{_CJK}])\S"
+)
+
+
+def tokenize_with_offsets_cjk(text: str) -> tuple[list[str], list[int], list[int]]:
+    """CJK-aware splitter (``tokenizer.py:24-266`` analog — the
+    jieba/mecab splitters' role, implemented as deterministic
+    char-class segmentation): (tokens, char_starts, char_ends)."""
+    tokens: list[str] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    for m in CJK_WORD_RE.finditer(text):
+        tokens.append(m.group())
+        starts.append(m.start())
+        ends.append(m.end())
+    return tokens, starts, ends
+
+
+#: lang code → splitter type, the per-language dispatch the reference
+#: does via its splitter registry (``tokenizer.py:269-296``)
+LANG_SPLITTERS = {
+    "zh": "cjk",
+    "ja": "cjk",
+    "ko": "cjk",
+}
+
+
+def route_for_lang(lang: str | None) -> str:
+    return LANG_SPLITTERS.get((lang or "").lower()[:2], "whitespace")
+
 
 def tokenize_with_offsets(text: str) -> tuple[list[str], list[int], list[int]]:
     """Return (tokens, char_starts, char_ends) for one text."""
@@ -73,6 +111,8 @@ class WordsSplitter:
     def __init__(self, splitter_type: str = "whitespace"):
         if splitter_type == "whitespace":
             self._call = tokenize_with_offsets
+        elif splitter_type == "cjk":
+            self._call = tokenize_with_offsets_cjk
         elif splitter_type in self.GATED:
             dep = self.GATED[splitter_type]
             try:
@@ -92,6 +132,52 @@ class WordsSplitter:
         tokens, starts, ends = self._call(text)
         # reference yields (token, start, end) triples
         yield from zip(tokens, starts, ends)
+
+
+class LangRoutedTokenizer:
+    """Actor-pool stage: (text, lang) batches → per-row tokens+offsets
+    through the lang-routed splitter (``route_for_lang``). Splitters
+    are built ONCE per actor in ``__init__`` — the promised
+    per-``lang`` actor-pool routing (a real mecab/jieba model would be
+    loaded here); ``__call__`` dispatches per row with zero setup cost.
+
+    Usage::
+
+        ds.map_batches(LangRoutedTokenizer, batch_format="pyarrow",
+                       concurrency=(1, N))
+    """
+
+    def __init__(self, text_col: str = "text", lang_col: str = "lang"):
+        self.text_col = text_col
+        self.lang_col = lang_col
+        self.splitters = {
+            name: WordsSplitter(name) for name in ("whitespace", "cjk")
+        }
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        texts = batch[self.text_col].to_pylist()
+        langs = (
+            batch[self.lang_col].to_pylist()
+            if self.lang_col in batch.column_names
+            else [None] * len(texts)
+        )
+        toks, starts, ends, used = [], [], [], []
+        for text, lang in zip(texts, langs):
+            name = route_for_lang(lang)
+            triples = list(self.splitters[name](text))
+            toks.append([t for t, _, _ in triples])
+            starts.append([s for _, s, _ in triples])
+            ends.append([e for _, _, e in triples])
+            used.append(name)
+        return batch.append_column(
+            "tokens", pa.array(toks, pa.list_(pa.string()))
+        ).append_column(
+            "tok_start", pa.array(starts, pa.list_(pa.int32()))
+        ).append_column(
+            "tok_end", pa.array(ends, pa.list_(pa.int32()))
+        ).append_column("splitter", pa.array(used, pa.string()))
 
 
 def sanitize_tokens(tokens: list[str]) -> list[str]:

@@ -47,6 +47,45 @@ FROM documents
 """
 
 
+def doc_tokens_routed(sf_dir: str):
+    """Per-lang splitter routing over the documents table: each row is
+    tokenized by its ``lang``'s splitter (CJK langs → char-class
+    segmentation, else whitespace) inside a per-actor splitter
+    registry. Output (doc_id, splitter, n_tokens); the testdata langs
+    are all whitespace-routed, which the oracle asserts explicitly —
+    the CJK branch is covered by the mixed-corpus pytest e2e."""
+    import pyarrow.compute as pc_
+
+    from ..kernels.tokenize import LangRoutedTokenizer
+
+    def shrink(t):
+        import pyarrow as pa_
+
+        n = pc_.list_value_length(t["tokens"]).cast(pa_.int64())
+        return pa_.table(
+            {"doc_id": t["doc_id"], "splitter": t["splitter"], "n_tokens": n}
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(LangRoutedTokenizer, batch_format="pyarrow", concurrency=(1, 8))
+        .map_batches(shrink, batch_format="pyarrow")
+    )
+
+
+TOKENS_ROUTED_SQL = r"""
+SELECT doc_id,
+       CASE WHEN lower(substr(lang, 1, 2)) IN ('zh', 'ja', 'ko')
+            THEN 'cjk' ELSE 'whitespace' END AS splitter,
+       CAST(coalesce(array_length(regexp_extract_all(text, '\w+(?:[-_]\w+)*|\S')), 0) AS BIGINT)
+           AS n_tokens
+FROM documents
+"""
+# NOTE: the SQL token count is the WHITESPACE regex — valid because the
+# testdata langs all route to the whitespace splitter (the CASE column
+# double-checks that); a CJK doc would fail the hash compare loudly.
+
+
 def doc_text_stats(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         ftext.text_stats_batch, batch_format="pyarrow"
@@ -183,11 +222,19 @@ LIMIT 10
 
 
 def emb_ivf_topk(sf_dir: str):
-    """IVF-bucketed ANN (rows-only; pytest checks recall vs brute force)."""
+    """IVF-bucketed ANN through the PERSISTED index: assignments are
+    cluster=K-partitioned parquet and search reads only the nprobe
+    probed dirs (rows-only; pytest checks recall vs brute force and
+    partition pruning)."""
     q = _query_vector(sf_dir)
     import ray.data  # noqa: F401
 
-    index = fsim.IVFIndex.build(_embs(sf_dir), n_clusters=8)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    index_dir = f"/tmp/gliner_ray_scratch/{tag}/ivf_index"
+    if os.path.exists(os.path.join(index_dir, "_centroids.npy")):
+        index = fsim.IVFIndex.load(index_dir)
+    else:
+        index = fsim.IVFIndex.build(_embs(sf_dir), n_clusters=8, index_dir=index_dir)
     return index.search(q, k=10, nprobe=4)
 
 

@@ -175,6 +175,39 @@ class TestEmbeddingOps:
         partial = {r["vec_id"] for r in index.search(q, k=10, nprobe=3).to_pylist()}
         assert len(partial & exact) >= 5  # decent recall with 3/8 probes
 
+    def test_ivf_persisted_index_prunes_partitions(self, tmp_path):
+        """Persisted mode: assignments land in cluster=K dirs, search
+        opens ONLY the nprobe probed dirs, and results match the
+        in-memory (filter-everything) path exactly."""
+        import os
+
+        ds, mat = self._emb_ds(n=128)
+        q = mat[5].astype(np.float64)
+        idx_dir = str(tmp_path / "ivf")
+        persisted = fsim.IVFIndex.build(ds, n_clusters=8, index_dir=idx_dir)
+        in_memory = fsim.IVFIndex.build(ds, n_clusters=8)
+
+        cluster_dirs = [d for d in os.listdir(idx_dir) if d.startswith("cluster=")]
+        assert len(cluster_dirs) > 3  # more inverted lists than probes
+        qn = q / np.linalg.norm(q)
+        probe = persisted._probe_clusters(qn, nprobe=3)
+        opened = persisted._probe_dirs(probe)
+        opened_dirs = {os.path.basename(os.path.dirname(f)) for f in opened}
+        assert len(opened_dirs) <= 3  # the read set IS the probe set
+        assert opened_dirs <= set(cluster_dirs)
+
+        got = persisted.search(q, k=10, nprobe=3).to_pylist()
+        want = in_memory.search(q, k=10, nprobe=3).to_pylist()
+        assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+        np.testing.assert_allclose(
+            [r["cosine"] for r in got], [r["cosine"] for r in want], rtol=1e-12
+        )
+
+        # load() round-trip reuses the on-disk index
+        reloaded = fsim.IVFIndex.load(idx_dir)
+        got2 = reloaded.search(q, k=10, nprobe=3).to_pylist()
+        assert [r["vec_id"] for r in got2] == [r["vec_id"] for r in want]
+
 
 class TestMultimodal:
     def test_decode_requires_fake_flag(self):

@@ -40,6 +40,84 @@ class TestTokenizer:
         assert tokenize_with_offsets("") == ([], [], [])
 
 
+class TestCjkSplitter:
+    # the jieba/mecab splitters' role (tokenizer.py:24-266) as
+    # deterministic char-class segmentation, routed per lang
+
+    def test_cjk_chars_segment_individually(self):
+        from gliner_ray.kernels.tokenize import tokenize_with_offsets_cjk
+
+        text = "深度学习 deep learning"
+        toks, starts, ends = tokenize_with_offsets_cjk(text)
+        assert toks == ["深", "度", "学", "习", "deep", "learning"]
+        for t, s, e in zip(toks, starts, ends):
+            assert text[s:e] == t
+
+    def test_latin_run_never_swallows_adjacent_cjk(self):
+        from gliner_ray.kernels.tokenize import tokenize_with_offsets_cjk
+
+        toks, _, _ = tokenize_with_offsets_cjk("abc中def")
+        assert toks == ["abc", "中", "def"]
+
+    def test_kana_and_hangul(self):
+        from gliner_ray.kernels.tokenize import tokenize_with_offsets_cjk
+
+        toks, _, _ = tokenize_with_offsets_cjk("カタカナ 한글")
+        assert toks == ["カ", "タ", "カ", "ナ", "한", "글"]
+
+    def test_route_for_lang(self):
+        from gliner_ray.kernels.tokenize import route_for_lang
+
+        assert route_for_lang("zh") == "cjk"
+        assert route_for_lang("ja") == "cjk"
+        assert route_for_lang("ko") == "cjk"
+        assert route_for_lang("zh-CN") == "cjk"
+        assert route_for_lang("en") == "whitespace"
+        assert route_for_lang(None) == "whitespace"
+
+    def test_words_splitter_registry_cjk(self):
+        from gliner_ray.kernels.tokenize import WordsSplitter
+
+        triples = list(WordsSplitter("cjk")("深度 net"))
+        assert [t for t, _, _ in triples] == ["深", "度", "net"]
+
+    def test_lang_routed_stage_mixed_corpus(self, ray_session):
+        """Mixed-lang e2e through the actor-pool routing stage: each
+        row tokenized by its lang's splitter, offsets slice back."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gliner_ray.kernels.tokenize import LangRoutedTokenizer
+
+        rows = [
+            {"doc_id": 0, "text": "the quick brown fox", "lang": "en"},
+            {"doc_id": 1, "text": "深度学习模型", "lang": "zh"},
+            {"doc_id": 2, "text": "素早い狐", "lang": "ja"},
+            {"doc_id": 3, "text": "schnelle braune Füchse", "lang": "de"},
+        ]
+        out = (
+            rd.from_items(rows)
+            .map_batches(
+                LangRoutedTokenizer, batch_format="pyarrow", concurrency=(1, 2)
+            )
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert out.loc[0, "splitter"] == "whitespace"
+        assert out.loc[1, "splitter"] == "cjk"
+        assert list(out.loc[1, "tokens"]) == ["深", "度", "学", "習" , "模", "型"] or list(
+            out.loc[1, "tokens"]
+        ) == ["深", "度", "学", "习", "模", "型"]
+        assert out.loc[2, "splitter"] == "cjk"
+        assert out.loc[3, "splitter"] == "whitespace"
+        assert list(out.loc[3, "tokens"]) == ["schnelle", "braune", "Füchse"]
+        for _, row in out.iterrows():
+            text = row["text"]
+            for t, s, e in zip(row["tokens"], row["tok_start"], row["tok_end"]):
+                assert text[s:e] == t
+
+
 class TestOverlapPredicates:
     # mirrors decoding/utils.py:1-21 incl. equal-boundary + multi_label
 
