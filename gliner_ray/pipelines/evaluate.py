@@ -99,3 +99,64 @@ def evaluate_mentions(
         "f_score": float(2 * precision * recall / denom) if denom else 0.0,
         "per_type": per_type,
     }
+
+
+# --------------------------- multi-dataset benchmark aggregation
+
+
+ZERO_SHOT_BENCHMARKS = [
+    "mit-movie", "mit-restaurant", "CrossNER_AI", "CrossNER_literature",
+    "CrossNER_music", "CrossNER_politics", "CrossNER_science",
+]
+
+
+def _format_table(results: dict[str, float], avg: float) -> str:
+    """``{name:20}: {f1:.1%}`` rows + Average — the reference's
+    ``tables.txt`` layout (``evaluation/evaluate.py:140-151``)."""
+    table = ""
+    for k, v in results.items():
+        table += f"{k:20}: {v:.1%}\n"
+    table += f"{'Average':20}: {avg:.1%}"
+    return table
+
+
+def benchmark_datasets(
+    datasets: "dict[str, tuple]",
+    zero_shot_benc: list[str] | None = None,
+) -> dict:
+    """The zero-shot-vs-rest benchmark protocol
+    (``gliner/evaluation/evaluate.py:108-162``): evaluate each dataset
+    (here a (pred_ds, gold_ds) Dataset pair instead of a data path),
+    split the names into the zero-shot benchmark set and the rest,
+    average each side, and render the two result tables.
+
+    Distributed per dataset via :func:`evaluate_mentions`; only the
+    per-dataset scalar F1s reach the aggregation (driver-trivial at
+    any corpus size)."""
+    if zero_shot_benc is None:
+        zero_shot_benc = ZERO_SHOT_BENCHMARKS
+    zero_shot_results: dict[str, float] = {}
+    all_results: dict[str, float] = {}
+    per_dataset: dict[str, dict] = {}
+    for name, (pred_ds, gold_ds) in datasets.items():
+        metrics = evaluate_mentions(pred_ds, gold_ds)
+        per_dataset[name] = metrics
+        if name in zero_shot_benc:
+            zero_shot_results[name] = metrics["f_score"]
+        else:
+            all_results[name] = metrics["f_score"]
+    avg_all = sum(all_results.values()) / len(all_results) if all_results else 0.0
+    avg_zs = (
+        sum(zero_shot_results.values()) / len(zero_shot_results)
+        if zero_shot_results
+        else 0.0
+    )
+    return {
+        "all_results": all_results,
+        "zero_shot_results": zero_shot_results,
+        "avg_all": float(avg_all),
+        "avg_zero_shot": float(avg_zs),
+        "table_all": _format_table(all_results, avg_all),
+        "table_zero_shot": _format_table(zero_shot_results, avg_zs),
+        "per_dataset": per_dataset,
+    }

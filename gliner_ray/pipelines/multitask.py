@@ -236,6 +236,63 @@ class RelationExtractionPipeline(BaseTaskPipeline):
         ]
 
 
+def prepare_docred_records(
+    records: list[dict],
+    text_column: str = "sents",
+    rel_column: str = "labels",
+) -> tuple[list[str], list[list[str]], list[str]]:
+    """DocRED-format relation gold preparation
+    (``multitask/relation_extraction.py:185-218``): each record has a
+    ``vertexSet`` (list of coref clusters, each a list of mention
+    dicts), sentence lists, and ``labels`` with parallel
+    ``head``/``tail``/``relation_text`` arrays. head/tail ids index
+    into ``vertexSet``; the FIRST mention's ``name`` represents the
+    cluster. Returns (texts_by_line, grouped ``"head <> rel"`` labels
+    per record, flat ``"head <> rel <> tail"`` true triples)."""
+    texts_by_line: list[str] = []
+    grouped_labels: list[list[str]] = []
+    true_labels: list[str] = []
+    for item in records:
+        vertex_set = item.get("vertexSet") or []
+        sents = item.get(text_column, [])
+        labels = item.get(rel_column) or {"head": [], "tail": [], "relation_text": []}
+        current_labels: list[str] = []
+        for head_id, tail_id, relation in zip(
+            labels["head"], labels["tail"], labels["relation_text"]
+        ):
+            head_data = vertex_set[head_id] if 0 <= head_id < len(vertex_set) else None
+            tail_data = vertex_set[tail_id] if 0 <= tail_id < len(vertex_set) else None
+            head_name = head_data[0]["name"] if head_data else None
+            tail_name = tail_data[0]["name"] if tail_data else None
+            true_labels.append(f"{head_name} <> {relation} <> {tail_name}")
+            current_labels.append(f"{head_name} <> {relation}")
+        grouped_labels.append(current_labels)
+        texts_by_line.append(
+            " ".join(string for sublist in sents for string in sublist)
+        )
+    return texts_by_line, grouped_labels, true_labels
+
+
+def docred_to_examples_batch(batch: pa.Table) -> pa.Table:
+    """Batch form for ``map_batches``: DocRED rows → (text,
+    prompt_labels, true_triples) rows, one per document — the
+    distributed shape of the reference's driver loop."""
+    records = batch.to_pylist()
+    texts, grouped, _ = prepare_docred_records(records)
+    # per-record true triples (the flat list re-grouped)
+    per_rec_true = []
+    for item in records:
+        _, _, t = prepare_docred_records([item])
+        per_rec_true.append(t)
+    return pa.table(
+        {
+            "text": pa.array(texts, pa.string()),
+            "prompt_labels": pa.array(grouped, pa.list_(pa.string())),
+            "true_triples": pa.array(per_rec_true, pa.list_(pa.string())),
+        }
+    )
+
+
 class OpenExtractionPipeline(BaseTaskPipeline):
     """Generic open extraction with a custom prompt and the ``match``
     label (``open_extraction.py:59-74``) — here: all vocab spans."""

@@ -112,6 +112,19 @@ class TestMinHash:
         out = fdedup.minhash_dedup(_docs_ds(rows))
         assert out.num_rows == 0
 
+    def test_distributed_path_matches_broadcast(self):
+        """pair_broadcast_limit=0 forces the guarded fallback: texts are
+        joined onto the pairs distributed instead of broadcast — the
+        clusters must be identical."""
+        near = BASE.replace("winter", "spring")
+        rows = [(1, BASE), (2, near), (3, "other text entirely unrelated to anything"),
+                (4, BASE)]
+        fast = fdedup.minhash_dedup(_docs_ds(rows), threshold=0.7).to_pylist()
+        dist = fdedup.minhash_dedup(
+            _docs_ds(rows), threshold=0.7, pair_broadcast_limit=0
+        ).to_pylist()
+        assert fast == dist
+
 
 class TestSimHash:
     def test_identical_distance_zero(self):
@@ -130,6 +143,14 @@ class TestSimHash:
         rows = [(1, BASE), (2, BASE), (3, "something else entirely different")]
         out = fdedup.simhash_near_dups(_docs_ds(rows), max_hamming=3).to_pylist()
         assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
+
+    def test_distributed_path_matches_broadcast(self):
+        rows = [(1, BASE), (2, BASE), (3, "something else entirely different")]
+        fast = fdedup.simhash_near_dups(_docs_ds(rows), max_hamming=3).to_pylist()
+        dist = fdedup.simhash_near_dups(
+            _docs_ds(rows), max_hamming=3, pair_broadcast_limit=0
+        ).to_pylist()
+        assert fast == dist
 
 
 class TestEmbeddingOps:
@@ -163,6 +184,16 @@ class TestEmbeddingOps:
         ds, _ = self._emb_ds()
         out = fdedup.embedding_near_dups(ds, threshold=0.999).to_pylist()
         assert (3, 7) in {(r["id_a"], r["id_b"]) for r in out}
+
+    def test_cosine_distributed_path_matches_broadcast(self):
+        ds, _ = self._emb_ds()
+        fast = fdedup.embedding_near_dups(ds, threshold=0.999).to_pylist()
+        dist = fdedup.embedding_near_dups(
+            ds, threshold=0.999, pair_broadcast_limit=0
+        ).to_pylist()
+        assert [(r["id_a"], r["id_b"]) for r in fast] == [
+            (r["id_a"], r["id_b"]) for r in dist
+        ]
 
     def test_ivf_recall(self):
         ds, mat = self._emb_ds(n=128)

@@ -262,3 +262,115 @@ class TestOpenContentAndBackends:
             TorchGlinerScorer(DEFAULT_CONFIG)
         with _pytest.raises(NotImplementedError):
             OnnxGlinerScorer(DEFAULT_CONFIG)
+
+
+class TestDocred:
+    """DocRED vertexSet relation gold preparation
+    (relation_extraction.py:185-218 semantics)."""
+
+    RECORDS = [
+        {
+            "vertexSet": [
+                [{"name": "Marie Curie"}, {"name": "Curie"}],
+                [{"name": "Warsaw"}],
+                [{"name": "Poland"}],
+            ],
+            "sents": [["Marie", "Curie", "was", "born"], ["in", "Warsaw", "."]],
+            "labels": {
+                "head": [0, 1],
+                "tail": [1, 2],
+                "relation_text": ["born in", "located in"],
+            },
+        },
+        {
+            "vertexSet": [[{"name": "Ada"}]],
+            "sents": [["Ada", "wrote", "programs"]],
+            "labels": {"head": [], "tail": [], "relation_text": []},
+        },
+    ]
+
+    def test_vertex_lookup_uses_first_mention_name(self):
+        from gliner_ray.pipelines.multitask import prepare_docred_records
+
+        texts, grouped, true_triples = prepare_docred_records(self.RECORDS)
+        assert texts == [
+            "Marie Curie was born in Warsaw .",
+            "Ada wrote programs",
+        ]
+        # head/tail ids index vertexSet; FIRST mention represents the cluster
+        assert true_triples == [
+            "Marie Curie <> born in <> Warsaw",
+            "Warsaw <> located in <> Poland",
+        ]
+        assert grouped == [
+            ["Marie Curie <> born in", "Warsaw <> located in"],
+            [],
+        ]
+
+    def test_out_of_range_id_yields_none_name(self):
+        from gliner_ray.pipelines.multitask import prepare_docred_records
+
+        rec = [{
+            "vertexSet": [[{"name": "X"}]],
+            "sents": [["X"]],
+            "labels": {"head": [0], "tail": [5], "relation_text": ["rel"]},
+        }]
+        _, _, trues = prepare_docred_records(rec)
+        assert trues == ["X <> rel <> None"]
+
+    def test_batch_form(self, ray_session):
+        import ray.data as rd
+
+        from gliner_ray.pipelines.multitask import docred_to_examples_batch
+
+        out = (
+            rd.from_items(self.RECORDS)
+            .map_batches(docred_to_examples_batch, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("text")
+            .reset_index(drop=True)
+        )
+        assert len(out) == 2
+        row = out[out["text"].str.startswith("Marie")].iloc[0]
+        assert list(row["true_triples"]) == [
+            "Marie Curie <> born in <> Warsaw",
+            "Warsaw <> located in <> Poland",
+        ]
+
+
+class TestBenchmarkAggregation:
+    """Zero-shot-vs-rest table protocol (evaluation/evaluate.py:108-162)."""
+
+    def _pair(self, f1_perfect: bool):
+        import ray.data as rd
+
+        gold = pa.table(
+            {
+                "doc_sha256": pa.array(["d1", "d1"], pa.string()),
+                "label": pa.array(["function", "class"], pa.string()),
+                "tok_start": pa.array([0, 5], pa.int32()),
+                "tok_end": pa.array([1, 6], pa.int32()),
+            }
+        )
+        pred = gold if f1_perfect else gold.slice(0, 1)
+        return rd.from_arrow(pred), rd.from_arrow(gold)
+
+    def test_split_and_averages_and_tables(self, ray_session):
+        from gliner_ray.pipelines.evaluate import benchmark_datasets
+
+        out = benchmark_datasets(
+            {
+                "my-dataset": self._pair(True),
+                "CrossNER_AI": self._pair(False),
+            }
+        )
+        assert out["all_results"] == {"my-dataset": 1.0}
+        assert set(out["zero_shot_results"]) == {"CrossNER_AI"}
+        zs_f1 = out["zero_shot_results"]["CrossNER_AI"]
+        assert 0 < zs_f1 < 1
+        assert out["avg_all"] == 1.0
+        assert abs(out["avg_zero_shot"] - zs_f1) < 1e-12
+        # reference table layout: 20-wide name column, percent, Average row
+        assert "my-dataset          : 100.0%" in out["table_all"]
+        assert out["table_all"].endswith(f"{'Average':20}: 100.0%")
+        assert "CrossNER_AI" in out["table_zero_shot"]
