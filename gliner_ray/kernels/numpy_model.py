@@ -60,6 +60,47 @@ class _Projection:
         return h @ self.w2 + self.b2
 
 
+class _BiLstm:
+    """``LstmSeq2SeqEncoder`` (``modeling/layers.py:6-27``) in numpy:
+    bidirectional single-layer LSTM, hidden D//2 per direction,
+    outputs concatenated back to D. The standard LSTM cell recurrence,
+    deterministic seeded weights, masked to each row's length."""
+
+    def __init__(self, rng: np.random.RandomState, d: int):
+        h = d // 2
+        self.h = h
+        # one fused weight per direction: [x ; h_prev] → 4 gates
+        self.w_f, self.b_f = _linear_init(rng, d + h, 4 * h)
+        self.w_b, self.b_b = _linear_init(rng, d + h, 4 * h)
+
+    @staticmethod
+    def _sigmoid(x):
+        return 1.0 / (1.0 + np.exp(-np.clip(x, -30, 30)))
+
+    def _run(self, x: np.ndarray, lengths: np.ndarray, w, b, reverse: bool):
+        B, T, _ = x.shape
+        h = np.zeros((B, self.h))
+        c = np.zeros((B, self.h))
+        out = np.zeros((B, T, self.h))
+        steps = range(T - 1, -1, -1) if reverse else range(T)
+        for t in steps:
+            gates = np.concatenate([x[:, t], h], axis=1) @ w + b
+            i, f, g, o = np.split(gates, 4, axis=1)
+            i, f, o = self._sigmoid(i), self._sigmoid(f), self._sigmoid(o)
+            g = np.tanh(g)
+            # only update rows whose sequence covers step t
+            alive = (t < lengths)[:, None]
+            c = np.where(alive, f * c + i * g, c)
+            h = np.where(alive, o * np.tanh(c), h)
+            out[:, t] = np.where(alive, h, 0.0)
+        return out
+
+    def __call__(self, x: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+        fwd = self._run(x, lengths, self.w_f, self.b_f, reverse=False)
+        bwd = self._run(x, lengths, self.w_b, self.b_b, reverse=True)
+        return np.concatenate([fwd, bwd], axis=-1)
+
+
 class NumpySpanModel:
     """SpanModel forward (``modeling/base.py:498-551``) in numpy."""
 
@@ -70,12 +111,16 @@ class NumpySpanModel:
         max_width: int = 12,
         vocab_size: int = 50_000,
         seed: int = 1234,
+        has_rnn: bool = False,
     ):
         rng = np.random.RandomState(seed)
         D = hidden_size
         self.labels = list(labels)
         self.hidden_size = D
         self.max_width = max_width
+        self.vocab_size = vocab_size
+        self.seed = seed
+        self.has_rnn = has_rnn
         self.tokenizer = ToySubwordTokenizer(vocab_size=vocab_size)
         # encoder-lite weights
         self.embed = (rng.standard_normal((vocab_size, D)) / np.sqrt(D)).astype(
@@ -87,8 +132,68 @@ class NumpySpanModel:
         self.project_end = _Projection(rng, D)
         self.out_project = _Projection(rng, D * 2, D)
         self.prompt_rep_layer = _Projection(rng, D)
+        # optional word-level BiLSTM (config.has_rnn, base.py:106-107)
+        self.rnn = _BiLstm(rng, D) if has_rnn else None
         # sinusoid positions, precomputed lazily per max length seen
         self._pos_cache: np.ndarray | None = None
+
+    # ----------------------------------------- checkpoint sink / source
+    def _weight_arrays(self) -> dict[str, np.ndarray]:
+        out = {"embed": self.embed, "mix_w": self.mix_w, "mix_b": self.mix_b}
+        for name in ("project_start", "project_end", "out_project", "prompt_rep_layer"):
+            p = getattr(self, name)
+            for wn in ("w1", "b1", "w2", "b2"):
+                out[f"{name}.{wn}"] = getattr(p, wn)
+        if self.rnn is not None:
+            for wn in ("w_f", "b_f", "w_b", "b_b"):
+                out[f"rnn.{wn}"] = getattr(self.rnn, wn)
+        return out
+
+    def save(self, model_dir: str) -> str:
+        """Checkpoint sink (``GLiNER.save_pretrained`` analog,
+        ``gliner/model.py:921-963``): weights as one ``.npz`` +
+        ``config.json`` with the architecture params."""
+        import json
+        import os
+
+        os.makedirs(model_dir, exist_ok=True)
+        np.savez(os.path.join(model_dir, "model.npz"), **self._weight_arrays())
+        with open(os.path.join(model_dir, "config.json"), "w") as f:
+            json.dump(
+                {
+                    "labels": self.labels,
+                    "hidden_size": self.hidden_size,
+                    "max_width": self.max_width,
+                    "vocab_size": self.vocab_size,
+                    "seed": self.seed,
+                    "has_rnn": self.has_rnn,
+                },
+                f,
+            )
+        return model_dir
+
+    @classmethod
+    def load(cls, model_dir: str) -> "NumpySpanModel":
+        """Checkpoint source (``GLiNER.from_pretrained`` analog,
+        ``gliner/model.py:768-919``): rebuild from ``config.json`` and
+        overwrite every weight from the ``.npz``."""
+        import json
+        import os
+
+        with open(os.path.join(model_dir, "config.json")) as f:
+            cfg = json.load(f)
+        model = cls(**cfg)
+        arrays = np.load(os.path.join(model_dir, "model.npz"))
+        model.embed = arrays["embed"]
+        model.mix_w, model.mix_b = arrays["mix_w"], arrays["mix_b"]
+        for name in ("project_start", "project_end", "out_project", "prompt_rep_layer"):
+            p = getattr(model, name)
+            for wn in ("w1", "b1", "w2", "b2"):
+                setattr(p, wn, arrays[f"{name}.{wn}"])
+        if model.rnn is not None:
+            for wn in ("w_f", "b_f", "w_b", "b_b"):
+                setattr(model.rnn, wn, arrays[f"rnn.{wn}"])
+        return model
 
     # ------------------------------------------------------ encoder-lite
     def _positions(self, T: int) -> np.ndarray:
@@ -205,6 +310,8 @@ class NumpySpanModel:
             C = len(self.labels)
             self.last_span_rep = np.zeros((B, 0, K, D))
             return np.zeros((B, 0, K, C)), text_lengths
+        if self.rnn is not None:  # config.has_rnn (base.py:106-107)
+            words_embedding = self.rnn(words_embedding, text_lengths)
 
         span_idx, span_mask = self.span_grid(text_lengths, W)
 

@@ -118,33 +118,58 @@ GROUP BY l_returnflag, l_linestatus
 # ------------------------------------------------------------------ q3
 
 
-def q3_top_orders(sf_dir: str):
-    """TPC-H Q3 shape: broadcast semi-join (customer segment filter) +
+#: dimension rows above this collect-guard use a shuffle join instead
+#: of a driver broadcast (customer is 150k×sf — fine at bench scale,
+#: a driver hazard at 100×; round-1 verdict watch item)
+DIM_BROADCAST_LIMIT = 5_000_000
+
+
+def q3_top_orders(sf_dir: str, dim_broadcast_limit: int = DIM_BROADCAST_LIMIT):
+    """TPC-H Q3 shape: guarded semi-join (customer segment filter) +
     hash join lineitem⋈orders + groupby + top-k.
 
-    customer is the small side → its key set is collected once and the
-    orders scan filters against it in-batch (broadcast semi-join); the
-    two fact tables use the hash-partitioned ``Dataset.join``.
+    customer is the small side → its qualifying key set is collected
+    once and the orders scan filters against it in-batch (broadcast
+    semi-join) — but only under a count guard; above the guard the
+    filter becomes a hash ``Dataset.join`` so nothing dimension-sized
+    reaches the driver. The two fact tables always use the
+    hash-partitioned ``Dataset.join``.
     """
     from ray.data.aggregate import Sum
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    building = cust.map_batches(
+    building_ds = cust.map_batches(
         lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
         batch_format="pyarrow",
-    ).to_pandas()
-    keys = pa.array(building["c_custkey"].tolist(), pa.int64())
+    ).materialize()
 
     cutoff = datetime(1998, 1, 1)
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
-        lambda t: t.filter(
-            pc.and_(
-                pc.is_in(t["o_custkey"], value_set=keys),
-                pc.less(t["o_orderdate"], pa.scalar(cutoff)),
-            )
-        ).select(["o_orderkey"]),
+    orders_base = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff))).select(
+            ["o_orderkey", "o_custkey"]
+        ),
         batch_format="pyarrow",
     )
+    if building_ds.count() <= dim_broadcast_limit:
+        keys = pa.array(building_ds.to_pandas()["c_custkey"].tolist(), pa.int64())
+        orders = orders_base.map_batches(
+            lambda t: t.filter(pc.is_in(t["o_custkey"], value_set=keys)).select(
+                ["o_orderkey"]
+            ),
+            batch_format="pyarrow",
+        )
+    else:  # scale path: hash semi-join against the qualifying customers
+        orders = orders_base.join(
+            building_ds, join_type="inner", num_partitions=8,
+            on=("o_custkey",), right_on=("c_custkey",),
+        ).map_batches(
+            lambda t: t.select(["o_orderkey"])
+            if t.num_rows and "o_orderkey" in t.column_names
+            else pa.schema([("o_orderkey", pa.int64())]).empty_table(),
+            batch_format="pyarrow",
+        )
     line = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
     ).map_batches(
@@ -188,13 +213,15 @@ LIMIT 10
 # ------------------------------------------------------------------ q5
 
 
-def q5_region_revenue(sf_dir: str):
-    """TPC-H Q5 shape: 4 broadcast dimension lookups + 1 big hash join.
+def q5_region_revenue(sf_dir: str, dim_broadcast_limit: int = DIM_BROADCAST_LIMIT):
+    """TPC-H Q5 shape: guarded dimension lookups + 1 big hash join.
 
-    region→nation→{customer, supplier} are all tiny: folded into
-    driver-built dicts used inside map_batches. lineitem⋈orders is the
-    only real shuffle. Same-nation (customer nation == supplier
-    nation) enforced in the final vectorized filter.
+    region→nation are always tiny (25/5 rows) and stay driver-built
+    dicts. customer/supplier are broadcast dicts ONLY under the count
+    guard; above it they become two extra hash ``Dataset.join`` hops
+    (lineitem⋈orders⋈supplier⋈customer), so nothing dimension-sized
+    reaches the driver. Same-nation (customer nation == supplier
+    nation) enforced in the final vectorized filter either way.
     """
     from ray.data.aggregate import Sum
 
@@ -203,65 +230,114 @@ def q5_region_revenue(sf_dir: str):
     asia_key = int(region[region.r_name == "ASIA"].r_regionkey.iloc[0])
     asia_nations = nation[nation.n_regionkey == asia_key]
     nation_name = dict(zip(asia_nations.n_nationkey, asia_nations.n_name))
-
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    cust = cust[cust.c_nationkey.isin(nation_name)]
-    cust_nation = dict(zip(cust.c_custkey, cust.c_nationkey))
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    supp = supp[supp.s_nationkey.isin(nation_name)]
-    supp_nation = dict(zip(supp.s_suppkey, supp.s_nationkey))
+    nation_keys = pa.array(list(nation_name), pa.int64())
 
     lo = datetime(1996, 1, 1)
     hi = datetime(1998, 1, 1)
-    cust_keys = pa.array(list(cust_nation), pa.int64())
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
-        lambda t: t.filter(
-            pc.and_(
-                pc.is_in(t["o_custkey"], value_set=cust_keys),
-                pc.and_(
-                    pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
-                    pc.less(t["o_orderdate"], pa.scalar(hi)),
-                ),
-            )
-        ).select(["o_orderkey", "o_custkey"]),
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: t.filter(pc.is_in(t["c_nationkey"], value_set=nation_keys)),
+        batch_format="pyarrow",
+    )
+    supp_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: t.filter(pc.is_in(t["s_nationkey"], value_set=nation_keys)),
         batch_format="pyarrow",
     )
     line = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
     )
-    joined = line.join(
-        orders, join_type="inner", num_partitions=8,
-        on=("l_orderkey",), right_on=("o_orderkey",),
-    )
-
-    supp_nation_s = pd.Series(supp_nation)
-    cust_nation_s = pd.Series(cust_nation)
     nation_name_s = pd.Series(nation_name)
 
-    def per_nation(batch: pa.Table) -> pa.Table:
-        supp_n = (
-            pd.Series(batch["l_suppkey"].to_numpy(zero_copy_only=False))
-            .map(supp_nation_s).fillna(-1).to_numpy()
-        )
-        cust_n = (
-            pd.Series(batch["o_custkey"].to_numpy(zero_copy_only=False))
-            .map(cust_nation_s).fillna(-2).to_numpy()
-        )
-        mask = supp_n == cust_n
-        rev = np.floor(
-            batch["l_extendedprice"].to_numpy()
-            * (1.0 - batch["l_discount"].to_numpy())
-            * 10000
-        ).astype(np.int64)[mask]
-        names = pd.Series(supp_n[mask]).map(nation_name_s).to_numpy()
-        df = pd.DataFrame({"n_name": names, "revenue_e4": rev})
-        agg = df.groupby("n_name", as_index=False).sum()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+    def date_filter(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                pc.less(t["o_orderdate"], pa.scalar(hi)),
+            )
+        ).select(["o_orderkey", "o_custkey"])
 
-    return (
-        joined.map_batches(per_nation, batch_format="pyarrow")
-        .groupby("n_name")
-        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+    orders_base = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(date_filter, batch_format="pyarrow")
+
+    small_dims = cust_ds.count() + supp_ds.count() <= dim_broadcast_limit
+    if small_dims:
+        cust = cust_ds.to_pandas()
+        cust_nation = dict(zip(cust.c_custkey, cust.c_nationkey))
+        supp = supp_ds.to_pandas()
+        supp_nation = dict(zip(supp.s_suppkey, supp.s_nationkey))
+        cust_keys = pa.array(list(cust_nation), pa.int64())
+        orders = orders_base.map_batches(
+            lambda t: t.filter(pc.is_in(t["o_custkey"], value_set=cust_keys)),
+            batch_format="pyarrow",
+        )
+        joined = line.join(
+            orders, join_type="inner", num_partitions=8,
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        )
+        supp_nation_s = pd.Series(supp_nation)
+        cust_nation_s = pd.Series(cust_nation)
+
+        def per_nation(batch: pa.Table) -> pa.Table:
+            supp_n = (
+                pd.Series(batch["l_suppkey"].to_numpy(zero_copy_only=False))
+                .map(supp_nation_s).fillna(-1).to_numpy()
+            )
+            cust_n = (
+                pd.Series(batch["o_custkey"].to_numpy(zero_copy_only=False))
+                .map(cust_nation_s).fillna(-2).to_numpy()
+            )
+            mask = supp_n == cust_n
+            rev = np.floor(
+                batch["l_extendedprice"].to_numpy()
+                * (1.0 - batch["l_discount"].to_numpy())
+                * 10000
+            ).astype(np.int64)[mask]
+            names = pd.Series(supp_n[mask]).map(nation_name_s).to_numpy()
+            df = pd.DataFrame({"n_name": names, "revenue_e4": rev})
+            agg = df.groupby("n_name", as_index=False).sum()
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        per_nation_src = joined.map_batches(per_nation, batch_format="pyarrow")
+    else:
+        # scale path: dimension joins instead of driver dicts — the
+        # robust union-partition hash_join (Ray 2.49's Dataset.join
+        # crashes on partitions a small side leaves empty)
+        from ..functions.joins import hash_join
+
+        joined = line.join(
+            orders_base, join_type="inner", num_partitions=8,
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        )
+        joined = hash_join(joined, supp_ds, "l_suppkey", "s_suppkey")
+        joined = hash_join(joined, cust_ds, "o_custkey", "c_custkey")
+
+        def per_nation_joined(batch: pa.Table) -> pa.Table:
+            empty = pa.schema(
+                [("n_name", pa.string()), ("revenue_e4", pa.int64())]
+            ).empty_table()
+            if batch.num_rows == 0 or "s_nationkey" not in batch.column_names:
+                return empty
+            supp_n = batch["s_nationkey"].to_numpy(zero_copy_only=False)
+            cust_n = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+            mask = supp_n == cust_n
+            if not mask.any():
+                return empty
+            rev = np.floor(
+                batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+                * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False))
+                * 10000
+            ).astype(np.int64)[mask]
+            names = pd.Series(supp_n[mask]).map(nation_name_s).to_numpy()
+            df = pd.DataFrame({"n_name": names, "revenue_e4": rev})
+            agg = df.groupby("n_name", as_index=False).sum()
+            return pa.Table.from_pandas(agg, preserve_index=False).cast(empty.schema)
+
+        per_nation_src = joined.map_batches(
+            per_nation_joined, batch_format="pyarrow"
+        )
+
+    return per_nation_src.groupby("n_name").aggregate(
+        Sum("revenue_e4", alias_name="revenue_e4")
     )
 
 

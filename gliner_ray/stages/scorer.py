@@ -86,18 +86,29 @@ class NumpyGlinerScorer:
     ``batch_predict_with_embeds`` ``model.py:476-531``).
     """
 
-    def __init__(self, cfg: PipelineConfig, hidden_size: int = 64, seed: int = 1234):
+    def __init__(
+        self,
+        cfg: PipelineConfig,
+        hidden_size: int = 64,
+        seed: int = 1234,
+        model_dir: str | None = None,
+    ):
         import numpy as np
 
         from ..kernels.numpy_model import NumpySpanModel
 
         self._np = np
-        self.model = NumpySpanModel(
-            labels=list(cfg.labels),
-            hidden_size=hidden_size,
-            max_width=cfg.max_width,
-            seed=seed,
-        )
+        if model_dir is not None:
+            # checkpoint source: every actor loads the same weights
+            # (the from_pretrained analog, model.py:768-919)
+            self.model = NumpySpanModel.load(model_dir)
+        else:
+            self.model = NumpySpanModel(
+                labels=list(cfg.labels),
+                hidden_size=hidden_size,
+                max_width=cfg.max_width,
+                seed=seed,
+            )
         self.label_embeds = self.model.label_embeddings()  # (C, D), cached
         self.emit_threshold = cfg.threshold
 

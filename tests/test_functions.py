@@ -278,3 +278,54 @@ class TestMultimodal:
                 assert plan and plan[0] == 0 and all(b - a == 500 for a, b in zip(plan, plan[1:]))
             else:
                 assert plan == []
+
+
+class TestHashJoin:
+    def test_matches_pyarrow_join_and_handles_tiny_sides(self):
+        """The union-partition hash_join must equal a plain pyarrow
+        inner join — including the 1-row-side case where Ray 2.49's
+        Dataset.join crashes on empty hash partitions."""
+        import ray.data as rd
+
+        from gliner_ray.functions.joins import hash_join
+
+        left = pa.table(
+            {
+                "k": pa.array([1, 2, 2, 3, 9], pa.int64()),
+                "v": pa.array(["a", "b", "c", "d", "e"], pa.string()),
+            }
+        )
+        right = pa.table(
+            {
+                "rk": pa.array([2, 3, 4], pa.int64()),
+                "w": pa.array([20, 30, 40], pa.int32()),
+            }
+        )
+        got = (
+            hash_join(rd.from_arrow(left), rd.from_arrow(right), "k", "rk")
+            .to_pandas()
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)
+        )
+        want = (
+            left.join(right.rename_columns(["k", "w"]), keys=["k"], join_type="inner")
+            .to_pandas()
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)[got.columns.tolist()]
+        )
+        assert got.astype(want.dtypes.to_dict()).equals(want)
+
+        # one-row right side: every partition but one is right-empty
+        tiny = pa.table({"rk": pa.array([2], pa.int64()), "w": pa.array([7], pa.int32())})
+        out = hash_join(rd.from_arrow(left), rd.from_arrow(tiny), "k", "rk").to_pandas()
+        assert sorted(out["v"]) == ["b", "c"]
+        assert set(out["w"]) == {7}
+
+    def test_overlapping_columns_rejected(self):
+        import ray.data as rd
+
+        from gliner_ray.functions.joins import hash_join
+
+        t = pa.table({"k": pa.array([1], pa.int64()), "x": pa.array([1], pa.int64())})
+        with pytest.raises(ValueError):
+            hash_join(rd.from_arrow(t), rd.from_arrow(t), "k", "k")

@@ -198,3 +198,64 @@ class TestScorerBackend:
         for _, m in mentions.head(200).iterrows():
             c = content[(m["repo"], m["path"])]
             assert c[m["start"] : m["end"]] == m["text"]
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip_exact(self, tmp_path):
+        """Loaded weights are the SAVED arrays, not re-seeded ones:
+        perturb a weight before saving and require identical logits."""
+        m = NumpySpanModel(LABELS, hidden_size=32, max_width=4, seed=7)
+        m.mix_w = m.mix_w + 0.123  # diverge from the seed
+        d = m.save(str(tmp_path / "ckpt"))
+        m2 = NumpySpanModel.load(d)
+        toks = [["alpha", "beta", "gamma"]]
+        l1, _ = m.forward(toks)
+        l2, _ = m2.forward(toks)
+        np.testing.assert_allclose(l1, l2)
+        assert m2.labels == LABELS
+
+    def test_scorer_backend_loads_checkpoint(self, tmp_path):
+        from dataclasses import replace
+
+        from gliner_ray.stages.scorer import NumpyGlinerScorer
+
+        cfg = replace(DEFAULT_CONFIG, max_width=4)
+        s1 = NumpyGlinerScorer(cfg, hidden_size=32, seed=7)
+        d = s1.model.save(str(tmp_path / "ckpt"))
+        s2 = NumpyGlinerScorer(cfg, model_dir=d)
+        toks = [["import", "os"]]
+        l1, _ = s1.model.forward(toks, prompts_embedding=s1.label_embeds)
+        l2, _ = s2.model.forward(toks, prompts_embedding=s2.label_embeds)
+        np.testing.assert_allclose(l1, l2)
+
+    def test_rnn_checkpoint_roundtrip(self, tmp_path):
+        m = NumpySpanModel(LABELS, hidden_size=32, max_width=4, seed=7, has_rnn=True)
+        d = m.save(str(tmp_path / "ckpt_rnn"))
+        m2 = NumpySpanModel.load(d)
+        toks = [["one", "two", "three", "four"]]
+        np.testing.assert_allclose(m.forward(toks)[0], m2.forward(toks)[0])
+
+
+class TestBiLstm:
+    def test_rnn_changes_outputs_and_is_deterministic(self):
+        toks = [["a", "b", "c"], ["d", "e"]]
+        base = NumpySpanModel(LABELS, hidden_size=32, max_width=4, seed=7)
+        rnn1 = NumpySpanModel(LABELS, hidden_size=32, max_width=4, seed=7, has_rnn=True)
+        rnn2 = NumpySpanModel(LABELS, hidden_size=32, max_width=4, seed=7, has_rnn=True)
+        lb, _ = base.forward(toks)
+        l1, _ = rnn1.forward(toks)
+        l2, _ = rnn2.forward(toks)
+        np.testing.assert_allclose(l1, l2)
+        assert not np.allclose(lb, l1)
+        assert l1.shape == lb.shape
+
+    def test_masking_respects_lengths(self):
+        """A padded row's outputs must not depend on the other row's
+        extra timesteps: running the short doc alone equals its slice
+        of the padded batch."""
+        short = [["alpha", "beta"]]
+        both = [["alpha", "beta"], ["one", "two", "three", "four", "five"]]
+        m = NumpySpanModel(LABELS, hidden_size=32, max_width=4, seed=7, has_rnn=True)
+        alone, _ = m.forward(short)
+        batched, _ = m.forward(both)
+        np.testing.assert_allclose(alone[0, :2], batched[0, :2], atol=1e-12)

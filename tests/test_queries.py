@@ -51,3 +51,19 @@ def test_rows_only_queries_run():
         res = qs[name](SF)
         df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
         assert df is not None and len(df.columns) > 0, name
+
+
+@pytest.mark.parametrize("name", ["q3_top_orders", "q5_region_revenue"])
+def test_dim_join_fallback_matches_broadcast(name, con):
+    """dim_broadcast_limit=0 forces the guarded shuffle-join path for
+    the customer/supplier dimensions — results must equal the oracle
+    exactly, same as the broadcast path (round-1 watch item)."""
+    from gliner_ray.queries import relational as rel
+
+    fn = getattr(rel, name)
+    res = fn(SF, dim_broadcast_limit=0)
+    rdf = res.to_pandas()
+    odf = con.sql(E.oracle_sql()[name]).df()
+    a, b = _norm(rdf), _norm(odf)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
