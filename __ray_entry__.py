@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split_counts": co.doc_split_counts,
         # knowledge-graph construction (reference-parity ops)
         "doc_gen_labels": co.doc_gen_labels,
+        "doc_token_spans": co.doc_token_spans,
         "kg_mentions": co.kg_mentions,
         "kg_mentions_numpy": co.kg_mentions_numpy,
         "kg_triples": co.kg_triples,

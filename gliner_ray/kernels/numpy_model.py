@@ -340,3 +340,64 @@ class NumpySpanModel:
             span_mask.reshape(B, W, K, 1).astype(bool), logits, -30.0
         )
         return logits, text_lengths
+
+
+class _TokenScorerHead:
+    """``Scorer`` head (``modeling/scorers.py:4-35``) in numpy:
+    proj_token/proj_label split into two D-halves; concat
+    [token₀ ‖ label₀ ‖ token₁·label₁] → MLP(3D→4D→relu→3) →
+    (B, L, C, 3) start/end/inside logits."""
+
+    def __init__(self, rng: np.random.RandomState, d: int):
+        self.w_tok, self.b_tok = _linear_init(rng, d, d * 2)
+        self.w_lab, self.b_lab = _linear_init(rng, d, d * 2)
+        self.w_m1, self.b_m1 = _linear_init(rng, d * 3, d * 4)
+        self.w_m2, self.b_m2 = _linear_init(rng, d * 4, 3)
+
+    def __call__(self, token_rep: np.ndarray, label_rep: np.ndarray) -> np.ndarray:
+        B, L, D = token_rep.shape
+        C = label_rep.shape[1]
+        tok = (token_rep @ self.w_tok + self.b_tok).reshape(B, L, 2, D)
+        lab = (label_rep @ self.w_lab + self.b_lab).reshape(B, C, 2, D)
+        t0 = np.broadcast_to(tok[:, :, None, 0], (B, L, C, D))
+        l0 = np.broadcast_to(lab[:, None, :, 0], (B, L, C, D))
+        t1l1 = tok[:, :, None, 1] * lab[:, None, :, 1]
+        cat = np.concatenate([t0, l0, t1l1], axis=-1)
+        h = np.maximum(cat @ self.w_m1 + self.b_m1, 0.0)
+        return h @ self.w_m2 + self.b_m2  # (B, L, C, 3)
+
+
+class NumpyTokenModel:
+    """TokenModel forward (``modeling/base.py:630-679``): the same
+    encoder + prompt/word extraction as :class:`NumpySpanModel`, with
+    the per-token start/end/inside ``Scorer`` head instead of the span
+    grid. Logits feed ``kernels/token_decode.decode_token_logits``
+    unchanged."""
+
+    def __init__(
+        self,
+        labels: list[str],
+        hidden_size: int = 64,
+        vocab_size: int = 50_000,
+        seed: int = 1234,
+    ):
+        self.base = NumpySpanModel(
+            labels, hidden_size=hidden_size, max_width=1,
+            vocab_size=vocab_size, seed=seed,
+        )
+        self.labels = list(labels)
+        rng = np.random.RandomState(seed + 1)
+        self.scorer = _TokenScorerHead(rng, hidden_size)
+
+    def forward(self, token_lists: list[list[str]]):
+        """→ (logits (B, W, C, 3), text_lengths)."""
+        m = self.base
+        enc = encode_batch(m.tokenizer, token_lists, self.labels)
+        token_embeds = m.encode_tokens(enc["input_ids"], enc["attention_mask"])
+        pe, _, words_embedding, _ = m.extract_embeddings(
+            token_embeds, enc["input_ids"], enc["words_mask"], enc["text_lengths"]
+        )
+        B, W, D = words_embedding.shape
+        if W == 0:
+            return np.zeros((B, 0, len(self.labels), 3)), enc["text_lengths"]
+        return self.scorer(words_embedding, pe), enc["text_lengths"]

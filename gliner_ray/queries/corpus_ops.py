@@ -296,6 +296,61 @@ def doc_gen_labels(sf_dir: str):
     )
 
 
+class _TokenHeadExtractor:
+    """Actor-pool stage: documents → token-head span rows through
+    NumpyTokenModel + decode_token_logits (TokenModel.forward,
+    ``modeling/base.py:630-679`` + TokenDecoder semantics)."""
+
+    def __init__(self, labels: list[str], threshold: float = 0.45):
+        from ..kernels.numpy_model import NumpyTokenModel
+
+        self.model = NumpyTokenModel(labels, hidden_size=48)
+        self.labels = labels
+        self.threshold = threshold
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        from ..kernels.token_decode import decode_token_logits
+
+        token_lists = [t.split() for t in batch["text"].to_pylist()]
+        doc_ids = batch["doc_id"].to_pylist()
+        logits, tl = self.model.forward(token_lists)
+        id_to_class = {i + 1: lab for i, lab in enumerate(self.labels)}
+        rows = {"doc_id": [], "start": [], "end": [], "label": [], "score": []}
+        for i, did in enumerate(doc_ids):
+            for s, e, lab, p in decode_token_logits(
+                int(tl[i]), id_to_class, logits[i], threshold=self.threshold
+            ):
+                rows["doc_id"].append(did)
+                rows["start"].append(s)
+                rows["end"].append(e)
+                rows["label"].append(lab)
+                rows["score"].append(p)
+        return pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], pa.int64()),
+                "start": pa.array(rows["start"], pa.int32()),
+                "end": pa.array(rows["end"], pa.int32()),
+                "label": pa.array(rows["label"], pa.string()),
+                "score": pa.array(rows["score"], pa.float64()),
+            }
+        )
+
+
+def doc_token_spans(sf_dir: str):
+    """Token-head (start/end/inside) span extraction over the documents
+    table — the TokenModel path (rows-only; pytest covers head
+    composition + decode)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _TokenHeadExtractor,
+        fn_constructor_kwargs={"labels": ["person", "organization", "location"]},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 8),
+    )
+
+
 def kg_mentions_numpy(sf_dir: str):
     """Mention extraction through the NUMPY SPAN-MODEL backend — the
     real GLiNER forward math (subword+words_mask → encoder-lite →

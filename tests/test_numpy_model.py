@@ -259,3 +259,41 @@ class TestBiLstm:
         alone, _ = m.forward(short)
         batched, _ = m.forward(both)
         np.testing.assert_allclose(alone[0, :2], batched[0, :2], atol=1e-12)
+
+
+class TestTokenModel:
+    def test_token_head_shapes_and_decode(self):
+        from gliner_ray.kernels.numpy_model import NumpyTokenModel
+        from gliner_ray.kernels.token_decode import decode_token_logits
+
+        m = NumpyTokenModel(LABELS, hidden_size=32, seed=7)
+        toks = [["def", "foo", "bar", "baz"], ["x", "y"]]
+        logits, tl = m.forward(toks)
+        assert logits.shape == (2, 4, 3, 3)  # (B, W, C, [start,end,inside])
+        assert list(tl) == [4, 2]
+        m2 = NumpyTokenModel(LABELS, hidden_size=32, seed=7)
+        np.testing.assert_allclose(logits, m2.forward(toks)[0])
+        id_to_class = {i + 1: lab for i, lab in enumerate(LABELS)}
+        spans = decode_token_logits(int(tl[0]), id_to_class, logits[0], threshold=0.3)
+        for s, e, lab, p in spans:
+            assert 0 <= s <= e <= 3 and lab in LABELS
+
+    def test_scorer_head_matches_reference_composition(self):
+        """The head must equal the hand-computed composition
+        [token0 | label0 | token1*label1] -> MLP (scorers.py:18-35)."""
+        from gliner_ray.kernels.numpy_model import _TokenScorerHead
+
+        rng = np.random.RandomState(0)
+        head = _TokenScorerHead(np.random.RandomState(1), 8)
+        tok = rng.randn(1, 3, 8)
+        lab = rng.randn(1, 2, 8)
+        got = head(tok, lab)
+        # manual composition
+        t = (tok @ head.w_tok + head.b_tok).reshape(1, 3, 2, 8)
+        l = (lab @ head.w_lab + head.b_lab).reshape(1, 2, 2, 8)
+        for i in range(3):
+            for c in range(2):
+                cat = np.concatenate([t[0, i, 0], l[0, c, 0], t[0, i, 1] * l[0, c, 1]])
+                h = np.maximum(cat @ head.w_m1 + head.b_m1, 0.0)
+                want = h @ head.w_m2 + head.b_m2
+                np.testing.assert_allclose(got[0, i, c], want)
