@@ -251,15 +251,13 @@ def _stage2_bucket_triples(
             # file triples from the corpus slice (repo, path only)
             cpath = bucket_files.get(b)
             if cpath is not None:
+                from ..stages.normalize import repo_bucket
+
                 ft = pq.read_table(cpath, columns=["repo", "path"])
                 df = ft.to_pandas()
-                hb = df["repo"].map(
-                    lambda r: int.from_bytes(
-                        hashlib.sha1(r.encode()).digest()[:8], "big"
-                    )
-                    % n_buckets
-                )
-                df = df[hb == b]
+                # hash once per distinct repo, not per row (~100 rows/repo)
+                lut = {r: repo_bucket(r, n_buckets) for r in df["repo"].unique()}
+                df = df[df["repo"].map(lut) == b]
                 if len(df):
                     frames.append(
                         pd.DataFrame(

@@ -112,12 +112,20 @@ def make_chunker(cfg: PipelineConfig):
     return chunk_batch
 
 
+def repo_bucket(repo: str, n_buckets: int) -> int:
+    """``sha1(repo) % n_buckets`` — stable across processes (never
+    Python ``hash()``, which is salted per process)."""
+    return int.from_bytes(hashlib.sha1(repo.encode()).digest()[:8], "big") % n_buckets
+
+
 def add_bucket_column(batch: pa.Table, n_buckets: int) -> pa.Table:
-    """``bucket = sha1(repo) % n_buckets`` — stable across processes
-    (never Python ``hash()``, which is salted per process)."""
-    repos = batch["repo"].to_pylist()
-    buckets = [
-        int.from_bytes(hashlib.sha1(r.encode()).digest()[:8], "big") % n_buckets
-        for r in repos
-    ]
+    """``bucket = sha1(repo) % n_buckets``. Hash once per DISTINCT repo
+    (batches hold ~100 files per repo) then dictionary-map — per-row
+    sha1 was a measurable stage cost at 1.6M files."""
+    import pyarrow.compute as pc
+
+    repos = batch["repo"]
+    uniq = pc.unique(repos).to_pylist()
+    lut = {r: repo_bucket(r, n_buckets) for r in uniq}
+    buckets = [lut[r] for r in repos.to_pylist()]
     return batch.append_column("bucket", pa.array(buckets, pa.int32()))
