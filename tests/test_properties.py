@@ -177,3 +177,48 @@ class TestUnionFindProperties:
                     if b in comp and a not in comp:
                         comp.add(a); changed = True
             assert m[v] == "ent:" + min(comp)
+
+
+class TestSubwordProperties:
+    """prepare_word_mask invariants (processor.py:130-155) under random
+    words and piece lengths."""
+
+    words_strategy = st.lists(
+        st.text(alphabet="abcdefgh漢字", min_size=1, max_size=12), min_size=1, max_size=20
+    )
+
+    @given(words_strategy, st.integers(min_value=0, max_value=3),
+           st.integers(min_value=1, max_value=5))
+    @settings(max_examples=60, deadline=None)
+    def test_words_mask_invariants(self, words, n_prompt_labels, piece_len):
+        from gliner_ray.kernels.subword import ToySubwordTokenizer, build_prompt
+
+        tok = ToySubwordTokenizer(piece_len=piece_len)
+        prompt = build_prompt([f"label{i}" for i in range(n_prompt_labels)])
+        enc = tok.encode_words(prompt + words, prompt_length=len(prompt))
+        nz = [v for v in enc.words_mask if v > 0]
+        # nonzero values are exactly 1..n_text_words, in order, once each
+        assert nz == list(range(1, len(words) + 1))
+        assert enc.text_length == len(words)
+        # mask aligns with word_ids: value v sits at the FIRST subtoken
+        # of text word v-1
+        for pos, v in enumerate(enc.words_mask):
+            if v > 0:
+                wid = enc.word_ids[pos]
+                assert wid == len(prompt) + v - 1
+                assert enc.word_ids[pos - 1] != wid
+        # ids and word_ids stay aligned
+        assert len(enc.input_ids) == len(enc.word_ids) == len(enc.words_mask)
+
+    @given(st.text(alphabet="abc漢字 .-_", max_size=60))
+    @settings(max_examples=60, deadline=None)
+    def test_cjk_offsets_roundtrip(self, text):
+        from gliner_ray.kernels.tokenize import tokenize_with_offsets_cjk
+
+        toks, starts, ends = tokenize_with_offsets_cjk(text)
+        for t, s, e in zip(toks, starts, ends):
+            assert text[s:e] == t
+        # CJK chars always single-token
+        for t in toks:
+            if any("一" <= ch <= "鿿" for ch in t):
+                assert len(t) == 1
