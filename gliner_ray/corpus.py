@@ -69,63 +69,120 @@ def sha256_hex(text: str) -> str:
     return hashlib.sha256(text.encode("utf-8")).hexdigest()
 
 
+#: bump when the generator's output distribution changes — recorded in
+#: the write_corpus _COMPLETE marker so stale caches regenerate
+GEN_VERSION = 2
+
+_GEN_CHUNK = 100_000
+
+
+def _gen_chunk(args: tuple) -> tuple:
+    """One deterministic chunk of files: per-file metadata draws +
+    flat content assembly. Seeded by (seed, chunk index) so chunks are
+    order-independent and parallelizable."""
+    lo, n, n_repos, seed, long_tail = args
+    rng = np.random.RandomState(
+        int.from_bytes(
+            hashlib.sha256(f"{seed}:{lo}".encode()).digest()[:4], "big"
+        )
+    )
+    fillers = np.array(_filler_words(), dtype=object)
+    surfaces = np.array([s for s, _ in ENTITY_VOCAB], dtype=object)
+    symbols = np.array(_SYMBOL_FILLERS, dtype=object)
+
+    repo_idx = rng.choice(n_repos, size=n, p=_repo_weights(n_repos))
+    ext_idx = rng.randint(0, len(_EXTS), size=n)
+    special = rng.rand(n) <= 0.1
+    license_pick = rng.rand(n) > 0.5
+    long_mask = (rng.rand(n) < 0.10) if long_tail else np.zeros(n, bool)
+    n_words = np.where(
+        long_mask,
+        rng.randint(500, 3000, size=n),
+        rng.randint(30, 380, size=n),
+    )
+    total = int(n_words.sum())
+    r = rng.rand(total)
+    pick_f = fillers[rng.randint(0, len(fillers), total)]
+    pick_s = symbols[rng.randint(0, len(symbols), total)]
+    pick_e = surfaces[rng.randint(0, len(surfaces), total)]
+    bounds = np.cumsum(n_words)
+    starts = np.concatenate([[0], bounds[:-1]])
+    pos = np.arange(total) - np.repeat(starts, n_words)
+    pieces = np.where(
+        (r < 0.02) & (pos > 2), pick_e, np.where(r < 0.10, pick_s, pick_f)
+    )
+    # newline every ~14 pieces so content looks line-structured;
+    # python-level pairwise join (np.char.add measured 4× slower)
+    seps_l = np.where((pos + 1) % 14 == 0, "\n", " ").tolist()
+    pieces_l = pieces.tolist()
+    contents = [
+        "".join(map("".join, zip(pieces_l[s:e], seps_l[s:e]))).rstrip()
+        for s, e in zip(starts.tolist(), bounds.tolist())
+    ]
+    return repo_idx.tolist(), ext_idx.tolist(), special.tolist(), license_pick.tolist(), contents
+
+
+def _repo_weights(n_repos: int) -> np.ndarray:
+    weights = np.ones(n_repos)
+    weights[: max(1, n_repos // 10)] = 100.0  # mega-repos
+    return weights / weights.sum()
+
+
 def generate_files(
     n_files: int = 200,
     n_repos: int = 20,
     seed: int = 42,
     long_tail: bool = True,
 ) -> pa.Table:
-    """Build the ``files`` table. Repo sizes are skewed: the first two
-    repos are "mega-repos" holding ~100× a median repo's weight."""
-    rng = np.random.RandomState(seed)
-    fillers = _filler_words()
-    surfaces = [s for s, _ in ENTITY_VOCAB]
+    """Build the ``files`` table. Repo sizes are skewed: the first
+    ~10% of repos are "mega-repos" holding ~100× a median repo's
+    weight.
 
-    weights = np.ones(n_repos)
-    weights[: max(1, n_repos // 10)] = 100.0  # mega-repos
-    weights = weights / weights.sum()
-    repo_names = [f"org{i % 7}/proj{i}" for i in range(n_repos)]
+    Fully vectorized in ~100k-file chunks: the v1 generator drew the
+    weighted repo choice ONE FILE AT A TIME (`rng.choice(p=weights)`
+    rebuilds the cumulative distribution per call → O(n_files ×
+    n_repos); a 6.4M-file / 64k-repo corpus ran for 40+ minutes).
+    All draws are now batched; only the per-file piece join remains a
+    Python loop. Same distribution, different bit-stream (GEN_VERSION
+    bumped)."""
+    rng = np.random.RandomState(seed)  # path-collision suffixes only
+    repo_names = np.array([f"org{i % 7}/proj{i}" for i in range(n_repos)], dtype=object)
+
+    chunks = [
+        (lo, min(_GEN_CHUNK, n_files - lo), n_repos, seed, long_tail)
+        for lo in range(0, n_files, _GEN_CHUNK)
+    ]
+    if n_files >= 400_000:
+        # chunks are independent (each derives its own RandomState from
+        # (seed, chunk index)) → parallel generation for big corpora
+        import multiprocessing as mp
+
+        with mp.get_context("fork").Pool(min(16, len(chunks))) as pool:
+            parts = pool.map(_gen_chunk, chunks)
+    else:
+        parts = [_gen_chunk(c) for c in chunks]
 
     repos, paths, commits, langs, contents = [], [], [], [], []
     seen_paths: set[tuple[str, str]] = set()
-    for fi in range(n_files):
-        repo = repo_names[rng.choice(n_repos, p=weights)]
-        ext = _EXTS[rng.randint(len(_EXTS))]
-        path = f"src/mod_{fi}{ext}" if rng.rand() > 0.1 else ("LICENSE" if rng.rand() > 0.5 else "README.md")
-        if (repo, path) in seen_paths:
-            path = f"src/mod_{fi}_{rng.randint(10_000)}{ext}"
-        seen_paths.add((repo, path))
-
-        # token length: mostly short, ~10% exceeding max_len=384 words
-        if long_tail and rng.rand() < 0.10:
-            n_words = int(rng.randint(500, 3000))
-        else:
-            n_words = int(rng.randint(30, 380))
-
-        # vectorized piece selection (one rng batch per file, not per token)
-        r = rng.rand(n_words)
-        pick_f = np.array(fillers, dtype=object)[rng.randint(0, len(fillers), n_words)]
-        pick_s = np.array(_SYMBOL_FILLERS, dtype=object)[
-            rng.randint(0, len(_SYMBOL_FILLERS), n_words)
-        ]
-        pick_e = np.array(surfaces, dtype=object)[
-            rng.randint(0, len(surfaces), n_words)
-        ]
-        pos = np.arange(n_words)
-        pieces = np.where(
-            (r < 0.02) & (pos > 2), pick_e, np.where(r < 0.10, pick_s, pick_f)
-        )
-        # newline every ~14 pieces so content looks line-structured
-        seps = np.where((pos + 1) % 14 == 0, "\n", " ")
-        content = "".join(
-            p + s for p, s in zip(pieces.tolist(), seps.tolist())
-        ).rstrip()
-
-        repos.append(repo)
-        paths.append(path)
-        commits.append(_commit_for(repo, path))
-        langs.append(_LANG_BY_EXT.get(os.path.splitext(path)[1], "text"))
-        contents.append(content)
+    for (lo, n, _, _, _), (repo_idx, ext_idx, special, license_pick, chunk_contents) in zip(
+        chunks, parts
+    ):
+        for j in range(n):
+            fi = lo + j
+            repo = repo_names[repo_idx[j]]
+            ext = _EXTS[ext_idx[j]]
+            if special[j]:
+                path = "LICENSE" if license_pick[j] else "README.md"
+            else:
+                path = f"src/mod_{fi}{ext}"
+            if (repo, path) in seen_paths:
+                path = f"src/mod_{fi}_{rng.randint(10_000)}{ext}"
+            seen_paths.add((repo, path))
+            repos.append(repo)
+            paths.append(path)
+            commits.append(_commit_for(repo, path))
+            langs.append(_LANG_BY_EXT.get(os.path.splitext(path)[1], "text"))
+            contents.append(chunk_contents[j])
 
     return pa.table(
         {
@@ -169,7 +226,7 @@ def write_corpus(
     marker = os.path.join(out_dir, "_COMPLETE")
     params = (
         f"n_files={n_files} n_repos={n_repos} seed={seed} "
-        f"cluster_buckets={cluster_buckets}\n"
+        f"cluster_buckets={cluster_buckets} gen={GEN_VERSION}\n"
     )
     if os.path.exists(marker):
         with open(marker) as f:
