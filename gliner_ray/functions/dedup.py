@@ -531,28 +531,26 @@ def _fetch_rows_for_ids(
     ).take_all()
 
 
-def minhash_dedup(
+def _verify_pairs_adaptive(
     ds: "ray.data.Dataset",
-    threshold: float = 0.8,
-    num_perm: int = 64,
-    bands: int = 16,
-    ngram: int = 3,
-    pair_broadcast_limit: int = 50_000,
-) -> pa.Table:
-    """Full near-dup pipeline. Returns (doc_id, cluster_id) for docs in
-    a near-dup cluster of size ≥ 2 (cluster_id = min member id).
+    pairs_ds: "ray.data.Dataset",
+    threshold: float,
+    ngram: int,
+    pair_broadcast_limit: int,
+) -> list[tuple[int, int]]:
+    """Candidate pairs → Jaccard-verified edge list (shared by the
+    MinHash and anchor-gram dedup pipelines).
 
-    Adaptive verification: when the candidate pair table fits the
-    count guard, the needed texts (bounded by 2× the pair count) are
-    broadcast via ``ray.put`` and Jaccard-verified in one
-    ``map_batches`` over the pair table — no extra shuffle. Above the
-    guard, texts are joined onto the pairs with the hash-partitioned
-    union merge and verified distributed. Either way only the verified
-    edge list (output-sized) reaches the driver for union-find.
+    Adaptive: when the candidate pair table fits the count guard, the
+    needed texts (bounded by 2× the pair count) are broadcast via
+    ``ray.put`` and Jaccard-verified in one ``map_batches`` over the
+    pair table — no extra shuffle. Above the guard, texts are joined
+    onto the pairs with the hash-partitioned union merge and verified
+    distributed. Either way only the verified edge list (output-sized)
+    reaches the driver.
     """
     import ray
 
-    pairs_ds = minhash_candidate_pairs(ds, num_perm, bands, ngram, distinct=False)
     small, mat = _collect_pairs_if_small(pairs_ds, pair_broadcast_limit)
     if small is not None:
         if not small:
@@ -604,6 +602,10 @@ def minhash_dedup(
             batch_format="pyarrow",
         )
         edges = [(r["id_a"], r["id_b"]) for r in verified.take_all()]
+    return edges
+
+
+def _clusters_table(edges: list[tuple[int, int]]) -> pa.Table:
     clusters = _cluster_edges(edges)
     items = sorted(clusters.items())
     return pa.table(
@@ -612,6 +614,109 @@ def minhash_dedup(
             "cluster_id": pa.array([c for _, c in items], pa.int64()),
         }
     )
+
+
+def minhash_dedup(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    pair_broadcast_limit: int = 50_000,
+) -> pa.Table:
+    """Full near-dup pipeline. Returns (doc_id, cluster_id) for docs in
+    a near-dup cluster of size ≥ 2 (cluster_id = min member id).
+
+    Verification is adaptive — see :func:`_verify_pairs_adaptive`.
+    """
+    pairs_ds = minhash_candidate_pairs(ds, num_perm, bands, ngram, distinct=False)
+    edges = _verify_pairs_adaptive(ds, pairs_ds, threshold, ngram, pair_broadcast_limit)
+    return _clusters_table(edges)
+
+
+# --------------------------------------------- n-gram Jaccard (anchor)
+
+
+class AnchorGramStage:
+    """doc → (gram_hash, doc_id) inverted-index rows for ANCHOR grams
+    (gram hashes ≡ 0 mod ``sample_mod``), the blocking stage of the
+    exact n-gram Jaccard dedup path.
+
+    Unlike MinHash banding, the blocking key here is a real shared
+    n-gram: two docs collide iff they share at least one anchor gram,
+    so precision of the candidate set tracks actual overlap. Expected
+    index size is |grams| / sample_mod rows per doc. Recall caveat
+    (documented contract): docs whose overlap contains no anchor gram
+    are missed; for threshold ≥ 0.8 and sample_mod = 4 the shared set
+    is ≥ 80% of either doc's grams, so P(no anchor among s shared
+    grams) = (1 - 1/4)^s — negligible past ~30 shared grams, and the
+    planted-cluster test pins it. Word hashes reuse the per-actor
+    ``_WordHasher`` cache; the gram combine is the same vectorized
+    polynomial as MinHash.
+    """
+
+    def __init__(self, ngram: int = 3, sample_mod: int = 4):
+        self.ngram = ngram
+        self.mod = np.uint64(sample_mod)
+        self.hasher = _WordHasher()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out: list[np.ndarray] = []
+        grams_out: list[np.ndarray] = []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            wh = self.hasher.doc_word_hashes(text)
+            grams = np.unique(_gram_hashes_from_words(wh, self.ngram))
+            anchors = grams[grams % self.mod == 0]
+            if anchors.size:
+                grams_out.append(anchors)
+                ids_out.append(np.full(anchors.size, doc_id, np.int64))
+        if not ids_out:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "band_id": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.uint64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(ids_out), pa.int64()),
+                "band_id": pa.array(
+                    np.zeros(sum(a.size for a in grams_out), np.int32), pa.int32()
+                ),
+                "band_hash": pa.array(np.concatenate(grams_out), pa.uint64()),
+            }
+        )
+
+
+def ngram_jaccard_dups(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.8,
+    ngram: int = 3,
+    sample_mod: int = 4,
+    pair_broadcast_limit: int = 50_000,
+) -> pa.Table:
+    """Exact n-gram Jaccard near-dup clustering with anchor-gram
+    blocking (no probabilistic sketch in the verify step).
+
+    Shape: vectorized anchor-gram index (``map_batches``) → the same
+    coarse int-partition bucket grouping as MinHash (anchor hash ≡ LSH
+    bucket key, so ``_grouped_bucket_pairs`` is reused verbatim) →
+    adaptive distributed Jaccard verification → driver union-find over
+    the output-sized edge list. Returns (doc_id, cluster_id) rows for
+    clusters of size ≥ 2.
+    """
+    kwargs = {"ngram": ngram, "sample_mod": sample_mod}
+    index = ds.map_batches(
+        lambda t: AnchorGramStage(**kwargs)(t),
+        batch_format="pyarrow",
+        batch_size=1024,
+    )
+    pairs_ds = _grouped_bucket_pairs(index)
+    edges = _verify_pairs_adaptive(ds, pairs_ds, threshold, ngram, pair_broadcast_limit)
+    return _clusters_table(edges)
 
 
 # ------------------------------------------------------------- SimHash

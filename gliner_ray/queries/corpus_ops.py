@@ -183,6 +183,12 @@ def doc_minhash_dedup(sf_dir: str):
     return fdedup.minhash_dedup(_docs(sf_dir, ["doc_id", "text"]), threshold=0.8)
 
 
+def doc_ngram_jaccard_dups(sf_dir: str):
+    """Exact n-gram Jaccard near-dup clusters with anchor-gram
+    blocking (rows-only; pytest oracle on planted near-duplicates)."""
+    return fdedup.ngram_jaccard_dups(_docs(sf_dir, ["doc_id", "text"]), threshold=0.8)
+
+
 def doc_simhash_dups(sf_dir: str):
     """SimHash near-dup pairs (rows-only)."""
     return fdedup.simhash_near_dups(_docs(sf_dir, ["doc_id", "text"]))

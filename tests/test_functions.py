@@ -126,6 +126,57 @@ class TestMinHash:
         assert fast == dist
 
 
+class TestNgramJaccard:
+    def test_finds_planted_cluster_exact(self):
+        near = BASE.replace("winter", "spring")
+        rows = [(1, BASE), (2, near), (3, "other text entirely unrelated to anything"),
+                (4, BASE)]
+        out = fdedup.ngram_jaccard_dups(_docs_ds(rows), threshold=0.7).to_pylist()
+        clusters = {r["doc_id"]: r["cluster_id"] for r in out}
+        assert clusters.get(1) == 1 and clusters.get(2) == 1 and clusters.get(4) == 1
+        assert 3 not in clusters
+
+    def test_matches_sequential_oracle(self):
+        """Distributed anchor-gram clusters == brute-force all-pairs
+        Jaccard clusters on the same corpus (anchor blocking must not
+        lose recall on docs with ≥ ~30 shared grams)."""
+        words = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+                 "eiusmod tempor incididunt ut labore et dolore magna aliqua").split()
+        rows = []
+        for i in range(12):
+            w = list(words)
+            w[i % len(w)] = f"tok{i % 3}"  # 3 groups of near-identical docs
+            rows.append((i, " ".join(w)))
+        rows.append((99, "a completely different short document about graphs"))
+        ds = _docs_ds(rows)
+        out = fdedup.ngram_jaccard_dups(ds, threshold=0.8).to_pylist()
+        got = {r["doc_id"]: r["cluster_id"] for r in out}
+        # brute-force oracle
+        texts = dict(rows)
+        pairs = [
+            (a, b)
+            for a in texts for b in texts if a < b
+        ]
+        oracle = fdedup.verify_and_cluster(pairs, texts, threshold=0.8)
+        assert got == {k: v for k, v in oracle.items()}
+
+    def test_distributed_path_matches_broadcast(self):
+        near = BASE.replace("winter", "spring")
+        rows = [(1, BASE), (2, near), (3, "other text entirely unrelated to anything"),
+                (4, BASE)]
+        fast = fdedup.ngram_jaccard_dups(_docs_ds(rows), threshold=0.7).to_pylist()
+        dist = fdedup.ngram_jaccard_dups(
+            _docs_ds(rows), threshold=0.7, pair_broadcast_limit=0
+        ).to_pylist()
+        assert fast == dist
+
+    def test_no_dups(self):
+        rows = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+                (2, "one two three four five six seven eight nine")]
+        out = fdedup.ngram_jaccard_dups(_docs_ds(rows))
+        assert out.num_rows == 0
+
+
 class TestSimHash:
     def test_identical_distance_zero(self):
         assert fdedup.hamming64(fdedup.simhash64(BASE), fdedup.simhash64(BASE)) == 0
