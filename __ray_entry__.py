@@ -45,6 +45,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_brand_stats": rel.q_brand_stats,
         "q_priority_with_late_items": rel.q_priority_with_late_items,
         "q_customers_without_big_orders": rel.q_customers_without_big_orders,
+        "q_asof_purchase_click": rel.q_asof_purchase_click,
+        "q_user_rolling_1h": rel.q_user_rolling_1h,
+        "q_value_bands": rel.q_value_bands,
         # text analysis
         "doc_token_count": co.doc_token_count,
         "doc_tokens_routed": co.doc_tokens_routed,
@@ -92,6 +95,9 @@ def oracle_sql() -> dict[str, str]:
         "q_brand_stats": rel.BRAND_STATS_SQL,
         "q_priority_with_late_items": rel.PRIORITY_LATE_SQL,
         "q_customers_without_big_orders": rel.CUSTOMERS_NO_BIG_ORDERS_SQL,
+        "q_asof_purchase_click": rel.ASOF_PURCHASE_CLICK_SQL,
+        "q_user_rolling_1h": rel.USER_ROLLING_SQL,
+        "q_value_bands": rel.VALUE_BANDS_SQL,
         "doc_token_count": co.TOKEN_COUNT_SQL,
         "doc_tokens_routed": co.TOKENS_ROUTED_SQL,
         "doc_text_stats": co.TEXT_STATS_SQL,

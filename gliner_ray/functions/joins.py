@@ -104,3 +104,115 @@ def hash_join(
         )
     )
     return unioned.groupby("__part").map_groups(merge, batch_format="pyarrow")
+
+
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    by: str,
+    direction: str = "backward",
+    how: str = "inner",
+    num_partitions: int = 8,
+) -> "ray.data.Dataset":
+    """Distributed as-of join: for each left row, the nearest right row
+    with the same ``by`` key and ``right.on <= left.on`` (backward; or
+    ``>=`` forward), exact matches allowed — the DuckDB/`pandas
+    merge_asof` contract.
+
+    Ray shape: both sides are tagged and unioned on one coarse
+    ``part = by % P`` int key (the measured-cheap single-shuffle
+    pattern shared with :func:`hash_join`); each part is split back
+    into its two sides ARROW-side (so nullable ints never round-trip
+    through float), sorted by ``on``, and merged with one vectorized
+    ``pandas.merge_asof(by=...)``. Per-part memory is
+    (left+right)/P. The partitioning assumption: a ``by`` key's rows
+    all land in one part — guaranteed by the modulus; time-ordering is
+    restored per part, never globally.
+
+    ``how="inner"`` drops unmatched left rows (DuckDB ``ASOF JOIN``);
+    ``how="left"`` keeps them with nulls (``ASOF LEFT JOIN``).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    ls, rs = left.schema(), right.schema()
+    l_type = dict(zip(ls.names, ls.types))
+    r_type = dict(zip(rs.names, rs.types))
+    for k in (on, by):
+        if l_type.get(k) != r_type.get(k):
+            raise ValueError(f"key column {k!r} missing or type-mismatched")
+    l_only = [n for n in ls.names if n not in (on, by)]
+    r_only = [n for n in rs.names if n not in (on, by)]
+    dup = set(l_only) & set(r_only)
+    if dup:
+        raise ValueError(f"overlapping non-key columns: {sorted(dup)}")
+    out_schema = pa.schema(
+        [pa.field(by, l_type[by]), pa.field(on, l_type[on])]
+        + [pa.field(n, l_type[n]) for n in l_only]
+        + [pa.field(n, r_type[n]) for n in r_only]
+    )
+    union_schema = pa.schema(
+        [pa.field("__part", pa.int64()), pa.field("__side", pa.int8())]
+        + list(out_schema)
+    )
+    P = num_partitions
+
+    def tag(side: int, own: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return union_schema.empty_table()
+            keys = t[by].to_numpy(zero_copy_only=False).astype(np.int64)
+            cols = {
+                "__part": pa.array(keys % P, pa.int64()),
+                "__side": pa.array(np.full(len(keys), side, np.int8), pa.int8()),
+            }
+            for f in out_schema:
+                if f.name in (on, by) or f.name in own:
+                    cols[f.name] = t[f.name].cast(f.type)
+                else:
+                    cols[f.name] = pa.nulls(len(keys), f.type)
+            return pa.table(cols, schema=union_schema)
+
+        return fn
+
+    def merge(group: pa.Table) -> pa.Table:
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        if group.num_rows == 0 or "__side" not in group.column_names:
+            return out_schema.empty_table()
+        side = group["__side"]
+        lt = group.filter(pc.equal(side, 0)).select([by, on] + l_only)
+        rt = group.filter(pc.equal(side, 1)).select([by, on] + r_only)
+        if lt.num_rows == 0:
+            return out_schema.empty_table()
+        if rt.num_rows == 0:
+            if how == "inner":
+                return out_schema.empty_table()
+            pad = {n: lt[n] for n in (by, on)} | {n: lt[n] for n in l_only}
+            for n in r_only:
+                pad[n] = pa.nulls(lt.num_rows, r_type[n])
+            return pa.table(pad, schema=out_schema)
+        ldf = lt.to_pandas().sort_values(on, kind="mergesort", ignore_index=True)
+        rdf = rt.to_pandas().sort_values(on, kind="mergesort", ignore_index=True)
+        rdf["__rmatch"] = np.int8(1)
+        m = pd.merge_asof(ldf, rdf, on=on, by=by, direction=direction)
+        if how == "inner":
+            m = m[m["__rmatch"].notna()]
+        else:
+            # unmatched rows NaN-coerced int right-cols → pandas
+            # nullable Int64 so the arrow cast keeps nulls, not NaN
+            for n in r_only:
+                if pa.types.is_integer(r_type[n]):
+                    m[n] = m[n].astype("Int64")
+        m = m.drop(columns=["__rmatch"])
+        return pa.Table.from_pandas(m, preserve_index=False).select(
+            out_schema.names
+        ).cast(out_schema)
+
+    unioned = left.map_batches(
+        tag(0, l_only), batch_format="pyarrow", batch_size=131072
+    ).union(
+        right.map_batches(tag(1, r_only), batch_format="pyarrow", batch_size=131072)
+    )
+    return unioned.groupby("__part").map_groups(merge, batch_format="pyarrow")

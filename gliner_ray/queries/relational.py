@@ -690,3 +690,207 @@ CUSTOMERS_NO_BIG_ORDERS_SQL = """
 SELECT c_custkey FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
 """
+
+
+# ------------------------------------------------------- as-of join
+
+
+def _fmt_ts_us(series: pd.Series) -> pd.Series:
+    """Microsecond timestamp → canonical string (matches DuckDB
+    strftime '%Y-%m-%d %H:%M:%S.%f'; arrow's strftime lacks %f)."""
+    return series.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+
+
+def q_asof_purchase_click(sf_dir: str):
+    """As-of join: each purchase event matched to the same user's most
+    recent prior-or-simultaneous click (``functions/joins.asof_join``,
+    the merge-as-of operator Ray Data lacks natively). The right side
+    is pre-aggregated to unique (user_id, ts) keys — max cents — so
+    tie-breaking is deterministic on both engines. One coarse
+    ``user_id % P`` shuffle; time order restored per part, never
+    globally.
+    """
+    from ray.data.aggregate import Max
+
+    from ..functions.joins import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def split(kind: str, keep_id: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            f = t.filter(pc.equal(t["event_type"], kind))
+            cols = {
+                "user_id": f["user_id"],
+                "ts": f["ts"],
+                ("purchase_cents" if keep_id else "cents"): _floor_units(
+                    f["value"], 100
+                ),
+            }
+            if keep_id:
+                cols = {"event_id": f["event_id"], **cols}
+            return pa.table(cols)
+
+        return fn
+
+    purchases = ev.map_batches(split("purchase", True), batch_format="pyarrow")
+    clicks = (
+        ev.map_batches(split("click", False), batch_format="pyarrow")
+        .groupby(["user_id", "ts"])
+        .aggregate(Max("cents", alias_name="click_cents"))
+    )
+    joined = asof_join(purchases, clicks, on="ts", by="user_id", direction="backward")
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"],
+                "user_id": df["user_id"],
+                "ts": _fmt_ts_us(df["ts"]),
+                "purchase_cents": df["purchase_cents"],
+                "click_cents": df["click_cents"],
+            }
+        )
+
+    return joined.map_batches(fmt, batch_format="pandas")
+
+
+ASOF_PURCHASE_CLICK_SQL = """
+WITH p AS (
+    SELECT event_id, user_id, ts, CAST(FLOOR(value * 100) AS BIGINT) AS purchase_cents
+    FROM events WHERE event_type = 'purchase'
+), c AS (
+    SELECT user_id, ts, MAX(CAST(FLOOR(value * 100) AS BIGINT)) AS click_cents
+    FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       p.purchase_cents, c.click_cents
+FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+# ------------------------------------------- sliding-window aggregate
+
+
+def q_user_rolling_1h(sf_dir: str):
+    """Sliding event-time window: per user, the sum of event cents over
+    the trailing hour [t-1h, t] at every event time — the RANGE-frame
+    windowed aggregate. Rows are first collapsed to unique
+    (user_id, ts) keys (sum) so window peers are unambiguous on both
+    engines, then hash-partitioned on ``user_id % P`` and windowed per
+    part with one vectorized pandas groupby-rolling (closed='both'
+    matches SQL RANGE's inclusive frame edges). No global sort.
+    """
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "cents": _floor_units(t["value"], 100),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    P = 16
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("part", pa.array(u % P, pa.int64()))
+
+    def window(df: pd.DataFrame) -> pd.DataFrame:
+        u = (
+            df.groupby(["user_id", "ts"], sort=False, as_index=False)["cents"].sum()
+            .sort_values(["user_id", "ts"], ignore_index=True)
+        )
+        roll = (
+            u.groupby("user_id", sort=False)
+            .rolling("3600s", on="ts", closed="both")["cents"]
+            .sum()
+            .to_numpy()
+            .astype(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "user_id": u["user_id"],
+                "ts": _fmt_ts_us(u["ts"]),
+                "cents": u["cents"],
+                "roll_cents": roll,
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", batch_size=131072)
+        .groupby("part")
+        .map_groups(window, batch_format="pandas")
+    )
+
+
+USER_ROLLING_SQL = """
+WITH u AS (
+    SELECT user_id, ts,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY user_id, ts
+)
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, cents,
+       CAST(SUM(cents) OVER (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS roll_cents
+FROM u
+"""
+
+
+# ------------------------------------------------------- range join
+
+
+_VALUE_BANDS = [("low", 0.0, 50.0), ("mid", 50.0, 150.0),
+                ("high", 150.0, 300.0), ("top", 300.0, 1e18)]
+
+
+def q_value_bands(sf_dir: str):
+    """Range (interval) join: events joined to a small band table on
+    ``lo <= value < hi``, then aggregated per (band, event_type).
+
+    The band table is the broadcast small side — an interval lookup via
+    ``np.searchsorted`` against the shared edge array inside
+    ``map_batches`` (at cluster scale the edges ship once per task via
+    closure capture; a shuffle join over intervals never happens).
+    Half-open [lo, hi) semantics match the SQL BETWEEN-style predicate
+    exactly at the boundaries.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    labels = np.array([b[0] for b in _VALUE_BANDS])
+    edges = np.array([b[1] for b in _VALUE_BANDS[1:]])  # inner edges
+
+    def band(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(edges, v, side="right")
+        return pa.table(
+            {
+                "band": pa.array(labels[idx], pa.string()),
+                "event_type": t["event_type"],
+                "cents": _floor_units(t["value"], 100),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(band, batch_format="pyarrow")
+        .groupby(["band", "event_type"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("cents", alias_name="sum_cents"),
+        )
+    )
+
+
+VALUE_BANDS_SQL = """
+WITH bands(band, lo, hi) AS (
+    VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0),
+           ('high', 150.0, 300.0), ('top', 300.0, 1e18)
+)
+SELECT band, event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band, event_type
+"""

@@ -380,3 +380,124 @@ class TestHashJoin:
         t = pa.table({"k": pa.array([1], pa.int64()), "x": pa.array([1], pa.int64())})
         with pytest.raises(ValueError):
             hash_join(rd.from_arrow(t), rd.from_arrow(t), "k", "k")
+
+
+class TestAsofJoin:
+    def _sides(self):
+        import pandas as pd
+
+        left = pa.table(
+            {
+                "k": pa.array([1, 1, 1, 2, 3], pa.int64()),
+                "ts": pa.array(
+                    pd.to_datetime(
+                        ["2024-01-01 09:00", "2024-01-01 10:00", "2024-01-01 11:00",
+                         "2024-01-01 10:00", "2024-01-01 10:00"]
+                    ),
+                    pa.timestamp("us"),
+                ),
+                "v": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            }
+        )
+        right = pa.table(
+            {
+                "k": pa.array([1, 1, 2], pa.int64()),
+                "ts": pa.array(
+                    pd.to_datetime(
+                        ["2024-01-01 09:30", "2024-01-01 10:00", "2024-01-01 10:30"]
+                    ),
+                    pa.timestamp("us"),
+                ),
+                "w": pa.array([10, 20, 30], pa.int64()),
+            }
+        )
+        return left, right
+
+    def test_backward_inner_matches_merge_asof(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from gliner_ray.functions.joins import asof_join
+
+        left, right = self._sides()
+        got = (
+            asof_join(rd.from_arrow(left), rd.from_arrow(right), on="ts", by="k")
+            .to_pandas()
+            .sort_values(["k", "ts"])
+            .reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            left.to_pandas().sort_values("ts"),
+            right.to_pandas().sort_values("ts"),
+            on="ts", by="k", direction="backward",
+        ).dropna(subset=["w"]).sort_values(["k", "ts"]).reset_index(drop=True)
+        # exact match at equal ts allowed; unmatched (k=1@09:00,
+        # k=2@10:00 whose only click is later, k=3) dropped
+        assert got["v"].tolist() == [2, 3]
+        assert got["w"].tolist() == [20, 20]
+        assert got["v"].tolist() == want["v"].tolist()
+        assert got["w"].astype(int).tolist() == want["w"].astype(int).tolist()
+
+    def test_left_keeps_unmatched_with_nulls(self):
+        import ray.data as rd
+
+        from gliner_ray.functions.joins import asof_join
+
+        left, right = self._sides()
+        got = (
+            asof_join(rd.from_arrow(left), rd.from_arrow(right), on="ts", by="k",
+                      how="left")
+            .to_pandas()
+            .sort_values(["k", "ts", "v"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == left.num_rows
+        assert got.loc[got["v"] == 1, "w"].isna().all()   # before first click
+        assert got.loc[got["v"] == 5, "w"].isna().all()   # key absent on right
+        assert got.loc[got["v"] == 2, "w"].tolist() == [20]
+
+    def test_forward_direction(self):
+        import ray.data as rd
+
+        from gliner_ray.functions.joins import asof_join
+
+        left, right = self._sides()
+        got = (
+            asof_join(rd.from_arrow(left), rd.from_arrow(right), on="ts", by="k",
+                      direction="forward")
+            .to_pandas()
+            .sort_values(["k", "ts"])
+            .reset_index(drop=True)
+        )
+        # k=1@09:00 -> 09:30(10); 10:00 -> 10:00(20); 11:00 -> none
+        assert got["v"].tolist() == [1, 2, 4]
+        assert got["w"].tolist() == [10, 20, 30]
+
+    def test_empty_right_inner_empty_left_pad(self):
+        import ray.data as rd
+
+        from gliner_ray.functions.joins import asof_join
+
+        left, right = self._sides()
+        empty_r = right.schema.empty_table()
+        inner = asof_join(
+            rd.from_arrow(left), rd.from_arrow(empty_r), on="ts", by="k"
+        ).to_pandas()
+        assert len(inner) == 0
+        padded = asof_join(
+            rd.from_arrow(left), rd.from_arrow(empty_r), on="ts", by="k", how="left"
+        ).to_pandas()
+        assert len(padded) == left.num_rows and padded["w"].isna().all()
+
+    def test_bad_direction_and_overlap_rejected(self):
+        import ray.data as rd
+
+        from gliner_ray.functions.joins import asof_join
+
+        left, right = self._sides()
+        with pytest.raises(ValueError):
+            asof_join(rd.from_arrow(left), rd.from_arrow(right), on="ts", by="k",
+                      direction="sideways")
+        both_v = right.rename_columns(["k", "ts", "v"])
+        with pytest.raises(ValueError):
+            asof_join(rd.from_arrow(left), rd.from_arrow(both_v), on="ts", by="k")
