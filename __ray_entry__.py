@@ -48,6 +48,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_asof_purchase_click": rel.q_asof_purchase_click,
         "q_user_rolling_1h": rel.q_user_rolling_1h,
         "q_value_bands": rel.q_value_bands,
+        "q_daily_active_users": rel.q_daily_active_users,
+        "q_top_orders_per_segment": rel.q_top_orders_per_segment,
+        "q_approx_users_hll": rel.q_approx_users_hll,
         # text analysis
         "doc_token_count": co.doc_token_count,
         "doc_tokens_routed": co.doc_tokens_routed,
@@ -98,6 +101,8 @@ def oracle_sql() -> dict[str, str]:
         "q_asof_purchase_click": rel.ASOF_PURCHASE_CLICK_SQL,
         "q_user_rolling_1h": rel.USER_ROLLING_SQL,
         "q_value_bands": rel.VALUE_BANDS_SQL,
+        "q_daily_active_users": rel.DAILY_ACTIVE_SQL,
+        "q_top_orders_per_segment": rel.TOP_PER_SEGMENT_SQL,
         "doc_token_count": co.TOKEN_COUNT_SQL,
         "doc_tokens_routed": co.TOKENS_ROUTED_SQL,
         "doc_text_stats": co.TEXT_STATS_SQL,

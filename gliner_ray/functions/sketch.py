@@ -1,0 +1,169 @@
+"""HyperLogLog cardinality sketch as a mergeable Ray Data aggregate.
+
+Public algorithm (Flajolet et al. 2007, with the standard small-range
+linear-counting correction). The Ray shape is the canonical mergeable-
+sketch pattern for 100-TB streams: every block folds its values into
+one fixed-size register array (2^p bytes, independent of block size)
+inside ``map_batches``; the per-block partials — metadata-sized, a few
+KiB each — are OR-merged (register-wise max) into one sketch. Nothing
+row-sized ever crosses the shuffle or reaches the driver: the reduce
+moves ``num_blocks × 2^p`` bytes total, the same shape as a count.
+
+Determinism: the value hash is a fixed-parameter splitmix64 (ints) /
+blake2b (strings), so the estimate is a pure function of the value
+set — stable across runs, partitionings and merge orders (max is
+associative+commutative), which is what lets tests pin exact outputs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pyarrow as pa
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+_U64 = np.uint64
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public domain constants) —
+    uniform 64-bit hash for int64/uint64 value arrays."""
+    z = x.astype(_U64, copy=True)
+    z += _U64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+    return z ^ (z >> _U64(31))
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit length (binary reduction — no float
+    round-trip, which mis-rounds near powers of two past 2^53)."""
+    x = x.copy()
+    bl = np.zeros(x.shape, np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        big = x >= (_U64(1) << _U64(s))
+        bl[big] += s
+        x[big] >>= _U64(s)
+    bl += (x > 0).astype(np.int64)
+    return bl
+
+
+def hash_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Column → uint64 hashes: splitmix64 for integer types, blake2b-8
+    per distinct-ish value for strings (the unavoidable per-value path
+    for variable-width data; still one pass per batch)."""
+    typ = col.type
+    if pa.types.is_integer(typ):
+        return splitmix64(col.to_numpy(zero_copy_only=False).astype(np.int64))
+    vals = col.to_pylist()
+    return np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest(), "big"
+            )
+            for v in vals
+        ),
+        dtype=_U64,
+        count=len(vals),
+    )
+
+
+class HyperLogLog:
+    """Fixed-precision HLL: 2^p uint8 registers."""
+
+    def __init__(self, p: int = 14):
+        if not 4 <= p <= 18:
+            raise ValueError("p must be in [4, 18]")
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> "HyperLogLog":
+        p = _U64(self.p)
+        idx = (h >> (_U64(64) - p)).astype(np.int64)
+        low = h & ((_U64(1) << (_U64(64) - p)) - _U64(1))
+        # rank = leading zeros of the low 64-p bits + 1 ∈ [1, 65-p]
+        rank = (65 - self.p - _bit_length_u64(low)).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+        return self
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        if other.p != self.p:
+            raise ValueError("precision mismatch")
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        raw = alpha * m * m / np.sum(np.exp2(-self.registers.astype(np.float64)))
+        if raw <= 2.5 * m:
+            zeros = int(np.count_nonzero(self.registers == 0))
+            if zeros:
+                return m * np.log(m / zeros)  # linear counting
+        return float(raw)
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, p: int) -> "HyperLogLog":
+        hll = cls(p)
+        hll.registers = np.frombuffer(data, np.uint8).copy()
+        return hll
+
+
+def approx_distinct(
+    ds: "ray.data.Dataset", col: str, group_col: str | None = None, p: int = 14
+) -> pa.Table:
+    """Approximate distinct count of ``col`` (optionally per
+    ``group_col`` value) via per-block HLL partials.
+
+    Each block emits one row per group: (group, registers-binary).
+    The partials table is num_blocks × n_groups rows of 2^p bytes —
+    metadata-sized — so the final register-max merge happens driver
+    side, exactly like any count/sum reduce. Intended for
+    low-cardinality group keys (per-source, per-language, per-day
+    style telemetry); high-cardinality grouping should use the exact
+    two-level groupby (``q_daily_active_users`` shape) instead.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        groups: dict[str, HyperLogLog] = {}
+        if group_col is None:
+            hll = HyperLogLog(p).add_hashes(hash_column(t[col]))
+            groups["__all__"] = hll
+        else:
+            keys = np.asarray(t[group_col].to_pylist())
+            hashes = hash_column(t[col])
+            for k in np.unique(keys):
+                groups[str(k)] = HyperLogLog(p).add_hashes(hashes[keys == k])
+        return pa.table(
+            {
+                "group": pa.array(list(groups), pa.string()),
+                "regs": pa.array([g.to_bytes() for g in groups.values()], pa.binary()),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=131072
+    ).take_all()  # num_blocks × n_groups tiny rows — the reduce input
+    merged: dict[str, HyperLogLog] = {}
+    for r in partials:
+        sk = HyperLogLog.from_bytes(r["regs"], p)
+        if r["group"] in merged:
+            merged[r["group"]].merge(sk)
+        else:
+            merged[r["group"]] = sk
+    items = sorted(merged.items())
+    out_groups = [k for k, _ in items]
+    ests = [int(round(v.estimate())) for _, v in items]
+    cols: dict[str, pa.Array] = {}
+    if group_col is not None:
+        cols[group_col] = pa.array(out_groups, pa.string())
+    cols["approx_distinct"] = pa.array(ests, pa.int64())
+    return pa.table(cols)

@@ -894,3 +894,120 @@ SELECT band, event_type, COUNT(*) AS n_events,
 FROM events JOIN bands ON value >= lo AND value < hi
 GROUP BY band, event_type
 """
+
+
+# ------------------------------------------------ exact count-distinct
+
+
+def q_daily_active_users(sf_dir: str):
+    """Exact COUNT(DISTINCT) as a two-level shuffle: batches are first
+    collapsed to unique (day, event_type, user_id) triples inside
+    ``map_batches`` (the combiner — shuffle bytes shrink to the
+    per-batch distinct set), the global groupby on the triple dedups
+    across batches, and a second small groupby counts users per
+    (day, event_type). No driver-side set, no count-distinct operator
+    needed.
+    """
+    from ray.data.aggregate import Count
+
+    def day_triples(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "day": df["ts"].dt.strftime("%Y-%m-%d"),
+                "event_type": df["event_type"],
+                "user_id": df["user_id"],
+            }
+        )
+        return out.drop_duplicates(ignore_index=True)
+
+    distinct = (
+        _read(sf_dir, "events", ["ts", "event_type", "user_id"])
+        .map_batches(day_triples, batch_format="pandas", batch_size=65536)
+        .groupby(["day", "event_type", "user_id"])
+        .aggregate(Count(alias_name="__n"))
+        .drop_columns(["__n"])
+    )
+    return (
+        distinct.groupby(["day", "event_type"])
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
+DAILY_ACTIVE_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------- top-k per group
+
+
+def q_top_orders_per_segment(sf_dir: str, k: int = 3):
+    """Top-k rows per group without a global sort: the customer
+    segment is broadcast onto orders (small dimension), each batch
+    keeps only its own per-segment top-k (combiner — at most
+    k × n_segments rows leave any batch), and the final per-segment
+    ``map_groups`` re-ranks the survivors. Ties broken by orderkey so
+    the result is deterministic on both engines.
+    """
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_of = pd.Series(cust.c_mktsegment.to_numpy(), index=cust.c_custkey.to_numpy())
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "c_mktsegment": df["o_custkey"].map(seg_of),
+                "o_orderkey": df["o_orderkey"],
+                "total_cents": np.floor(df["o_totalprice"].to_numpy() * 100).astype(
+                    np.int64
+                ),
+            }
+        )
+        out = out.sort_values(
+            ["total_cents", "o_orderkey"], ascending=[False, True]
+        )
+        return out.groupby("c_mktsegment", sort=False).head(k).reset_index(drop=True)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["total_cents", "o_orderkey"], ascending=[False, True]
+        ).head(k).reset_index(drop=True)
+        g["rn"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(partial_topk, batch_format="pandas", batch_size=65536)
+        .groupby("c_mktsegment")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+TOP_PER_SEGMENT_SQL = """
+SELECT c_mktsegment, o_orderkey, total_cents, rn FROM (
+    SELECT c_mktsegment, o_orderkey,
+           CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS total_cents,
+           ROW_NUMBER() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY CAST(FLOOR(o_totalprice * 100) AS BIGINT) DESC, o_orderkey
+           ) AS rn
+    FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rn <= 3
+"""
+
+
+# --------------------------------------------- approx count-distinct
+
+
+def q_approx_users_hll(sf_dir: str):
+    """Approximate distinct users per event_type via the mergeable
+    HyperLogLog aggregate (``functions/sketch.py``) — the sketch path
+    for cardinalities where the exact two-level groupby
+    (:func:`q_daily_active_users`) would itself be a heavy shuffle.
+    Deterministic (fixed hash), so rows are stable; accuracy is pinned
+    by pytest against the exact count (rows-only for the driver)."""
+    from ..functions.sketch import approx_distinct
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return approx_distinct(ds, "user_id", group_col="event_type", p=12)

@@ -501,3 +501,72 @@ class TestAsofJoin:
         both_v = right.rename_columns(["k", "ts", "v"])
         with pytest.raises(ValueError):
             asof_join(rd.from_arrow(left), rd.from_arrow(both_v), on="ts", by="k")
+
+
+class TestHyperLogLog:
+    def test_estimate_within_tolerance(self):
+        from gliner_ray.functions import sketch
+
+        n = 200_000
+        h = sketch.splitmix64(np.arange(n, dtype=np.int64))
+        hll = sketch.HyperLogLog(p=14).add_hashes(h)
+        est = hll.estimate()
+        assert abs(est - n) / n < 0.02  # ~1.04/sqrt(2^14) ≈ 0.8% std err
+
+    def test_merge_equals_single_pass(self):
+        from gliner_ray.functions import sketch
+
+        h = sketch.splitmix64(np.arange(50_000, dtype=np.int64))
+        whole = sketch.HyperLogLog(p=12).add_hashes(h)
+        parts = [
+            sketch.HyperLogLog(p=12).add_hashes(chunk)
+            for chunk in np.array_split(h, 7)
+        ]
+        merged = parts[0]
+        for s in parts[1:]:
+            merged.merge(s)
+        assert np.array_equal(merged.registers, whole.registers)
+
+    def test_small_range_linear_counting_exact_ish(self):
+        from gliner_ray.functions import sketch
+
+        h = sketch.splitmix64(np.arange(100, dtype=np.int64))
+        est = sketch.HyperLogLog(p=14).add_hashes(h).estimate()
+        assert abs(est - 100) <= 3
+
+    def test_bit_length_exact_at_boundaries(self):
+        from gliner_ray.functions.sketch import _bit_length_u64
+
+        xs = np.array(
+            [0, 1, 2, 3, (1 << 52) - 1, 1 << 52, (1 << 53) + 1,
+             (1 << 63) - 1, 1 << 63, (1 << 64) - 1],
+            dtype=np.uint64,
+        )
+        got = _bit_length_u64(xs)
+        want = np.array([int(x).bit_length() for x in xs.tolist()])
+        assert np.array_equal(got, want)
+
+    def test_dataset_grouped_approx_distinct(self):
+        import ray.data as rd
+
+        from gliner_ray.functions.sketch import approx_distinct
+
+        rng = np.random.default_rng(0)
+        users = rng.integers(0, 500, size=20_000)
+        kinds = np.where(np.arange(20_000) % 2 == 0, "a", "b")
+        t = pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "event_type": pa.array(kinds, pa.string()),
+            }
+        )
+        out = approx_distinct(
+            rd.from_arrow(t).repartition(5), "user_id", group_col="event_type", p=12
+        ).to_pandas()
+        exact = (
+            t.to_pandas().groupby("event_type")["user_id"].nunique().to_dict()
+        )
+        assert set(out["event_type"]) == {"a", "b"}
+        for _, row in out.iterrows():
+            e = exact[row["event_type"]]
+            assert abs(row["approx_distinct"] - e) / e < 0.05
