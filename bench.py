@@ -110,6 +110,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "doc_exact_dedup": co.doc_exact_dedup,
         "doc_minhash_dedup": co.doc_minhash_dedup,
         "emb_ann_topk": co.emb_ann_topk,
+        "q_asof_purchase_click": rel.q_asof_purchase_click,
+        "q_user_rolling_1h": rel.q_user_rolling_1h,
+        "q_daily_active_users": rel.q_daily_active_users,
     }
     qtimes: dict[str, float] = {}
     for name, fn in query_fns.items():

@@ -908,11 +908,14 @@ def q_daily_active_users(sf_dir: str):
     (day, event_type). No driver-side set, no count-distinct operator
     needed.
     """
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
+
+    P = 16
 
     def day_triples(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(
             {
+                "part": df["user_id"].to_numpy() % P,
                 "day": df["ts"].dt.strftime("%Y-%m-%d"),
                 "event_type": df["event_type"],
                 "user_id": df["user_id"],
@@ -920,16 +923,24 @@ def q_daily_active_users(sf_dir: str):
         )
         return out.drop_duplicates(ignore_index=True)
 
-    distinct = (
+    def part_counts(g: pd.DataFrame) -> pd.DataFrame:
+        # a (day, type, user) triple lands in exactly ONE part
+        # (part = f(user)), so per-part distinct counts sum exactly
+        u = g.drop_duplicates(["day", "event_type", "user_id"])
+        out = (
+            u.groupby(["day", "event_type"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+        return out
+
+    return (
         _read(sf_dir, "events", ["ts", "event_type", "user_id"])
         .map_batches(day_triples, batch_format="pandas", batch_size=65536)
-        .groupby(["day", "event_type", "user_id"])
-        .aggregate(Count(alias_name="__n"))
-        .drop_columns(["__n"])
-    )
-    return (
-        distinct.groupby(["day", "event_type"])
-        .aggregate(Count(alias_name="n_users"))
+        .groupby("part")
+        .map_groups(part_counts, batch_format="pandas")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
     )
 
 
