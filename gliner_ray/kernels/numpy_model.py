@@ -41,9 +41,12 @@ from .subword import ENT_TOKEN_ID, ToySubwordTokenizer, encode_batch
 
 
 def _linear_init(rng: np.random.RandomState, fan_in: int, fan_out: int):
+    # float32: inference-only weights; halves memory traffic and
+    # doubles SIMD width vs float64 with no effect on decode decisions
+    # (threshold crossings are O(1) logits, noise is ~1e-6)
     w = rng.standard_normal((fan_in, fan_out)) / np.sqrt(fan_in)
     b = rng.standard_normal(fan_out) * 0.01
-    return w.astype(np.float64), b.astype(np.float64)
+    return w.astype(np.float32), b.astype(np.float32)
 
 
 class _Projection:
@@ -56,8 +59,13 @@ class _Projection:
         self.w2, self.b2 = _linear_init(rng, d_out * 4, d_out)
 
     def __call__(self, x: np.ndarray) -> np.ndarray:
-        h = np.maximum(x @ self.w1 + self.b1, 0.0)
-        return h @ self.w2 + self.b2
+        # collapse leading dims: one big 2-D GEMM instead of numpy's
+        # per-batch loop of tiny (K, D) matmuls on >2-D inputs
+        shp = x.shape
+        x2 = np.ascontiguousarray(x.reshape(-1, shp[-1]), dtype=np.float32)
+        h = np.maximum(x2 @ self.w1 + self.b1, 0.0)
+        out = h @ self.w2 + self.b2
+        return out.reshape(shp[:-1] + (out.shape[-1],))
 
 
 class _BiLstm:
@@ -79,9 +87,9 @@ class _BiLstm:
 
     def _run(self, x: np.ndarray, lengths: np.ndarray, w, b, reverse: bool):
         B, T, _ = x.shape
-        h = np.zeros((B, self.h))
-        c = np.zeros((B, self.h))
-        out = np.zeros((B, T, self.h))
+        h = np.zeros((B, self.h), dtype=np.float32)
+        c = np.zeros((B, self.h), dtype=np.float32)
+        out = np.zeros((B, T, self.h), dtype=np.float32)
         steps = range(T - 1, -1, -1) if reverse else range(T)
         for t in steps:
             gates = np.concatenate([x[:, t], h], axis=1) @ w + b
@@ -124,7 +132,7 @@ class NumpySpanModel:
         self.tokenizer = ToySubwordTokenizer(vocab_size=vocab_size)
         # encoder-lite weights
         self.embed = (rng.standard_normal((vocab_size, D)) / np.sqrt(D)).astype(
-            np.float64
+            np.float32
         )
         self.mix_w, self.mix_b = _linear_init(rng, D, D)
         # heads (reference layer names)
@@ -184,15 +192,16 @@ class NumpySpanModel:
             cfg = json.load(f)
         model = cls(**cfg)
         arrays = np.load(os.path.join(model_dir, "model.npz"))
-        model.embed = arrays["embed"]
-        model.mix_w, model.mix_b = arrays["mix_w"], arrays["mix_b"]
+        f32 = lambda a: a.astype(np.float32, copy=False)  # noqa: E731
+        model.embed = f32(arrays["embed"])
+        model.mix_w, model.mix_b = f32(arrays["mix_w"]), f32(arrays["mix_b"])
         for name in ("project_start", "project_end", "out_project", "prompt_rep_layer"):
             p = getattr(model, name)
             for wn in ("w1", "b1", "w2", "b2"):
-                setattr(p, wn, arrays[f"{name}.{wn}"])
+                setattr(p, wn, f32(arrays[f"{name}.{wn}"]))
         if model.rnn is not None:
             for wn in ("w_f", "b_f", "w_b", "b_b"):
-                setattr(model.rnn, wn, arrays[f"rnn.{wn}"])
+                setattr(model.rnn, wn, f32(arrays[f"rnn.{wn}"]))
         return model
 
     # ------------------------------------------------------ encoder-lite
@@ -201,7 +210,7 @@ class NumpySpanModel:
             D = self.hidden_size
             pos = np.arange(max(T, 512))[:, None]
             div = np.exp(np.arange(0, D, 2) * (-np.log(10000.0) / D))
-            pe = np.zeros((max(T, 512), D))
+            pe = np.zeros((max(T, 512), D), dtype=np.float32)
             pe[:, 0::2] = np.sin(pos * div)
             pe[:, 1::2] = np.cos(pos * div)
             self._pos_cache = pe
@@ -213,7 +222,7 @@ class NumpySpanModel:
         """(B, T) ids → (B, T, D) contextual embeddings."""
         B, T = input_ids.shape
         e = self.embed[input_ids] + self._positions(T)[None, :, :]
-        e = e * attention_mask[:, :, None]
+        e = e * attention_mask[:, :, None].astype(np.float32)
         # ±1 neighborhood average = minimal context mixing
         ctx = e.copy()
         ctx[:, 1:] += e[:, :-1]
@@ -237,7 +246,7 @@ class NumpySpanModel:
         C = int(num_class_tokens.max()) if B else 0
         W = int(text_lengths.max()) if B else 0
 
-        prompts_embedding = np.zeros((B, C, D))
+        prompts_embedding = np.zeros((B, C, D), dtype=token_embeds.dtype)
         prompts_mask = (
             np.arange(C)[None, :] < num_class_tokens[:, None]
         ).astype(np.int64)
@@ -246,7 +255,7 @@ class NumpySpanModel:
         order = np.concatenate([np.arange(n) for n in num_class_tokens]) if B else []
         prompts_embedding[b_idx, order] = token_embeds[b_idx, t_idx]
 
-        words_embedding = np.zeros((B, W, D))
+        words_embedding = np.zeros((B, W, D), dtype=token_embeds.dtype)
         wb_idx, wt_idx = np.nonzero(words_mask > 0)
         target = words_mask[wb_idx, wt_idx] - 1
         words_embedding[wb_idx, target] = token_embeds[wb_idx, wt_idx]
@@ -315,14 +324,26 @@ class NumpySpanModel:
 
         span_idx, span_mask = self.span_grid(text_lengths, W)
 
-        # SpanMarkerV0 (span_rep.py:262-286)
+        # SpanMarkerV0 (span_rep.py:262-286). Project ONLY the valid
+        # spans (span_mask == 1): padding rows and past-the-end spans
+        # are masked to -30 below anyway, and at K=12 the out_project
+        # GEMM over the dense padded grid is the forward's hot spot.
         start_rep = self.project_start(words_embedding)
         end_rep = self.project_end(words_embedding)
-        b_ar = np.arange(B)[:, None]
-        start_span = start_rep[b_ar, span_idx[:, :, 0]]
-        end_span = end_rep[b_ar, span_idx[:, :, 1]]
-        cat = np.maximum(np.concatenate([start_span, end_span], axis=-1), 0.0)
-        span_rep = self.out_project(cat).reshape(B, W, K, D)
+        vb, vs = np.nonzero(span_mask)
+        cat = np.maximum(
+            np.concatenate(
+                [
+                    start_rep[vb, span_idx[vb, vs, 0]],
+                    end_rep[vb, span_idx[vb, vs, 1]],
+                ],
+                axis=-1,
+            ),
+            0.0,
+        )
+        span_rep = np.zeros((B, W * K, D), dtype=start_rep.dtype)
+        span_rep[vb, vs] = self.out_project(cat)
+        span_rep = span_rep.reshape(B, W, K, D)
         # kept for the decoder-mode stage (select_span_decoder_embedding
         # consumes span_rep alongside the scores, base.py:549-560)
         self.last_span_rep = span_rep

@@ -118,7 +118,9 @@ class NumpyGlinerScorer:
         logits, text_lengths = self.model.forward(
             token_lists, prompts_embedding=self.label_embeds
         )
-        probs = 1.0 / (1.0 + np.exp(-logits))  # (B, W, K, C)
+        # float64 sigmoid of the float32 logits — bit-identical to
+        # decode_logits' dense path so sparse == dense holds exactly
+        probs = 1.0 / (1.0 + np.exp(-logits.astype(np.float64)))  # (B, W, K, C)
         labels = self.model.labels
         out_s, out_k, out_label, out_score = [], [], [], []
         for i in range(len(token_lists)):

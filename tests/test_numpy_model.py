@@ -258,7 +258,10 @@ class TestBiLstm:
         m = NumpySpanModel(LABELS, hidden_size=32, max_width=4, seed=7, has_rnn=True)
         alone, _ = m.forward(short)
         batched, _ = m.forward(both)
-        np.testing.assert_allclose(alone[0, :2], batched[0, :2], atol=1e-12)
+        # float32 tolerance: BLAS GEMM summation order varies with the
+        # batch's row count, so bit-equality is not expected — a real
+        # mask leak would show O(1) differences, not ~1e-7
+        np.testing.assert_allclose(alone[0, :2], batched[0, :2], rtol=2e-5, atol=1e-6)
 
 
 class TestTokenModel:
