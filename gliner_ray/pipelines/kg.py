@@ -106,11 +106,17 @@ def extract_mentions(
             num_cpus=1,
         )
     chunks = files_ds.map_batches(make_chunker(cfg), batch_format="pyarrow")
+    # compute-heavy backends (the numpy model forward) declare a small
+    # preferred batch so work spreads across the pool instead of one
+    # task swallowing every chunk; cheap backends keep the big default
+    batch_size = (
+        getattr(scorer_cls, "preferred_batch_size", None) or cfg.scorer_batch_size
+    )
     scored = chunks.map_batches(
         scorer_cls,
         fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow",
-        batch_size=cfg.scorer_batch_size,
+        batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
     )

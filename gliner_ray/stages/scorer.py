@@ -86,6 +86,11 @@ class NumpyGlinerScorer:
     ``batch_predict_with_embeds`` ``model.py:476-531``).
     """
 
+    # ~40x more compute per chunk than DeterministicScorer: small
+    # batches so the actor pool parallelizes instead of one task
+    # swallowing the whole chunk table (see extract_mentions)
+    preferred_batch_size = 8
+
     def __init__(
         self,
         cfg: PipelineConfig,
