@@ -51,6 +51,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_daily_active_users": rel.q_daily_active_users,
         "q_top_orders_per_segment": rel.q_top_orders_per_segment,
         "q_approx_users_hll": rel.q_approx_users_hll,
+        "q_price_quantiles": rel.q_price_quantiles,
+        "q_qty_rollup": rel.q_qty_rollup,
+        "q_user_event_gaps": rel.q_user_event_gaps,
         # text analysis
         "doc_token_count": co.doc_token_count,
         "doc_tokens_routed": co.doc_tokens_routed,
@@ -103,6 +106,9 @@ def oracle_sql() -> dict[str, str]:
         "q_value_bands": rel.VALUE_BANDS_SQL,
         "q_daily_active_users": rel.DAILY_ACTIVE_SQL,
         "q_top_orders_per_segment": rel.TOP_PER_SEGMENT_SQL,
+        "q_price_quantiles": rel.PRICE_QUANTILES_SQL,
+        "q_qty_rollup": rel.QTY_ROLLUP_SQL,
+        "q_user_event_gaps": rel.USER_EVENT_GAPS_SQL,
         "doc_token_count": co.TOKEN_COUNT_SQL,
         "doc_tokens_routed": co.TOKENS_ROUTED_SQL,
         "doc_text_stats": co.TEXT_STATS_SQL,

@@ -1022,3 +1022,165 @@ def q_approx_users_hll(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
     return approx_distinct(ds, "user_id", group_col="event_type", p=12)
+
+
+# ------------------------------------------------- exact quantiles
+
+
+_QUANTILES = (0.25, 0.5, 0.75, 0.95)
+
+
+def q_price_quantiles(sf_dir: str):
+    """EXACT distributed quantiles without a global sort: per-batch
+    ``value_counts`` partials → one (value, count) groupby-sum — the
+    shuffle moves a DISTINCT-VALUE-sized histogram, not the fact table
+    — → driver cumsum + discrete-quantile pick. The collected
+    histogram is bounded by the value domain (prices in cents), not
+    the row count, so it stays metadata-sized at 10^12 rows.
+
+    Quantile semantics match DuckDB ``quantile_disc``: the element at
+    0-based index ``ceil(q·n) - 1`` of the sorted values.
+    """
+    from ray.data.aggregate import Sum
+
+    def hist(t: pa.Table) -> pa.Table:
+        cents = _floor_units(t["l_extendedprice"], 100)
+        vc = pc.value_counts(cents)
+        return pa.table(
+            {"cents": vc.field("values"), "cnt": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    h = (
+        _read(sf_dir, "lineitem", ["l_extendedprice"])
+        .map_batches(hist, batch_format="pyarrow")
+        .groupby("cents")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # distinct-value-sized (see docstring), not row-sized
+        .sort_values("cents", ignore_index=True)
+    )
+    cum = h["cnt"].cumsum().to_numpy()
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in _QUANTILES:
+        idx = max(int(np.ceil(q * n)), 1) - 1  # quantile_disc index
+        pos = int(np.searchsorted(cum, idx + 1, side="left"))
+        out_q.append(q)
+        out_v.append(int(h["cents"].iloc[pos]))
+    return pd.DataFrame({"q": out_q, "cents": pd.array(out_v, dtype="int64")})
+
+
+PRICE_QUANTILES_SQL = """
+WITH v AS (SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem)
+SELECT 0.25 AS q, quantile_disc(cents, 0.25) AS cents FROM v
+UNION ALL SELECT 0.50, quantile_disc(cents, 0.50) FROM v
+UNION ALL SELECT 0.75, quantile_disc(cents, 0.75) FROM v
+UNION ALL SELECT 0.95, quantile_disc(cents, 0.95) FROM v
+"""
+
+
+# ------------------------------------------------------ rollup
+
+
+def q_qty_rollup(sf_dir: str):
+    """ROLLUP (hierarchical subtotal) aggregate: sum of quantities by
+    (returnflag, linestatus), by returnflag, and the grand total, in
+    one pass. Only the FINEST level touches the fact table; the
+    coarser levels re-aggregate the group-sized result driver-side
+    (≤ flags × statuses rows), so no second scan and no extra shuffle.
+    NULL grouping keys are COALESCEd to 'ALL' on both engines.
+    """
+    from ray.data.aggregate import Sum
+
+    def qty(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": _floor_units(t["l_quantity"], 1),
+            }
+        )
+
+    fine = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+        .map_batches(qty, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("qty", alias_name="sum_qty"))
+        .to_pandas()  # group-sized: |flags| x |statuses| rows
+    )
+    lvl1 = (
+        fine.groupby("l_returnflag", as_index=False)["sum_qty"].sum()
+        .assign(l_linestatus="ALL")
+    )
+    total = pd.DataFrame(
+        {"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+         "sum_qty": [fine["sum_qty"].sum()]}
+    )
+    out = pd.concat([fine, lvl1, total], ignore_index=True)
+    out["sum_qty"] = out["sum_qty"].astype("int64")
+    return out[["l_returnflag", "l_linestatus", "sum_qty"]]
+
+
+QTY_ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+# ------------------------------------------------- lag window (gaps)
+
+
+def q_user_event_gaps(sf_dir: str):
+    """LAG window: per user, the count and total of microsecond gaps
+    between consecutive events (time ordered). Users hash-partition on
+    ``user_id % P`` (a user's events land in exactly one part), each
+    part sorts only its own rows and takes vectorized diffs — no
+    global sort. Integer outputs (count + sum of gaps) keep the oracle
+    hash exact; equal-timestamp ties don't matter because consecutive
+    diffs of a sorted multiset are permutation-invariant.
+    """
+    P = 16
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("part", pa.array(u % P, pa.int64()))
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values(["user_id", "ts"], ignore_index=True)
+        gap = s.groupby("user_id", sort=False)["ts"].diff()
+        keep = gap.notna()
+        g = pd.DataFrame(
+            {
+                "user_id": s.loc[keep, "user_id"],
+                "gap_us": (gap[keep].dt.total_seconds() * 1e6).round().astype(np.int64),
+            }
+        )
+        out = g.groupby("user_id", as_index=False).agg(
+            n_gaps=("gap_us", "size"), sum_gap_us=("gap_us", "sum")
+        )
+        out["n_gaps"] = out["n_gaps"].astype("int64")
+        return out
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(add_part, batch_format="pyarrow", batch_size=131072)
+        .groupby("part")
+        .map_groups(gaps, batch_format="pandas")
+    )
+
+
+USER_EVENT_GAPS_SQL = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
+FROM (
+    SELECT user_id,
+           date_diff('microsecond',
+                     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                     ts) AS gap_us
+    FROM events
+)
+WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
