@@ -68,9 +68,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_jaccard_dups": co.doc_ngram_jaccard_dups,
         "doc_simhash_dups": co.doc_simhash_dups,
         "emb_cosine_dups": co.emb_cosine_dups,
-        # similarity search
+        # similarity search / clustering
         "emb_ann_topk": co.emb_ann_topk,
         "emb_ivf_topk": co.emb_ivf_topk,
+        "emb_kmeans": co.emb_kmeans,
         # multimodal plumbing
         "media_features": co.media_features,
         # multitask pipelines (reference task API)

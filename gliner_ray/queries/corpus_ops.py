@@ -244,6 +244,27 @@ def emb_ivf_topk(sf_dir: str):
     return index.search(q, k=10, nprobe=4)
 
 
+def emb_kmeans(sf_dir: str):
+    """Distributed full-data Lloyd k-means over the embeddings table
+    (``functions/clustering.py``): each iteration is one streaming
+    pass whose per-block partials are metadata-sized (K x D sums +
+    counts), reduced driver-side in deterministic block order; then a
+    streaming nearest-centroid assignment. Returns per-cluster member
+    counts (rows-only; pytest checks exact parity vs the sequential
+    oracle and planted-cluster recovery)."""
+    from ray.data.aggregate import Count
+
+    from ..functions import clustering as fc
+
+    ds = _embs(sf_dir, ["vec_id", "embedding"])
+    centroids = fc.kmeans(ds, n_clusters=8, n_iter=5, seed=0)
+    return (
+        fc.assign_clusters(ds, centroids)
+        .groupby("cluster")
+        .aggregate(Count(alias_name="n_members"))
+    )
+
+
 # ------------------------------------------------------------- KG ops
 
 

@@ -570,3 +570,63 @@ class TestHyperLogLog:
         for _, row in out.iterrows():
             e = exact[row["event_type"]]
             assert abs(row["approx_distinct"] - e) / e < 0.05
+
+
+class TestDistributedKmeans:
+    """functions/clustering.py: full-data Lloyd with metadata-sized
+    per-block partials, vs the sequential same-order oracle."""
+
+    def _planted(self, n_per=60, k=4, d=16, seed=3):
+        rng = np.random.RandomState(seed)
+        centers = rng.randn(k, d) * 5
+        rows = np.concatenate(
+            [centers[i] + rng.randn(n_per, d) * 0.05 for i in range(k)]
+        )
+        return rows.astype(np.float32)
+
+    def _ds(self, rows):
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(len(rows)), pa.int64()),
+                    "embedding": pa.array(
+                        [r.tolist() for r in rows], pa.list_(pa.float32())
+                    ),
+                }
+            )
+        ).repartition(6)
+
+    def test_matches_sequential_oracle(self, ray_session):
+        from gliner_ray.functions import clustering as fc
+
+        rows = self._planted()
+        init = rows[::60][:4].astype(np.float64)  # one per planted cluster
+        cents = fc.kmeans(
+            self._ds(rows), n_clusters=4, n_iter=5, init_centroids=init
+        )
+        ref = fc.kmeans_sequential(rows, n_clusters=4, n_iter=5, init_centroids=init)
+        np.testing.assert_allclose(cents, ref, atol=1e-8)
+
+    def test_recovers_planted_clusters(self, ray_session):
+        from gliner_ray.functions import clustering as fc
+
+        rows = self._planted()
+        ds = self._ds(rows)
+        cents = fc.kmeans(ds, n_clusters=4, n_iter=8, seed=0)
+        out = fc.assign_clusters(ds, cents).to_pandas()
+        # every planted cluster maps to exactly one k-means cluster
+        truth = np.repeat(np.arange(4), 60)
+        for t in range(4):
+            got = out.loc[truth == t, "cluster"]
+            assert got.nunique() == 1, f"planted cluster {t} split"
+        assert out["cluster"].nunique() == 4
+
+    def test_assignment_deterministic_across_runs(self, ray_session):
+        from gliner_ray.functions import clustering as fc
+
+        rows = self._planted(seed=9)
+        a = fc.kmeans(self._ds(rows), n_clusters=4, n_iter=4, seed=1)
+        b = fc.kmeans(self._ds(rows), n_clusters=4, n_iter=4, seed=1)
+        np.testing.assert_array_equal(a, b)
