@@ -109,6 +109,169 @@ class _BiLstm:
         return np.concatenate([fwd, bwd], axis=-1)
 
 
+# -------------------------------- span-representation plugin registry
+#
+# ``SpanRepLayer`` (``modeling/span_rep.py:381-417``): the reference
+# dispatches on ``config.span_mode``. Each numpy twin exposes
+# ``__call__(words_embedding, span_idx, span_mask) -> (B, W, K, D)``
+# and ``weights()`` for the checkpoint. Marker modes gather endpoints
+# per span (and skip invalid spans — masked to -30 downstream); grid
+# modes (query/mlp/cat) derive every (position, width) cell from the
+# start token alone, exactly like the reference.
+
+
+class _SpanMarkerV0:
+    """``SpanMarkerV0`` (``span_rep.py:262-286``): project_start/end →
+    endpoint gather → concat → relu → out_project."""
+
+    def __init__(self, rng: np.random.RandomState, d: int, max_width: int):
+        self.project_start = _Projection(rng, d)
+        self.project_end = _Projection(rng, d)
+        self.out_project = _Projection(rng, d * 2, d)
+
+    def __call__(self, we, span_idx, span_mask):
+        B, W, D = we.shape
+        K = span_idx.shape[1] // W
+        start_rep = self.project_start(we)
+        end_rep = self.project_end(we)
+        vb, vs = np.nonzero(span_mask)
+        cat = np.maximum(
+            np.concatenate(
+                [start_rep[vb, span_idx[vb, vs, 0]],
+                 end_rep[vb, span_idx[vb, vs, 1]]],
+                axis=-1,
+            ),
+            0.0,
+        )
+        out = np.zeros((B, W * K, D), dtype=start_rep.dtype)
+        out[vb, vs] = self.out_project(cat)
+        return out.reshape(B, W, K, D)
+
+    def weights(self):
+        out = {}
+        for name in ("project_start", "project_end", "out_project"):
+            p = getattr(self, name)
+            for wn in ("w1", "b1", "w2", "b2"):
+                out[f"{name}.{wn}"] = getattr(p, wn)
+        return out
+
+
+class _SpanMarkerV1:
+    """``SpanMarkerV1`` (``span_rep.py:288-350``): endpoints plus a
+    sequence-mean feature → concat → relu → 3D→D out_project. Mirrors
+    the reference dataflow exactly, including that the mean is over
+    the PADDED axis and that ``project_first`` is instantiated but
+    unused in forward (``span_rep.py:303`` vs ``:318``)."""
+
+    def __init__(self, rng: np.random.RandomState, d: int, max_width: int):
+        self.project_start = _Projection(rng, d)
+        self.project_end = _Projection(rng, d)
+        self.project_first = _Projection(rng, d)  # dead layer, as in ref
+        self.out_project = _Projection(rng, d * 3, d)
+
+    def __call__(self, we, span_idx, span_mask):
+        B, W, D = we.shape
+        K = span_idx.shape[1] // W
+        start_rep = self.project_start(we)
+        end_rep = self.project_end(we)
+        mean_rep = we.mean(axis=1)  # (B, D), torch.mean(h, dim=1)
+        vb, vs = np.nonzero(span_mask)
+        cat = np.maximum(
+            np.concatenate(
+                [start_rep[vb, span_idx[vb, vs, 0]],
+                 end_rep[vb, span_idx[vb, vs, 1]],
+                 mean_rep[vb]],
+                axis=-1,
+            ),
+            0.0,
+        )
+        out = np.zeros((B, W * K, D), dtype=start_rep.dtype)
+        out[vb, vs] = self.out_project(cat)
+        return out.reshape(B, W, K, D)
+
+    def weights(self):
+        out = {}
+        for name in ("project_start", "project_end", "project_first", "out_project"):
+            p = getattr(self, name)
+            for wn in ("w1", "b1", "w2", "b2"):
+                out[f"{name}.{wn}"] = getattr(p, wn)
+        return out
+
+
+class _SpanMLP:
+    """``SpanMLP`` (``span_rep.py:33-50``): Linear(D → D·K), reshape
+    (B, L, K, D), relu."""
+
+    def __init__(self, rng: np.random.RandomState, d: int, max_width: int):
+        self.k = max_width
+        self.w, self.b = _linear_init(rng, d, d * max_width)
+
+    def __call__(self, we, span_idx, span_mask):
+        B, W, D = we.shape
+        rep = we.reshape(-1, D) @ self.w + self.b
+        return np.maximum(rep.reshape(B, W, self.k, D), 0.0)
+
+    def weights(self):
+        return {"mlp.w": self.w, "mlp.b": self.b}
+
+
+class _SpanCAT:
+    """``SpanCAT`` (``span_rep.py:53-81``): token rep ‖ a learned
+    128-d per-width query column → Linear(D+128 → D) → relu."""
+
+    QDIM = 128
+
+    def __init__(self, rng: np.random.RandomState, d: int, max_width: int):
+        self.k = max_width
+        self.query_seg = rng.standard_normal((self.QDIM, max_width)).astype(
+            np.float32
+        )
+        self.w, self.b = _linear_init(rng, d + self.QDIM, d)
+
+    def __call__(self, we, span_idx, span_mask):
+        B, W, D = we.shape
+        K = self.k
+        h = np.broadcast_to(we[:, :, None, :], (B, W, K, D))
+        q = np.broadcast_to(
+            self.query_seg.T[None, None, :, :], (B, W, K, self.QDIM)
+        )
+        cat = np.concatenate([h, q], axis=-1).reshape(-1, D + self.QDIM)
+        return np.maximum((cat @ self.w + self.b).reshape(B, W, K, D), 0.0)
+
+    def weights(self):
+        return {"cat.query_seg": self.query_seg, "cat.w": self.w, "cat.b": self.b}
+
+
+class _SpanQuery:
+    """``SpanQuery`` (``span_rep.py:7-30``): uniform(-1,1) query
+    matrix (D, K), ``bld,ds->blsd`` einsum → Linear(D → D) → relu."""
+
+    def __init__(self, rng: np.random.RandomState, d: int, max_width: int):
+        self.k = max_width
+        self.query_seg = rng.uniform(-1.0, 1.0, size=(d, max_width)).astype(
+            np.float32
+        )
+        self.w, self.b = _linear_init(rng, d, d)
+
+    def __call__(self, we, span_idx, span_mask):
+        B, W, D = we.shape
+        rep = np.einsum("bld,ds->blsd", we, self.query_seg)
+        rep = rep.reshape(-1, D) @ self.w + self.b
+        return np.maximum(rep.reshape(B, W, self.k, D), 0.0)
+
+    def weights(self):
+        return {"query.query_seg": self.query_seg, "query.w": self.w, "query.b": self.b}
+
+
+SPAN_MODES = {
+    "markerV0": _SpanMarkerV0,
+    "markerV1": _SpanMarkerV1,
+    "mlp": _SpanMLP,
+    "cat": _SpanCAT,
+    "query": _SpanQuery,
+}
+
+
 class NumpySpanModel:
     """SpanModel forward (``modeling/base.py:498-551``) in numpy."""
 
@@ -120,6 +283,7 @@ class NumpySpanModel:
         vocab_size: int = 50_000,
         seed: int = 1234,
         has_rnn: bool = False,
+        span_mode: str = "markerV0",
     ):
         rng = np.random.RandomState(seed)
         D = hidden_size
@@ -129,16 +293,20 @@ class NumpySpanModel:
         self.vocab_size = vocab_size
         self.seed = seed
         self.has_rnn = has_rnn
+        self.span_mode = span_mode
         self.tokenizer = ToySubwordTokenizer(vocab_size=vocab_size)
         # encoder-lite weights
         self.embed = (rng.standard_normal((vocab_size, D)) / np.sqrt(D)).astype(
             np.float32
         )
         self.mix_w, self.mix_b = _linear_init(rng, D, D)
-        # heads (reference layer names)
-        self.project_start = _Projection(rng, D)
-        self.project_end = _Projection(rng, D)
-        self.out_project = _Projection(rng, D * 2, D)
+        # span-rep plugin (same rng position as the pre-registry layout
+        # so markerV0 results are unchanged)
+        if span_mode not in SPAN_MODES:
+            raise ValueError(
+                f"unknown span_mode {span_mode!r}; one of {sorted(SPAN_MODES)}"
+            )
+        self.span_rep_layer = SPAN_MODES[span_mode](rng, D, max_width)
         self.prompt_rep_layer = _Projection(rng, D)
         # optional word-level BiLSTM (config.has_rnn, base.py:106-107)
         self.rnn = _BiLstm(rng, D) if has_rnn else None
@@ -148,10 +316,10 @@ class NumpySpanModel:
     # ----------------------------------------- checkpoint sink / source
     def _weight_arrays(self) -> dict[str, np.ndarray]:
         out = {"embed": self.embed, "mix_w": self.mix_w, "mix_b": self.mix_b}
-        for name in ("project_start", "project_end", "out_project", "prompt_rep_layer"):
-            p = getattr(self, name)
-            for wn in ("w1", "b1", "w2", "b2"):
-                out[f"{name}.{wn}"] = getattr(p, wn)
+        for wn, arr in self.span_rep_layer.weights().items():
+            out[f"span_rep.{wn}"] = arr
+        for wn in ("w1", "b1", "w2", "b2"):
+            out[f"prompt_rep_layer.{wn}"] = getattr(self.prompt_rep_layer, wn)
         if self.rnn is not None:
             for wn in ("w_f", "b_f", "w_b", "b_b"):
                 out[f"rnn.{wn}"] = getattr(self.rnn, wn)
@@ -175,6 +343,7 @@ class NumpySpanModel:
                     "vocab_size": self.vocab_size,
                     "seed": self.seed,
                     "has_rnn": self.has_rnn,
+                    "span_mode": self.span_mode,
                 },
                 f,
             )
@@ -195,10 +364,17 @@ class NumpySpanModel:
         f32 = lambda a: a.astype(np.float32, copy=False)  # noqa: E731
         model.embed = f32(arrays["embed"])
         model.mix_w, model.mix_b = f32(arrays["mix_w"]), f32(arrays["mix_b"])
-        for name in ("project_start", "project_end", "out_project", "prompt_rep_layer"):
-            p = getattr(model, name)
-            for wn in ("w1", "b1", "w2", "b2"):
-                setattr(p, wn, f32(arrays[f"{name}.{wn}"]))
+        layer = model.span_rep_layer
+        for key in layer.weights():
+            parts = key.split(".")
+            target = (
+                getattr(layer, parts[0])
+                if len(parts) == 2 and isinstance(getattr(layer, parts[0], None), _Projection)
+                else layer
+            )
+            setattr(target, parts[-1], f32(arrays[f"span_rep.{key}"]))
+        for wn in ("w1", "b1", "w2", "b2"):
+            setattr(model.prompt_rep_layer, wn, f32(arrays[f"prompt_rep_layer.{wn}"]))
         if model.rnn is not None:
             for wn in ("w_f", "b_f", "w_b", "b_b"):
                 setattr(model.rnn, wn, f32(arrays[f"rnn.{wn}"]))
@@ -324,26 +500,12 @@ class NumpySpanModel:
 
         span_idx, span_mask = self.span_grid(text_lengths, W)
 
-        # SpanMarkerV0 (span_rep.py:262-286). Project ONLY the valid
-        # spans (span_mask == 1): padding rows and past-the-end spans
-        # are masked to -30 below anyway, and at K=12 the out_project
-        # GEMM over the dense padded grid is the forward's hot spot.
-        start_rep = self.project_start(words_embedding)
-        end_rep = self.project_end(words_embedding)
-        vb, vs = np.nonzero(span_mask)
-        cat = np.maximum(
-            np.concatenate(
-                [
-                    start_rep[vb, span_idx[vb, vs, 0]],
-                    end_rep[vb, span_idx[vb, vs, 1]],
-                ],
-                axis=-1,
-            ),
-            0.0,
-        )
-        span_rep = np.zeros((B, W * K, D), dtype=start_rep.dtype)
-        span_rep[vb, vs] = self.out_project(cat)
-        span_rep = span_rep.reshape(B, W, K, D)
+        # span-rep plugin dispatch (SpanRepLayer, span_rep.py:381-417).
+        # Marker modes project ONLY the valid spans (span_mask == 1):
+        # padding rows and past-the-end spans are masked to -30 below
+        # anyway, and at K=12 the out_project GEMM over the dense
+        # padded grid is the forward's hot spot.
+        span_rep = self.span_rep_layer(words_embedding, span_idx, span_mask)
         # kept for the decoder-mode stage (select_span_decoder_embedding
         # consumes span_rep alongside the scores, base.py:549-560)
         self.last_span_rep = span_rep

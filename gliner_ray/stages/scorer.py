@@ -97,6 +97,7 @@ class NumpyGlinerScorer:
         hidden_size: int = 64,
         seed: int = 1234,
         model_dir: str | None = None,
+        span_mode: str = "markerV0",
     ):
         import numpy as np
 
@@ -113,6 +114,7 @@ class NumpyGlinerScorer:
                 hidden_size=hidden_size,
                 max_width=cfg.max_width,
                 seed=seed,
+                span_mode=span_mode,
             )
         self.label_embeds = self.model.label_embeddings()  # (C, D), cached
         self.emit_threshold = cfg.threshold

@@ -300,3 +300,53 @@ class TestTokenModel:
                 h = np.maximum(cat @ head.w_m1 + head.b_m1, 0.0)
                 want = h @ head.w_m2 + head.b_m2
                 np.testing.assert_allclose(got[0, i, c], want)
+
+
+class TestSpanModeRegistry:
+    """SpanRepLayer plugin registry (span_rep.py:381-417): every mode
+    produces the (B, W, K, D)-shaped grid, is deterministic, honors
+    the span mask, and checkpoint-round-trips exactly."""
+
+    MODES = ["markerV0", "markerV1", "mlp", "cat", "query"]
+
+    @pytest.mark.parametrize("mode", MODES)
+    def test_shapes_determinism_and_masking(self, mode):
+        toks = [["def", "alpha", "beta"], ["x"]]
+        m1 = NumpySpanModel(LABELS, hidden_size=32, max_width=4, seed=7,
+                            span_mode=mode)
+        m2 = NumpySpanModel(LABELS, hidden_size=32, max_width=4, seed=7,
+                            span_mode=mode)
+        l1, tl = m1.forward(toks)
+        l2, _ = m2.forward(toks)
+        assert l1.shape == (2, 3, 4, 3)
+        np.testing.assert_array_equal(l1, l2)
+        # invalid spans (past row end) are hard-masked in every mode
+        assert (l1[1, 0, 1:, :] == -30.0).all()  # row 1 has 1 token
+        assert (l1[:, :, :, :][np.isfinite(l1)] > -1e9).all()
+
+    @pytest.mark.parametrize("mode", MODES)
+    def test_checkpoint_roundtrip(self, mode, tmp_path):
+        m = NumpySpanModel(LABELS, hidden_size=32, max_width=4, seed=7,
+                           span_mode=mode)
+        d = m.save(str(tmp_path / f"ckpt_{mode}"))
+        m2 = NumpySpanModel.load(d)
+        assert m2.span_mode == mode
+        toks = [["one", "two", "three"]]
+        np.testing.assert_allclose(m.forward(toks)[0], m2.forward(toks)[0])
+
+    def test_modes_differ(self):
+        toks = [["gamma", "delta", "eps"]]
+        outs = {
+            mode: NumpySpanModel(
+                LABELS, hidden_size=32, max_width=4, seed=7, span_mode=mode
+            ).forward(toks)[0]
+            for mode in self.MODES
+        }
+        vals = list(outs.values())
+        for i in range(len(vals)):
+            for j in range(i + 1, len(vals)):
+                assert not np.allclose(vals[i], vals[j])
+
+    def test_unknown_mode_rejected(self):
+        with pytest.raises(ValueError, match="span_mode"):
+            NumpySpanModel(LABELS, span_mode="conv_warp")
