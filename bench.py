@@ -113,6 +113,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "q_asof_purchase_click": rel.q_asof_purchase_click,
         "q_user_rolling_1h": rel.q_user_rolling_1h,
         "q_daily_active_users": rel.q_daily_active_users,
+        "q_price_quantiles": rel.q_price_quantiles,
+        "q_user_event_gaps": rel.q_user_event_gaps,
+        "emb_kmeans": co.emb_kmeans,
     }
     qtimes: dict[str, float] = {}
     for name, fn in query_fns.items():

@@ -1031,42 +1031,83 @@ _QUANTILES = (0.25, 0.5, 0.75, 0.95)
 
 
 def q_price_quantiles(sf_dir: str):
-    """EXACT distributed quantiles without a global sort: per-batch
-    ``value_counts`` partials → one (value, count) groupby-sum — the
-    shuffle moves a DISTINCT-VALUE-sized histogram, not the fact table
-    — → driver cumsum + discrete-quantile pick. The collected
-    histogram is bounded by the value domain (prices in cents), not
-    the row count, so it stays metadata-sized at 10^12 rows.
+    """EXACT distributed quantiles by iterative bin narrowing — no
+    global sort, no shuffle, and nothing row-sized or
+    distinct-value-sized ever reaches the driver.
+
+    Pass 0 aggregates (min, max, count). Each subsequent pass bins
+    every quantile's current [lo, hi] range into ``NB`` fixed-width
+    integer bins; a batch emits ONE row of bin counts (metadata-sized
+    regardless of row count), the driver sums them, locates the bin
+    holding each quantile's rank, and narrows. Integer domains
+    converge to width-1 bins in ``log_NB(range)`` passes (two for
+    cent prices), at which point the bin IS the exact value — so a
+    heavy-duplicate value can never blow up a collection step, because
+    there is none. Each pass is one column-pruned streaming scan.
 
     Quantile semantics match DuckDB ``quantile_disc``: the element at
     0-based index ``ceil(q·n) - 1`` of the sorted values.
     """
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Count, Max, Min
 
-    def hist(t: pa.Table) -> pa.Table:
-        cents = _floor_units(t["l_extendedprice"], 100)
-        vc = pc.value_counts(cents)
-        return pa.table(
-            {"cents": vc.field("values"), "cnt": pc.cast(vc.field("counts"), pa.int64())}
-        )
+    NB = 4096
 
-    h = (
-        _read(sf_dir, "lineitem", ["l_extendedprice"])
-        .map_batches(hist, batch_format="pyarrow")
-        .groupby("cents")
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .to_pandas()  # distinct-value-sized (see docstring), not row-sized
-        .sort_values("cents", ignore_index=True)
+    cents_ds = _read(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
+        lambda t: pa.table({"cents": _floor_units(t["l_extendedprice"], 100)}),
+        batch_format="pyarrow",
     )
-    cum = h["cnt"].cumsum().to_numpy()
-    n = int(cum[-1]) if len(cum) else 0
-    out_q, out_v = [], []
-    for q in _QUANTILES:
-        idx = max(int(np.ceil(q * n)), 1) - 1  # quantile_disc index
-        pos = int(np.searchsorted(cum, idx + 1, side="left"))
-        out_q.append(q)
-        out_v.append(int(h["cents"].iloc[pos]))
-    return pd.DataFrame({"q": out_q, "cents": pd.array(out_v, dtype="int64")})
+    stats = cents_ds.aggregate(
+        Min("cents", alias_name="lo"),
+        Max("cents", alias_name="hi"),
+        Count(alias_name="n"),
+    )
+    n = int(stats["n"])
+    if n == 0:
+        return pd.DataFrame({"q": [], "cents": pd.array([], dtype="int64")})
+    # per quantile: target 0-based rank, current range, ranks below lo
+    state = [
+        {"rank": max(int(np.ceil(q * n)), 1) - 1,
+         "lo": int(stats["lo"]), "hi": int(stats["hi"]), "below": 0}
+        for q in _QUANTILES
+    ]
+    while any(s["hi"] > s["lo"] for s in state):
+        ranges = [
+            (s["lo"], max(1, (s["hi"] - s["lo"] + NB) // NB)) for s in state
+        ]
+
+        his = [s["hi"] for s in state]
+
+        def bin_counts(t: pa.Table, ranges=ranges, his=his) -> pa.Table:
+            v = t["cents"].to_numpy(zero_copy_only=False)
+            rows = []
+            for (lo, width), hi in zip(ranges, his):
+                # out-of-range values are EXCLUDED: below-lo ranks are
+                # already in `below`, clipping would double-count them
+                m = v[(v >= lo) & (v <= hi)]
+                idx = np.minimum((m - lo) // width, NB - 1)
+                rows.append(np.bincount(idx, minlength=NB))
+            return pa.table(
+                {"counts": pa.array([np.concatenate(rows).tolist()],
+                                    pa.list_(pa.int64()))}
+            )
+
+        parts = cents_ds.map_batches(bin_counts, batch_format="pyarrow").take_all()
+        total = np.sum(
+            [np.asarray(r["counts"], dtype=np.int64) for r in parts], axis=0
+        ).reshape(len(state), NB)
+        for i, s in enumerate(state):
+            if s["hi"] <= s["lo"]:
+                continue
+            lo, width = ranges[i]
+            cum = np.cumsum(total[i])
+            b = int(np.searchsorted(cum, s["rank"] - s["below"] + 1, side="left"))
+            s["below"] += int(cum[b - 1]) if b else 0
+            s["lo"] = lo + b * width
+            s["hi"] = min(s["hi"], lo + (b + 1) * width - 1)
+    return pd.DataFrame(
+        {"q": list(_QUANTILES),
+         "cents": pd.array([s["lo"] for s in state], dtype="int64")}
+    )
 
 
 PRICE_QUANTILES_SQL = """
