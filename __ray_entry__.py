@@ -20,6 +20,7 @@ from typing import Any
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from gliner_ray.queries import corpus_ops as co  # noqa: E402
+from gliner_ray.queries import graph_ops as go  # noqa: E402
 from gliner_ray.queries import relational as rel  # noqa: E402
 
 
@@ -72,6 +73,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ann_topk": co.emb_ann_topk,
         "emb_ivf_topk": co.emb_ivf_topk,
         "emb_kmeans": co.emb_kmeans,
+        # graph analytics (degree / components / pagerank)
+        "q_user_item_degree": go.q_user_item_degree,
+        "graph_components": go.graph_components,
+        "graph_pagerank": go.graph_pagerank,
         # multimodal plumbing
         "media_features": co.media_features,
         # multitask pipelines (reference task API)
@@ -117,5 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": co.LANG_ID_SQL,
         "doc_split_counts": co.SPLIT_COUNTS_SQL,
         "doc_exact_dedup": co.EXACT_DEDUP_SQL,
+        "q_user_item_degree": go.USER_ITEM_DEGREE_SQL,
+        "graph_components": go.GRAPH_COMPONENTS_SQL,
         "emb_ann_topk": co.ANN_TOPK_SQL,
     }

@@ -1,0 +1,393 @@
+"""Graph analytics over (src, dst) edge tables — the "graph
+materialize" leg of the KG engine: degree, connected components, and
+PageRank over materialized triple/edge tables.
+
+Scale design:
+
+- **degree** — in-batch distinct combiner → one int-key-partitioned
+  shuffle → per-part distinct counts (the same
+  hash-partition-beats-string-groupby idiom as ``q_daily_active_users``).
+- **connected_components** — dual path, identical results: a
+  count-guarded driver union-find over the (deduped, usually
+  vocabulary-sized) edge set, or distributed min-label propagation
+  (``Dataset.join`` + ``groupby().min`` to fixpoint) above the guard —
+  the groupby-aggregate union-find merge of the north rule, generic
+  over any string-keyed edge table.
+- **pagerank** — Pregel-style partition actors (a genuinely iterative
+  stateful computation: re-shuffling the edge table through the object
+  store every iteration, as a Dataset-join formulation would, moves
+  edge-sized data O(iterations) times; the actor pool moves it ONCE,
+  then per-iteration traffic is the per-partition-aggregated
+  contribution vectors — node-sized, not edge-sized). Edges are
+  hash-partitioned by ``crc32(src) % P`` so every rank lookup is
+  actor-local; contributions are pre-aggregated per dst INSIDE the
+  sending actor before crossing partitions. Dangling-node mass is
+  redistributed uniformly each iteration (standard formulation).
+
+The reference has no graph stage; this generalizes the entity-linking
+component merge (``stages/linker.py``) to arbitrary edge tables, e.g.
+the (subj, obj) pairs of the materialized triples table.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels.linking import link_variant_edges
+
+if TYPE_CHECKING:  # pragma: no cover
+    import ray.data
+
+# driver union-find only below this many distinct edges (same knob
+# shape as PipelineConfig.link_broadcast_limit)
+CC_BROADCAST_LIMIT = 2_000_000
+
+
+def _stable_part(values: list[str], n_parts: int) -> np.ndarray:
+    """Deterministic partition ids (crc32 — Python ``hash()`` is
+    per-process salted and MUST NOT cross workers)."""
+    return np.fromiter(
+        (zlib.crc32(v.encode("utf-8")) % n_parts for v in values),
+        dtype=np.int64,
+        count=len(values),
+    )
+
+
+def symmetric_edges(
+    edges_ds: "ray.data.Dataset", src: str = "src", dst: str = "dst"
+) -> "ray.data.Dataset":
+    """Batch-local-deduped symmetric (a, b) edge pairs."""
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t[src].to_pylist()
+        b = t[dst].to_pylist()
+        seen = set()
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                continue
+            seen.add((x, y))
+            seen.add((y, x))
+        if seen:
+            va, vb = zip(*sorted(seen))
+        else:
+            va, vb = (), ()
+        return pa.table({"a": pa.array(list(va), pa.string()),
+                         "b": pa.array(list(vb), pa.string())})
+
+    return edges_ds.map_batches(sym, batch_format="pyarrow")
+
+
+def connected_components(
+    edges_ds: "ray.data.Dataset",
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_limit: int = CC_BROADCAST_LIMIT,
+    num_partitions: int = 8,
+    max_rounds: int = 32,
+    force_distributed: bool = False,
+) -> "ray.data.Dataset":
+    """→ Dataset(node, component); component = lexicographic min node
+    of the connected component. Every endpoint of every edge appears
+    exactly once as ``node``."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min, Sum
+
+    sym = symmetric_edges(edges_ds, src, dst)
+
+    if not force_distributed:
+        mat = sym.materialize()
+        if mat.count() <= broadcast_limit:
+            df = mat.to_pandas().drop_duplicates()
+            if len(df) == 0:
+                return rd.from_arrow(
+                    pa.table({"node": pa.array([], pa.string()),
+                              "component": pa.array([], pa.string())})
+                )
+            emap = link_variant_edges(zip(df["a"], df["b"]))
+            # strip the linker's "ent:" canonical-id prefix → raw min node
+            out = pa.table(
+                {
+                    "node": pa.array(sorted(emap), pa.string()),
+                    "component": pa.array(
+                        [emap[k][4:] for k in sorted(emap)], pa.string()
+                    ),
+                }
+            )
+            return rd.from_arrow(out)
+        sym = mat
+
+    # distributed min-label propagation to fixpoint (joins go through
+    # functions/joins.hash_join — Ray 2.49's Dataset.join crashes on the
+    # zero-column empty blocks that groupby emits for empty partitions)
+    from .joins import hash_join
+
+    edges = (
+        sym.groupby(["a", "b"], num_partitions=num_partitions)
+        .aggregate(Count(alias_name="n"))
+        .drop_columns(["n"])
+        .materialize()
+    )
+    labels = (
+        edges.select_columns(["a"])
+        .groupby("a")
+        .aggregate(Min("a", alias_name="label"))
+        .rename_columns({"a": "node"})
+        .materialize()
+    )
+    for _ in range(max_rounds):
+        proposals = (
+            hash_join(
+                edges, labels,
+                left_on="a", right_on="node",
+                num_partitions=num_partitions,
+            )
+            .select_columns(["b", "label"])
+            .rename_columns({"b": "node"})
+        )
+        new_labels = (
+            proposals.union(labels.select_columns(["node", "label"]))
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        changed = (
+            hash_join(
+                new_labels, labels.rename_columns({"label": "old_label"}),
+                left_on="node", right_on="node",
+                num_partitions=num_partitions,
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {"c": pa.array(
+                        [int(np.sum(np.asarray(t["label"]) != np.asarray(t["old_label"])))],
+                        pa.int64())}
+                ),
+                batch_format="pyarrow",
+            )
+            .aggregate(Sum("c", alias_name="changed"))
+        )
+        labels = new_labels
+        if not changed or changed.get("changed", 0) == 0:
+            break
+    return labels.rename_columns({"label": "component"})
+
+
+# --------------------------------------------------------------- PageRank
+
+
+def _pagerank_shard_cls():
+    """Define the actor class lazily so importing this module never
+    requires an initialized Ray runtime."""
+    import ray
+
+    @ray.remote(num_cpus=1)
+    class PagerankShard:
+        """One edge partition (all edges whose src hashes here) plus
+        the rank shard for the nodes that hash here."""
+
+        def __init__(self, part_id: int, n_parts: int):
+            self.part_id = part_id
+            self.n_parts = n_parts
+            self._src_chunks: list[np.ndarray] = []
+            self._dst_chunks: list[np.ndarray] = []
+            self._node_chunks: list[np.ndarray] = []
+
+        def ingest(self, srcs, dsts, owned_nodes) -> int:
+            if len(srcs):
+                self._src_chunks.append(np.asarray(srcs, dtype=object))
+                self._dst_chunks.append(np.asarray(dsts, dtype=object))
+            if len(owned_nodes):
+                self._node_chunks.append(np.asarray(owned_nodes, dtype=object))
+            return len(srcs)
+
+        def finalize(self) -> int:
+            """Build sorted owned-node index + edge arrays; return
+            n_owned so the driver can compute global N."""
+            nodes = (
+                np.unique(np.concatenate(self._node_chunks))
+                if self._node_chunks
+                else np.array([], dtype=object)
+            )
+            self.nodes = nodes
+            self.n_owned = len(nodes)
+            if self._src_chunks:
+                src = np.concatenate(self._src_chunks)
+                dst = np.concatenate(self._dst_chunks)
+            else:
+                src = dst = np.array([], dtype=object)
+            # dedup edges; map src → local owned index (every src of an
+            # edge in this shard hashes here by construction)
+            if len(src):
+                import pandas as pd
+
+                df = pd.DataFrame({"s": src, "d": dst}).drop_duplicates()
+                src = df["s"].to_numpy()
+                dst = df["d"].to_numpy()
+            self.src_idx = np.searchsorted(nodes, src) if len(src) else np.array([], dtype=np.int64)
+            self.dst = dst
+            self.outdeg = np.bincount(self.src_idx, minlength=self.n_owned).astype(np.float64)
+            # pre-route each dst to its owner partition, pre-grouped:
+            # per owner, (unique local dst array, scatter index per edge)
+            self._route = []
+            if len(dst):
+                owner = np.fromiter(
+                    (zlib.crc32(d.encode("utf-8")) % self.n_parts for d in dst),
+                    dtype=np.int64, count=len(dst))
+            else:
+                owner = np.array([], dtype=np.int64)
+            for p in range(self.n_parts):
+                sel = np.flatnonzero(owner == p)
+                d_p = dst[sel] if len(sel) else np.array([], dtype=object)
+                uniq, inv = (np.unique(d_p, return_inverse=True)
+                             if len(d_p) else (np.array([], dtype=object), np.array([], dtype=np.int64)))
+                self._route.append((sel, uniq, inv))
+            self._src_chunks = self._dst_chunks = self._node_chunks = None
+            return self.n_owned
+
+        def begin(self, n_total: int) -> None:
+            self.n_total = n_total
+            self.rank = np.full(self.n_owned, 1.0 / n_total) if self.n_owned else np.zeros(0)
+
+        def contribute(self):
+            """One half-iteration: per-dst-aggregated outgoing
+            contributions, grouped by destination owner. Returns
+            ([(dst_nodes, sums)] * P, dangling_mass)."""
+            share = np.zeros(self.n_owned)
+            nz = self.outdeg > 0
+            share[nz] = self.rank[nz] / self.outdeg[nz]
+            per_edge = share[self.src_idx] if len(self.src_idx) else np.zeros(0)
+            out = []
+            for sel, uniq, inv in self._route:
+                sums = np.zeros(len(uniq))
+                if len(sel):
+                    np.add.at(sums, inv, per_edge[sel])
+                out.append((uniq, sums))
+            dangling = float(self.rank[~nz].sum()) if self.n_owned else 0.0
+            return out, dangling
+
+        def apply(self, incoming, dangling_total: float, damping: float) -> float:
+            """Second half-iteration: fold the P incoming aggregated
+            vectors into the owned rank shard. Returns the shard's L1
+            rank change (driver sums for convergence)."""
+            agg = np.zeros(self.n_owned)
+            for uniq, sums in incoming:
+                if len(uniq):
+                    idx = np.searchsorted(self.nodes, uniq)
+                    agg[idx] += sums
+            base = (1.0 - damping) / self.n_total
+            new_rank = base + damping * (agg + dangling_total / self.n_total)
+            delta = float(np.abs(new_rank - self.rank).sum())
+            self.rank = new_rank
+            return delta
+
+        def result(self):
+            return pa.table(
+                {
+                    "node": pa.array(list(self.nodes), pa.string()),
+                    "rank": pa.array(self.rank, pa.float64()),
+                }
+            )
+
+    return PagerankShard
+
+
+def pagerank(
+    edges_ds: "ray.data.Dataset",
+    src: str = "src",
+    dst: str = "dst",
+    n_parts: int = 8,
+    n_iter: int = 20,
+    damping: float = 0.85,
+    tol: float = 1e-10,
+):
+    """Distributed PageRank → Dataset(node, rank); Σ rank = 1.
+
+    Duplicate (src, dst) edges count once (simple graph). Converges
+    when the global L1 change ≤ ``tol`` or after ``n_iter`` rounds.
+    """
+    import ray
+    import ray.data as rd
+
+    cls = _pagerank_shard_cls()
+    actors = [cls.remote(p, n_parts) for p in range(n_parts)]
+
+    def route(t: pa.Table) -> pa.Table:
+        """Streaming ingest: each block ships its edges (split by src
+        owner) and its endpoint sets (split by node owner) straight to
+        the shard actors — the edge table crosses the wire exactly once."""
+        pairs = [
+            (x, y)
+            for x, y in zip(t[src].to_pylist(), t[dst].to_pylist())
+            if x is not None and y is not None
+        ]
+        s_arr = np.asarray([p[0] for p in pairs], dtype=object)
+        d_arr = np.asarray([p[1] for p in pairs], dtype=object)
+        sp = _stable_part(list(s_arr), n_parts) if len(s_arr) else np.array([], dtype=np.int64)
+        nodes = np.unique(np.concatenate([s_arr, d_arr])) if len(s_arr) else np.array([], dtype=object)
+        npart = _stable_part(list(nodes), n_parts) if len(nodes) else np.array([], dtype=np.int64)
+        refs = []
+        for p in range(n_parts):
+            es = np.flatnonzero(sp == p)
+            ns = np.flatnonzero(npart == p)
+            if len(es) or len(ns):
+                refs.append(actors[p].ingest.remote(
+                    list(s_arr[es]), list(d_arr[es]), list(nodes[ns])))
+        ray.get(refs)
+        return pa.table({"n": pa.array([len(s_arr)], pa.int64())})
+
+    edges_ds.map_batches(route, batch_format="pyarrow").count()
+    n_owned = ray.get([a.finalize.remote() for a in actors])
+    n_total = int(sum(n_owned))
+    if n_total == 0:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.string()),
+                                       "rank": pa.array([], pa.float64())}))
+    ray.get([a.begin.remote(n_total) for a in actors])
+    for _ in range(n_iter):
+        halves = ray.get([a.contribute.remote() for a in actors])
+        dangling_total = sum(h[1] for h in halves)
+        deltas = ray.get([
+            actors[p].apply.remote(
+                [halves[q][0][p] for q in range(n_parts)], dangling_total, damping
+            )
+            for p in range(n_parts)
+        ])
+        if sum(deltas) <= tol:
+            break
+    tables = ray.get([a.result.remote() for a in actors])
+    for a in actors:
+        ray.kill(a)
+    return rd.from_arrow([t for t in tables if t.num_rows] or [tables[0]])
+
+
+def pagerank_sequential(
+    edges: list[tuple[str, str]], n_iter: int = 20, damping: float = 0.85,
+    tol: float = 1e-10,
+) -> dict[str, float]:
+    """In-memory oracle with the same formulation (dedup, dangling
+    redistribution, (1-d)/N base) for pytest parity."""
+    uniq = sorted(set(edges))
+    nodes = sorted({x for e in uniq for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    if n == 0:
+        return {}
+    out = np.zeros(n)
+    for s, _ in uniq:
+        out[idx[s]] += 1
+    rank = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        contrib = np.zeros(n)
+        for s, d in uniq:
+            contrib[idx[d]] += rank[idx[s]] / out[idx[s]]
+        dangling = rank[out == 0].sum()
+        new_rank = (1 - damping) / n + damping * (contrib + dangling / n)
+        if np.abs(new_rank - rank).sum() <= tol:
+            rank = new_rank
+            break
+        rank = new_rank
+    return {v: float(rank[idx[v]]) for v in nodes}

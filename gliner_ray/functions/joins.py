@@ -34,10 +34,14 @@ def hash_join(
     right_on: str,
     num_partitions: int = 8,
 ) -> "ray.data.Dataset":
-    """Inner equi-join on int64 keys. Output columns: all left columns
-    + right columns except ``right_on`` (matching pyarrow's
-    coalesce-keys inner-join shape)."""
+    """Inner equi-join on int64 OR string keys. Output columns: all
+    left columns + right columns except ``right_on`` (matching
+    pyarrow's coalesce-keys inner-join shape). String keys partition
+    via ``pd.util.hash_array`` (deterministic fixed-key siphash — safe
+    across worker processes, unlike Python ``hash``)."""
     ls, rs = left.schema(), right.schema()
+    key_type = ls.types[ls.names.index(left_on)]
+    str_key = pa.types.is_string(key_type) or pa.types.is_large_string(key_type)
     l_fields = [pa.field(n, t) for n, t in zip(ls.names, ls.types)]
     r_fields = [
         pa.field(n, t) for n, t in zip(rs.names, rs.types) if n != right_on
@@ -47,7 +51,8 @@ def hash_join(
         raise ValueError(f"overlapping non-key columns: {sorted(dup)}")
     out_schema = pa.schema(l_fields + r_fields)
     union_schema = pa.schema(
-        [pa.field("__part", pa.int64()), pa.field("__key", pa.int64()),
+        [pa.field("__part", pa.int64()),
+         pa.field("__key", pa.string() if str_key else pa.int64()),
          pa.field("__side", pa.int8())]
         + l_fields
         + r_fields
@@ -60,11 +65,22 @@ def hash_join(
         def fn(t: pa.Table) -> pa.Table:
             if t.num_rows == 0 or key_col not in t.column_names:
                 return union_schema.empty_table()
-            keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if str_key:
+                import pandas as pd
+
+                keys = t[key_col].cast(pa.string())
+                parts = (
+                    pd.util.hash_array(keys.to_numpy(zero_copy_only=False))
+                    % P
+                ).astype(np.int64)
+            else:
+                raw = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                keys = pa.array(raw, pa.int64())
+                parts = raw % P
             cols = {
-                "__part": pa.array(keys % P, pa.int64()),
-                "__key": pa.array(keys, pa.int64()),
-                "__side": pa.array(np.full(len(keys), side, np.int8), pa.int8()),
+                "__part": pa.array(parts, pa.int64()),
+                "__key": keys,
+                "__side": pa.array(np.full(t.num_rows, side, np.int8), pa.int8()),
             }
             for f in union_schema:
                 if f.name.startswith("__"):

@@ -1,0 +1,137 @@
+"""Graph analytics: connected components (both paths), PageRank
+(distributed == sequential oracle), degree query wiring."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gliner_ray.functions import graph as fg
+
+
+def _edges_ds(pairs):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([p[0] for p in pairs], pa.string()),
+                "dst": pa.array([p[1] for p in pairs], pa.string()),
+            }
+        )
+    )
+
+
+PLANTED = [
+    ("a", "b"), ("b", "c"), ("c", "a"),      # triangle → comp a
+    ("d", "e"),                              # pair → comp d
+    ("f", "f"),                              # self-loop singleton → comp f
+    ("m", "n"), ("n", "o"), ("o", "p"), ("p", "q"),  # chain → comp m
+]
+EXPECTED_COMP = {
+    "a": "a", "b": "a", "c": "a",
+    "d": "d", "e": "d",
+    "f": "f",
+    "m": "m", "n": "m", "o": "m", "p": "m", "q": "m",
+}
+
+
+class TestConnectedComponents:
+    def test_driver_path_planted(self, ray_session):
+        out = fg.connected_components(_edges_ds(PLANTED)).to_pandas()
+        got = dict(zip(out["node"], out["component"]))
+        assert got == EXPECTED_COMP
+
+    def test_distributed_path_parity(self, ray_session):
+        ds = _edges_ds(PLANTED)
+        a = (
+            fg.connected_components(ds)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        b = (
+            fg.connected_components(ds, force_distributed=True)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        assert a.equals(b)
+
+    def test_guard_forces_distributed(self, ray_session):
+        # broadcast_limit=0 → the distributed path runs (and matches)
+        out = fg.connected_components(
+            _edges_ds(PLANTED), broadcast_limit=0
+        ).to_pandas()
+        assert dict(zip(out["node"], out["component"])) == EXPECTED_COMP
+
+    def test_empty_edges(self, ray_session):
+        out = fg.connected_components(_edges_ds([])).to_pandas()
+        assert len(out) == 0
+
+    def test_null_endpoints_dropped(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(["a", None, "b"], pa.string()),
+                    "dst": pa.array(["b", "x", None], pa.string()),
+                }
+            )
+        )
+        out = fg.connected_components(ds).to_pandas()
+        assert set(out["node"]) == {"a", "b"}
+
+
+class TestPagerank:
+    def test_matches_sequential_oracle(self, ray_session):
+        ranks = fg.pagerank(_edges_ds(PLANTED), n_parts=3, n_iter=50).to_pandas()
+        oracle = fg.pagerank_sequential(PLANTED, n_iter=50)
+        assert set(ranks["node"]) == set(oracle)
+        got = dict(zip(ranks["node"], ranks["rank"]))
+        for node, want in oracle.items():
+            assert np.isclose(got[node], want, rtol=1e-8), node
+        assert np.isclose(sum(got.values()), 1.0)
+
+    def test_duplicate_edges_count_once(self, ray_session):
+        dup = PLANTED + PLANTED[:3]
+        ranks = fg.pagerank(_edges_ds(dup), n_parts=2, n_iter=50).to_pandas()
+        oracle = fg.pagerank_sequential(PLANTED, n_iter=50)
+        got = dict(zip(ranks["node"], ranks["rank"]))
+        for node, want in oracle.items():
+            assert np.isclose(got[node], want, rtol=1e-8), node
+
+    def test_dangling_mass_redistributed(self, ray_session):
+        # b has no outgoing edge: without dangling redistribution the
+        # total rank would leak below 1
+        edges = [("a", "b"), ("c", "b")]
+        ranks = fg.pagerank(_edges_ds(edges), n_parts=2, n_iter=60).to_pandas()
+        assert np.isclose(ranks["rank"].sum(), 1.0)
+        oracle = fg.pagerank_sequential(edges, n_iter=60)
+        got = dict(zip(ranks["node"], ranks["rank"]))
+        for node, want in oracle.items():
+            assert np.isclose(got[node], want, rtol=1e-8), node
+
+    def test_empty(self, ray_session):
+        assert fg.pagerank(_edges_ds([]), n_parts=2).count() == 0
+
+
+class TestHashJoinStringKeys:
+    def test_string_key_join(self, ray_session):
+        import ray.data as rd
+
+        from gliner_ray.functions.joins import hash_join
+
+        left = rd.from_arrow(
+            pa.table({"k": pa.array(["x", "y", "z"], pa.string()),
+                      "lv": pa.array([1, 2, 3], pa.int64())})
+        )
+        right = rd.from_arrow(
+            pa.table({"rk": pa.array(["y", "z", "w"], pa.string()),
+                      "rv": pa.array([20, 30, 40], pa.int64())})
+        )
+        out = (
+            hash_join(left, right, left_on="k", right_on="rk", num_partitions=4)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        assert list(out["k"]) == ["y", "z"]
+        assert list(out["lv"]) == [2, 3]
+        assert list(out["rv"]) == [20, 30]
