@@ -63,6 +63,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": co.doc_lang_id,
         "doc_quality": co.doc_quality,
         "doc_fingerprint": co.doc_fingerprint,
+        "doc_pii_redact": co.doc_pii_redact,
+        "doc_repetition": co.doc_repetition,
+        "doc_decontam": co.doc_decontam,
+        "doc_packing": co.doc_packing,
         # dedup family
         "doc_exact_dedup": co.doc_exact_dedup,
         "doc_minhash_dedup": co.doc_minhash_dedup,
@@ -120,6 +124,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_text_stats": co.TEXT_STATS_SQL,
         "doc_sha256": co.SHA256_SQL,
         "doc_lang_id": co.LANG_ID_SQL,
+        "doc_pii_redact": co.PII_REDACT_SQL,
+        "doc_repetition": co.REPETITION_SQL,
+        "doc_decontam": co.DECONTAM_SQL,
         "doc_split_counts": co.SPLIT_COUNTS_SQL,
         "doc_exact_dedup": co.EXACT_DEDUP_SQL,
         "q_user_item_degree": go.USER_ITEM_DEGREE_SQL,

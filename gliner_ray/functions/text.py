@@ -150,5 +150,74 @@ def rolling_fingerprint_batch(batch: pa.Table, window: int = 32, keep: int = 8) 
     )
 
 
+# PII patterns — shared verbatim with the DuckDB oracle (RE2 and
+# Python `re` agree on these constructs: classes, \b, {m,n}, leftmost
+# non-overlapping sub). Redaction is SEQUENTIAL (email → ip → digits)
+# and each stage counts matches on the text as redacted so far, so a
+# digit run inside an email local-part is counted once, as <EMAIL>.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_DIGITS = r"\b\d{9,}\b"
+_PII_STAGES = (
+    (re.compile(PII_EMAIL), "<EMAIL>"),
+    (re.compile(PII_IPV4), "<IP>"),
+    (re.compile(PII_DIGITS), "<ID>"),
+)
+
+
+def pii_redact_batch(batch: pa.Table) -> pa.Table:
+    """doc_id, redacted text + per-category match counts (emails,
+    IPv4 addresses, ≥9-digit runs). The scrub every training-data
+    pipeline runs before publishing a corpus."""
+    texts = batch["text"].to_pylist()
+    out, n_email, n_ip, n_digit = [], [], [], []
+    for t in texts:
+        counts = []
+        for rx, repl in _PII_STAGES:
+            t, n = rx.subn(repl, t)
+            counts.append(n)
+        out.append(t)
+        n_email.append(counts[0])
+        n_ip.append(counts[1])
+        n_digit.append(counts[2])
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "redacted": pa.array(out, pa.string()),
+            "n_emails": pa.array(n_email, pa.int64()),
+            "n_ips": pa.array(n_ip, pa.int64()),
+            "n_ids": pa.array(n_digit, pa.int64()),
+        }
+    )
+
+
+_LOWER_WORD_RE = re.compile(r"\w+")
+
+
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition signals as exact integer counts:
+    duplicate-word and duplicate-word-2-gram counts per doc (the
+    "fraction of duplicate n-grams" filters, kept integral so the
+    DuckDB oracle hash-compares exactly)."""
+    texts = batch["text"].to_pylist()
+    n_words, n_dup_words, n_2grams, n_dup_2grams = [], [], [], []
+    for t in texts:
+        w = _LOWER_WORD_RE.findall(t.lower())
+        n_words.append(len(w))
+        n_dup_words.append(len(w) - len(set(w)))
+        g2 = list(zip(w, w[1:]))
+        n_2grams.append(len(g2))
+        n_dup_2grams.append(len(g2) - len(set(g2)))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_dup_words": pa.array(n_dup_words, pa.int64()),
+            "n_2grams": pa.array(n_2grams, pa.int64()),
+            "n_dup_2grams": pa.array(n_dup_2grams, pa.int64()),
+        }
+    )
+
+
 def apply(ds: "ray.data.Dataset", fn, **kwargs) -> "ray.data.Dataset":
     return ds.map_batches(fn, batch_format="pyarrow", **kwargs)

@@ -167,6 +167,112 @@ def doc_fingerprint(sf_dir: str):
     )
 
 
+def doc_pii_redact(sf_dir: str):
+    """PII scrub: sequential email → IPv4 → long-digit-run redaction
+    with per-category counts; the redacted text itself goes through
+    the exact value-hash compare."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ftext.pii_redact_batch, batch_format="pyarrow"
+    )
+
+
+PII_REDACT_SQL = rf"""
+WITH s1 AS (
+  SELECT doc_id,
+         regexp_replace(text, '{ftext.PII_EMAIL}', '<EMAIL>', 'g') AS t1,
+         CAST(coalesce(array_length(regexp_extract_all(text, '{ftext.PII_EMAIL}')), 0) AS BIGINT) AS n_emails
+  FROM documents
+), s2 AS (
+  SELECT doc_id, n_emails,
+         regexp_replace(t1, '{ftext.PII_IPV4}', '<IP>', 'g') AS t2,
+         CAST(coalesce(array_length(regexp_extract_all(t1, '{ftext.PII_IPV4}')), 0) AS BIGINT) AS n_ips
+  FROM s1
+)
+SELECT doc_id,
+       regexp_replace(t2, '{ftext.PII_DIGITS}', '<ID>', 'g') AS redacted,
+       n_emails, n_ips,
+       CAST(coalesce(array_length(regexp_extract_all(t2, '{ftext.PII_DIGITS}')), 0) AS BIGINT) AS n_ids
+FROM s2
+"""
+
+
+def doc_repetition(sf_dir: str):
+    """Gopher-style duplicate-word / duplicate-2-gram counts (exact
+    integer outputs)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ftext.repetition_stats_batch, batch_format="pyarrow"
+    )
+
+
+REPETITION_SQL = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents
+), g AS (
+  SELECT doc_id, w,
+         CASE WHEN len(w) >= 2
+              THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+              ELSE [] END AS g2
+  FROM w
+)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_words,
+       CAST(len(w) - len(list_distinct(w)) AS BIGINT) AS n_dup_words,
+       CAST(len(g2) AS BIGINT) AS n_2grams,
+       CAST(len(g2) - len(list_distinct(g2)) AS BIGINT) AS n_dup_2grams
+FROM g
+"""
+
+
+def doc_decontam(sf_dir: str):
+    """Benchmark decontamination: docs sharing any 8-word-gram with
+    the 'benchmark' slice (doc_id < 20) are flagged. The benchmark
+    gram set is the broadcast small side (ray.put once)."""
+    from ..functions import decontam as fdec
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    bench = docs.filter(expr="doc_id < 20")
+    return fdec.ngram_contamination(docs, bench, n=8)
+
+
+DECONTAM_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 8
+              THEN list_transform(range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' '))
+              ELSE [] END AS g
+  FROM tok
+), bench AS (
+  SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id < 20
+), expl AS (
+  SELECT doc_id, unnest(g) AS gram FROM grams
+), hits AS (
+  SELECT e.doc_id,
+         COUNT(*) AS n_hits,
+         COUNT(DISTINCT e.gram) AS n_distinct_hits
+  FROM expl e JOIN bench b USING (gram)
+  GROUP BY e.doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_distinct_hits, 0) AS BIGINT) AS n_distinct_hits,
+       CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM tok t LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def doc_packing(sf_dir: str):
+    """Greedy fixed-budget sequence packing over the documents table
+    (rows-only; pytest asserts the packing invariants + determinism
+    across partition layouts)."""
+    from ..functions import packing as fpack
+
+    return fpack.pack_sequences(
+        _docs(sf_dir, ["doc_id", "text"]), budget=512
+    )
+
+
 # ------------------------------------------------------------- dedup
 
 
