@@ -71,6 +71,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     from gliner_ray.pipelines.kg import build_kg
     from gliner_ray.queries import corpus_ops as co
+    from gliner_ray.queries import graph_ops as go
     from gliner_ray.queries import relational as rel
 
     sf = _sf_from_dir(sf_dir)
@@ -116,6 +117,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "q_price_quantiles": rel.q_price_quantiles,
         "q_user_event_gaps": rel.q_user_event_gaps,
         "emb_kmeans": co.emb_kmeans,
+        "graph_components": go.graph_components,
+        "graph_pagerank": go.graph_pagerank,
+        "doc_pii_redact": co.doc_pii_redact,
+        "doc_decontam": co.doc_decontam,
+        "doc_packing": co.doc_packing,
     }
     qtimes: dict[str, float] = {}
     for name, fn in query_fns.items():

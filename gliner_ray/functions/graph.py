@@ -314,7 +314,17 @@ def pagerank(
     import ray.data as rd
 
     cls = _pagerank_shard_cls()
-    actors = [cls.remote(p, n_parts) for p in range(n_parts)]
+    # Actor-pool starvation guard: the streaming ingest below runs as a
+    # Dataset task that needs ≥1 free CPU while all shard actors are
+    # alive. On a real cluster avail >> n_parts and each shard gets a
+    # whole CPU; on a small/test cluster shrink the per-actor request so
+    # n_parts actors + one task always fit (otherwise `route` can never
+    # schedule and ingest deadlocks — observed at n_parts=4 on 4 CPUs).
+    avail = float(ray.available_resources().get("CPU", n_parts + 1))
+    per_actor = 1.0 if avail >= n_parts + 1 else max(0.05, round((avail - 1.0) / n_parts, 3))
+    actors = [
+        cls.options(num_cpus=per_actor).remote(p, n_parts) for p in range(n_parts)
+    ]
 
     def route(t: pa.Table) -> pa.Table:
         """Streaming ingest: each block ships its edges (split by src
@@ -340,27 +350,29 @@ def pagerank(
         ray.get(refs)
         return pa.table({"n": pa.array([len(s_arr)], pa.int64())})
 
-    edges_ds.map_batches(route, batch_format="pyarrow").count()
-    n_owned = ray.get([a.finalize.remote() for a in actors])
-    n_total = int(sum(n_owned))
-    if n_total == 0:
-        return rd.from_arrow(pa.table({"node": pa.array([], pa.string()),
-                                       "rank": pa.array([], pa.float64())}))
-    ray.get([a.begin.remote(n_total) for a in actors])
-    for _ in range(n_iter):
-        halves = ray.get([a.contribute.remote() for a in actors])
-        dangling_total = sum(h[1] for h in halves)
-        deltas = ray.get([
-            actors[p].apply.remote(
-                [halves[q][0][p] for q in range(n_parts)], dangling_total, damping
-            )
-            for p in range(n_parts)
-        ])
-        if sum(deltas) <= tol:
-            break
-    tables = ray.get([a.result.remote() for a in actors])
-    for a in actors:
-        ray.kill(a)
+    try:
+        edges_ds.map_batches(route, batch_format="pyarrow").count()
+        n_owned = ray.get([a.finalize.remote() for a in actors])
+        n_total = int(sum(n_owned))
+        if n_total == 0:
+            return rd.from_arrow(pa.table({"node": pa.array([], pa.string()),
+                                           "rank": pa.array([], pa.float64())}))
+        ray.get([a.begin.remote(n_total) for a in actors])
+        for _ in range(n_iter):
+            halves = ray.get([a.contribute.remote() for a in actors])
+            dangling_total = sum(h[1] for h in halves)
+            deltas = ray.get([
+                actors[p].apply.remote(
+                    [halves[q][0][p] for q in range(n_parts)], dangling_total, damping
+                )
+                for p in range(n_parts)
+            ])
+            if sum(deltas) <= tol:
+                break
+        tables = ray.get([a.result.remote() for a in actors])
+    finally:
+        for a in actors:
+            ray.kill(a)
     return rd.from_arrow([t for t in tables if t.num_rows] or [tables[0]])
 
 

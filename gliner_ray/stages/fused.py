@@ -38,7 +38,7 @@ from ..kernels.chunk import chunk_token_ranges
 from ..kernels.decode import decode_candidates
 from ..kernels.normalize import variants
 from ..kernels.scoring import DeterministicScorerKernel
-from ..kernels.tokenize import tokenize_with_offsets
+from ..kernels.tokenize import tokenize_batch_safe
 from .decode_stage import MENTION_SCHEMA, QUARANTINE_LABEL, mention_owned_by_chunk
 
 
@@ -84,20 +84,22 @@ class FusedExtractor:
             cols["variant0"].append(v0)
             cols["variant1"].append(v1)
 
-        for repo, path, commit, bucket, content in zip(
+        contents = batch["content"].to_pylist()
+        tokenized = tokenize_batch_safe(contents)  # one vectorized pass
+        for repo, path, commit, bucket, content, tok in zip(
             batch["repo"].to_pylist(),
             batch["path"].to_pylist(),
             batch["commit"].to_pylist(),
             batch["bucket"].to_pylist(),
-            batch["content"].to_pylist(),
+            contents,
+            tokenized,
         ):
-            try:
-                sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
-                tokens, starts, ends = tokenize_with_offsets(content)
-            except Exception as e:  # noqa: BLE001 — quarantine, never drop
+            if isinstance(tok, Exception):
                 emit(repo, path, commit, bucket, "", -1, -1, -1, -1,
-                     f"{type(e).__name__}: {e}"[:500], QUARANTINE_LABEL, 0.0, None, None)
+                     f"{type(tok).__name__}: {tok}"[:500], QUARANTINE_LABEL, 0.0, None, None)
                 continue
+            sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
+            tokens, starts, ends = tok
             n = len(tokens)
             for cs, ce in chunk_token_ranges(n, cfg.max_len, cfg.chunk_overlap):
                 cands = kernel.score_tokens(tokens[cs:ce], sha, tok_offset=cs)

@@ -113,6 +113,16 @@ class TestPagerank:
     def test_empty(self, ray_session):
         assert fg.pagerank(_edges_ds([]), n_parts=2).count() == 0
 
+    def test_nparts_equal_to_cluster_cpus_no_deadlock(self, ray_session):
+        # regression: 4 one-CPU shard actors on the 4-CPU test cluster
+        # starved the ingest Dataset task forever; the adaptive
+        # per-actor CPU request must leave task headroom
+        ranks = fg.pagerank(_edges_ds(PLANTED), n_parts=4, n_iter=50).to_pandas()
+        oracle = fg.pagerank_sequential(PLANTED, n_iter=50)
+        got = dict(zip(ranks["node"], ranks["rank"]))
+        for node, want in oracle.items():
+            assert np.isclose(got[node], want, rtol=1e-8), node
+
 
 class TestHashJoinStringKeys:
     def test_string_key_join(self, ray_session):
