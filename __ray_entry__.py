@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mt_relation_triples": co.mt_relation_triples,
         "mt_summarize": co.mt_summarize,
         "doc_split_counts": co.doc_split_counts,
+        "doc_stratified_sample": co.doc_stratified_sample,
         # knowledge-graph construction (reference-parity ops)
         "doc_gen_labels": co.doc_gen_labels,
         "doc_token_spans": co.doc_token_spans,
@@ -124,10 +125,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_text_stats": co.TEXT_STATS_SQL,
         "doc_sha256": co.SHA256_SQL,
         "doc_lang_id": co.LANG_ID_SQL,
+        "doc_quality": co.QUALITY_SQL,
         "doc_pii_redact": co.PII_REDACT_SQL,
         "doc_repetition": co.REPETITION_SQL,
         "doc_decontam": co.DECONTAM_SQL,
         "doc_split_counts": co.SPLIT_COUNTS_SQL,
+        "doc_stratified_sample": co.STRATIFIED_SAMPLE_SQL,
         "doc_exact_dedup": co.EXACT_DEDUP_SQL,
         "q_user_item_degree": go.USER_ITEM_DEGREE_SQL,
         "graph_components": go.GRAPH_COMPONENTS_SQL,

@@ -87,6 +87,52 @@ def seeded_sample(ds: "ray.data.Dataset", frac: float, seed: int = 42):
     return ds.random_sample(frac, seed=seed)
 
 
+def stratified_sample(
+    ds: "ray.data.Dataset",
+    stratum_col: str,
+    key_col: str,
+    n_per_stratum: int,
+    salt: str = "strat",
+) -> "ray.data.Dataset":
+    """Deterministic uniform sample of ``n_per_stratum`` rows per
+    stratum: rows are ranked inside their stratum by
+    ``md5(salt:key)`` (key as tiebreak) and the k smallest win — a
+    seeded uniform draw that is identical across runs, partition
+    layouts, and resume, and exactly SQL-expressible
+    (``ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY md5(...))``).
+
+    Scale shape: per-batch partial top-k (at most k × strata rows
+    leave each batch) → one stratum-keyed groupby → per-group final
+    top-k. No stratum is ever materialized whole; the shuffle moves at
+    most k × strata × blocks pre-trimmed rows.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["_rk"] = [
+            hashlib.md5(f"{salt}:{k}".encode()).hexdigest() for k in df[key_col]
+        ]
+        df = (
+            df.sort_values(["_rk", key_col])
+            .groupby(stratum_col, sort=False)
+            .head(n_per_stratum)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(["_rk", key_col])
+            .head(n_per_stratum)
+            .drop(columns=["_rk"])
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(stratum_col)
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def limit_per_group(
     ds: "ray.data.Dataset", group_col: str, limit: int
 ) -> "ray.data.Dataset":

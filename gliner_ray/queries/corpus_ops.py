@@ -154,10 +154,39 @@ FROM h
 
 
 def doc_quality(sf_dir: str):
-    """Composite quality score (rows-only: float output)."""
+    """Composite quality score — exact DuckDB oracle below: every term
+    is IEEE double arithmetic over the integer text-stats counts in the
+    same operation order as ``quality_score_batch``, so the doubles are
+    bit-identical between numpy and SQL."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         ftext.quality_score_batch, batch_format="pyarrow"
     )
+
+
+QUALITY_SQL = rf"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(coalesce(array_length(regexp_extract_all(text, '[A-Za-z]+')), 0) AS DOUBLE) AS n_words,
+         CAST(coalesce(array_length(regexp_extract_all(text, '[^\w\s]')), 0) AS DOUBLE) AS n_punct,
+         CAST(coalesce(array_length(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                                                w -> w IN ({_STOP_SQL_LIST}))), 0) AS DOUBLE) AS n_stop
+  FROM documents
+), r AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0 THEN (n_chars - n_punct) / greatest(n_words, 1) ELSE 0.0 END AS mean_word_len,
+         CASE WHEN n_chars > 0 THEN n_punct / greatest(n_chars, 1) ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_words > 0 THEN n_stop / greatest(n_words, 1) ELSE 0.0 END AS stopword_ratio
+  FROM s
+)
+SELECT doc_id,
+       0.3 * least(greatest(n_words / 50.0, 0.0), 1.0)
+     + 0.2 * (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 12 THEN 1.0 ELSE 0.0 END)
+     + 0.25 * least(greatest(1.0 - 4.0 * punct_ratio, 0.0), 1.0)
+     + 0.25 * least(greatest(stopword_ratio / 0.06, 0.0), 1.0) AS quality_score,
+       punct_ratio, stopword_ratio
+FROM r
+"""
 
 
 def doc_fingerprint(sf_dir: str):
@@ -637,4 +666,28 @@ WITH s AS (
 SELECT bucket, COUNT(*) AS n
 FROM (SELECT * FROM s UNION ALL SELECT * FROM f)
 GROUP BY bucket
+"""
+
+
+def doc_stratified_sample(sf_dir: str, n_per_stratum: int = 25):
+    """Seeded uniform sample of ``n_per_stratum`` docs per language:
+    md5-ranked within-stratum draw, per-batch partial top-k → one
+    stratum groupby (see ``functions.sampling.stratified_sample``).
+    Exact DuckDB oracle via ``ROW_NUMBER() OVER (PARTITION BY ...)``."""
+    from ..functions.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(sf_dir, ["doc_id", "lang"]), "lang", "doc_id", n_per_stratum
+    )
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 25
 """

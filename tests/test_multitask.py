@@ -157,6 +157,39 @@ class TestSampling:
         out = limit_per_group(ds, "g", 10).to_pandas()
         assert out.groupby("g").size().to_dict() == {1: 10, 2: 5}
 
+    def test_stratified_sample_layout_invariant(self):
+        import hashlib
+
+        import ray.data as rd
+
+        from gliner_ray.functions.sampling import stratified_sample
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(300), pa.int64()),
+                "lang": pa.array([["en", "de", "fr"][i % 3] for i in range(300)], pa.string()),
+            }
+        )
+        ds = rd.from_arrow(t)
+        out = stratified_sample(ds, "lang", "doc_id", 7).to_pandas()
+        assert out.groupby("lang").size().to_dict() == {"en": 7, "de": 7, "fr": 7}
+        # identical draw under a different partition layout
+        out2 = (
+            stratified_sample(ds.repartition(11), "lang", "doc_id", 7)
+            .to_pandas()
+        )
+        key = ["lang", "doc_id"]
+        assert sorted(map(tuple, out[key].values.tolist())) == sorted(
+            map(tuple, out2[key].values.tolist())
+        )
+        # matches the sequential definition: k smallest md5(salt:id) per lang
+        df = t.to_pandas()
+        df["rk"] = [hashlib.md5(f"strat:{i}".encode()).hexdigest() for i in df["doc_id"]]
+        want = df.sort_values(["rk", "doc_id"]).groupby("lang").head(7)
+        assert sorted(map(tuple, want[key].values.tolist())) == sorted(
+            map(tuple, out[key].values.tolist())
+        )
+
 
 class TestRegistryAndTrie:
     def test_whitespace_splitter_yields_triples(self):
