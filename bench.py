@@ -120,6 +120,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "graph_components": go.graph_components,
         "graph_pagerank": go.graph_pagerank,
         "doc_pii_redact": co.doc_pii_redact,
+        "doc_top_terms": co.doc_top_terms,
         "doc_decontam": co.doc_decontam,
         "doc_packing": co.doc_packing,
     }

@@ -219,5 +219,122 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# ------------------------------------------------- distinctive terms
+
+# ≥2 letters; the exact pattern the oracle SQL uses via regexp_extract_all
+_TERM_RE = re.compile(r"[A-Za-z][A-Za-z]+")
+
+# broadcast the (term → document frequency) table only below this many
+# distinct terms; above it, attach df via a distributed term-key join
+DF_BROADCAST_LIMIT = 1_000_000
+
+
+def term_tf_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → one row per distinct lowercased term per doc
+    with its in-doc frequency."""
+    from collections import Counter
+
+    doc_ids: list = []
+    terms: list = []
+    tfs: list = []
+    for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        c = Counter(w.lower() for w in _TERM_RE.findall(t))
+        doc_ids.extend([did] * len(c))
+        terms.extend(c.keys())
+        tfs.extend(c.values())
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+        }
+    )
+
+
+def top_terms(
+    ds: "ray.data.Dataset",
+    k: int = 3,
+    num_partitions: int = 16,
+    df_broadcast_limit: int = DF_BROADCAST_LIMIT,
+) -> "ray.data.Dataset":
+    """Per-doc top-``k`` distinctive terms: ranked by (tf desc, df asc,
+    term asc) — frequent in the document, rare in the corpus. All-integer
+    ranking (no idf float), so the DuckDB oracle hash-compares exactly.
+
+    Two streaming passes over ``ds`` (recomputing tf beats a full
+    ``materialize()`` of the corpus-sized (doc, term, tf) table):
+
+    1. document frequency — (doc, term) rows are distinct per doc by
+       construction, so each batch pre-aggregates term → n_docs, the
+       partials shuffle on a ``crc32(term) % P`` int key, and per-part
+       pandas sums produce the vocabulary-sized df table.
+    2. attach df + per-doc top-k — df is broadcast (``ray.put``, read
+       once per task) under ``df_broadcast_limit`` distinct terms, else
+       attached via the generic term-key ``hash_join`` and the top-k
+       runs per doc group. Either way each batch emits ≤ k rows/doc.
+    """
+    import zlib
+
+    import pandas as pd
+    import ray
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        tb = term_tf_batch(t)
+        agg = (
+            pd.DataFrame({"term": tb["term"].to_pylist()})
+            .groupby("term", as_index=False)
+            .size()
+            .rename(columns={"size": "df"})
+        )
+        agg["part"] = [
+            zlib.crc32(s.encode("utf-8")) % num_partitions for s in agg["term"]
+        ]
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def df_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("term", as_index=False)["df"].sum()
+        return out
+
+    df_ds = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(df_final, batch_format="pandas")
+    ).materialize()  # vocabulary-sized, reused below
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["tf", "df", "term"], ascending=[False, True, True]
+        ).head(k)
+
+    if df_ds.count() <= df_broadcast_limit:
+        df_map = {}
+        for b in df_ds.iter_batches(batch_format="pyarrow"):
+            df_map.update(zip(b["term"].to_pylist(), b["df"].to_pylist()))
+        df_ref = ray.put(df_map)
+
+        def topk_batch(t: pa.Table) -> pa.Table:
+            lookup = ray.get(df_ref)
+            tb = term_tf_batch(t).to_pandas()
+            tb["df"] = tb["term"].map(lookup).astype("int64")
+            out = tb.groupby("doc_id", group_keys=False)[tb.columns.tolist()].apply(rank)
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        return ds.map_batches(topk_batch, batch_format="pyarrow")
+
+    from .joins import hash_join
+
+    tf_ds = ds.map_batches(term_tf_batch, batch_format="pyarrow")
+    joined = hash_join(
+        tf_ds, df_ds, left_on="term", right_on="term",
+        num_partitions=num_partitions,
+    )
+    # hash_join keeps the key column under the LEFT name; restore order
+    return (
+        joined.groupby("doc_id")
+        .map_groups(rank, batch_format="pandas")
+        .select_columns(["doc_id", "term", "tf", "df"])
+    )
+
+
 def apply(ds: "ray.data.Dataset", fn, **kwargs) -> "ray.data.Dataset":
     return ds.map_batches(fn, batch_format="pyarrow", **kwargs)

@@ -669,6 +669,32 @@ GROUP BY bucket
 """
 
 
+def doc_top_terms(sf_dir: str, k: int = 3):
+    """Per-doc top-k distinctive terms (tf desc, df asc, term asc —
+    all-integer TF-IDF analog; see ``functions.text.top_terms``)."""
+    return ftext.top_terms(_docs(sf_dir, ["doc_id", "text"]), k=k)
+
+
+TOP_TERMS_SQL = """
+WITH words AS (
+  SELECT doc_id, lower(w) AS term
+  FROM documents, unnest(regexp_extract_all(text, '[A-Za-z][A-Za-z]+')) AS t(w)
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY term
+)
+SELECT doc_id, term, tf, df FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf DESC, df.df ASC, tf.term ASC
+         ) AS rn
+  FROM tf JOIN df USING (term)
+) WHERE rn <= 3
+"""
+
+
 def doc_stratified_sample(sf_dir: str, n_per_stratum: int = 25):
     """Seeded uniform sample of ``n_per_stratum`` docs per language:
     md5-ranked within-stratum draw, per-batch partial top-k → one

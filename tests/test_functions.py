@@ -63,6 +63,34 @@ class TestTextOps:
         scores = out["quality_score"].to_pylist()
         assert scores[0] > scores[1]
 
+    def test_top_terms_dual_path_parity(self, ray_session):
+        import ray.data as rd
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(6), pa.int64()),
+                "text": [
+                    "apple apple banana common common",
+                    "banana banana cherry common",
+                    "cherry cherry apple common common common",
+                    "dates dates dates common",
+                    "elder elder fig common",
+                    "fig fig dates common",
+                ],
+            }
+        )
+        ds = rd.from_arrow(t)
+        a = ftext.top_terms(ds, k=2).to_pandas()
+        b = ftext.top_terms(ds, k=2, df_broadcast_limit=0).to_pandas()
+        key = ["doc_id", "term", "tf", "df"]
+        assert sorted(map(tuple, a[key].values.tolist())) == sorted(
+            map(tuple, b[key].values.tolist())
+        )
+        # doc 0: apple tf=2 df=2 beats common tf=2 df=6 (rarer wins tie)
+        d0 = a[a.doc_id == 0].sort_values(["tf", "df"], ascending=[False, True])
+        assert list(d0["term"]) == ["apple", "common"]
+        assert a.groupby("doc_id").size().max() <= 2
+
     def test_rolling_fingerprint_similarity(self):
         # identical docs share fingerprints; different docs don't
         t = pa.table(
