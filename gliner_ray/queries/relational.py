@@ -450,29 +450,52 @@ DISTINCT_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
 # ----------------------------------------------- broadcast join + agg
 
 
-def q_segment_revenue(sf_dir: str):
-    """orders ⋈ customer via broadcast dict lookup, grouped aggregate."""
+def q_segment_revenue(sf_dir: str, dim_broadcast_limit: int = DIM_BROADCAST_LIMIT):
+    """orders ⋈ customer, grouped aggregate. Customer is broadcast as
+    a lookup Series under ``dim_broadcast_limit`` rows; above it the
+    segment is attached via the generic hash join (guarded like q3/q5
+    — the dimension grows with the corpus at 100×)."""
     from ray.data.aggregate import Count, Sum
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_of = pd.Series(cust.c_mktsegment.to_numpy(), index=cust.c_custkey.to_numpy())
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    def lookup(batch: pa.Table) -> pa.Table:
-        segs = (
-            pd.Series(batch["o_custkey"].to_numpy(zero_copy_only=False))
-            .map(seg_of).to_numpy()
+    if cust_ds.count() <= dim_broadcast_limit:
+        cust = cust_ds.to_pandas()
+        seg_of = pd.Series(cust.c_mktsegment.to_numpy(), index=cust.c_custkey.to_numpy())
+
+        def lookup(batch: pa.Table) -> pa.Table:
+            segs = (
+                pd.Series(batch["o_custkey"].to_numpy(zero_copy_only=False))
+                .map(seg_of).to_numpy()
+            )
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array(segs, pa.string()),
+                    "total_cents": _floor_units(batch["o_totalprice"], 100),
+                }
+            )
+
+        tagged = orders.map_batches(lookup, batch_format="pyarrow")
+    else:
+        from ..functions.joins import hash_join
+
+        pre = orders.map_batches(
+            lambda t: pa.table(
+                {
+                    "o_custkey": t["o_custkey"],
+                    "total_cents": _floor_units(t["o_totalprice"], 100),
+                }
+            ),
+            batch_format="pyarrow",
         )
-        return pa.table(
-            {
-                "c_mktsegment": pa.array(segs, pa.string()),
-                "total_cents": _floor_units(batch["o_totalprice"], 100),
-            }
-        )
+        tagged = hash_join(
+            pre, cust_ds, left_on="o_custkey", right_on="c_custkey",
+            num_partitions=16,
+        ).select_columns(["c_mktsegment", "total_cents"])
 
     return (
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(lookup, batch_format="pyarrow")
-        .groupby("c_mktsegment")
+        tagged.groupby("c_mktsegment")
         .aggregate(
             Count(alias_name="n_orders"),
             Sum("total_cents", alias_name="revenue_cents"),
@@ -954,7 +977,9 @@ FROM events GROUP BY 1, 2
 # ------------------------------------------------- top-k per group
 
 
-def q_top_orders_per_segment(sf_dir: str, k: int = 3):
+def q_top_orders_per_segment(
+    sf_dir: str, k: int = 3, dim_broadcast_limit: int = DIM_BROADCAST_LIMIT
+):
     """Top-k rows per group without a global sort: the customer
     segment is broadcast onto orders (small dimension), each batch
     keeps only its own per-segment top-k (combiner — at most
@@ -962,23 +987,8 @@ def q_top_orders_per_segment(sf_dir: str, k: int = 3):
     ``map_groups`` re-ranks the survivors. Ties broken by orderkey so
     the result is deterministic on both engines.
     """
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_of = pd.Series(cust.c_mktsegment.to_numpy(), index=cust.c_custkey.to_numpy())
-
-    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {
-                "c_mktsegment": df["o_custkey"].map(seg_of),
-                "o_orderkey": df["o_orderkey"],
-                "total_cents": np.floor(df["o_totalprice"].to_numpy() * 100).astype(
-                    np.int64
-                ),
-            }
-        )
-        out = out.sort_values(
-            ["total_cents", "o_orderkey"], ascending=[False, True]
-        )
-        return out.groupby("c_mktsegment", sort=False).head(k).reset_index(drop=True)
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(
@@ -987,10 +997,57 @@ def q_top_orders_per_segment(sf_dir: str, k: int = 3):
         g["rn"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g
 
+    if cust_ds.count() <= dim_broadcast_limit:
+        cust = cust_ds.to_pandas()
+        seg_of = pd.Series(cust.c_mktsegment.to_numpy(), index=cust.c_custkey.to_numpy())
+
+        def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {
+                    "c_mktsegment": df["o_custkey"].map(seg_of),
+                    "o_orderkey": df["o_orderkey"],
+                    "total_cents": np.floor(df["o_totalprice"].to_numpy() * 100).astype(
+                        np.int64
+                    ),
+                }
+            )
+            out = out.sort_values(
+                ["total_cents", "o_orderkey"], ascending=[False, True]
+            )
+            return out.groupby("c_mktsegment", sort=False).head(k).reset_index(drop=True)
+
+        survivors = orders.map_batches(
+            partial_topk, batch_format="pandas", batch_size=65536
+        )
+    else:
+        # guarded fallback: attach the segment via the generic hash
+        # join, then run the same per-batch combiner on the joined rows
+        from ..functions.joins import hash_join
+
+        pre = orders.map_batches(
+            lambda t: pa.table(
+                {
+                    "o_custkey": t["o_custkey"],
+                    "o_orderkey": t["o_orderkey"],
+                    "total_cents": _floor_units(t["o_totalprice"], 100),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def partial_topk_joined(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[["c_mktsegment", "o_orderkey", "total_cents"]].sort_values(
+                ["total_cents", "o_orderkey"], ascending=[False, True]
+            )
+            return out.groupby("c_mktsegment", sort=False).head(k).reset_index(drop=True)
+
+        survivors = hash_join(
+            pre, cust_ds, left_on="o_custkey", right_on="c_custkey",
+            num_partitions=16,
+        ).map_batches(partial_topk_joined, batch_format="pandas", batch_size=65536)
+
     return (
-        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-        .map_batches(partial_topk, batch_format="pandas", batch_size=65536)
-        .groupby("c_mktsegment")
+        survivors.groupby("c_mktsegment")
         .map_groups(final_topk, batch_format="pandas")
     )
 

@@ -53,7 +53,10 @@ def test_rows_only_queries_run():
         assert df is not None and len(df.columns) > 0, name
 
 
-@pytest.mark.parametrize("name", ["q3_top_orders", "q5_region_revenue"])
+@pytest.mark.parametrize(
+    "name", ["q3_top_orders", "q5_region_revenue", "q_segment_revenue",
+             "q_top_orders_per_segment"]
+)
 def test_dim_join_fallback_matches_broadcast(name, con):
     """dim_broadcast_limit=0 forces the guarded shuffle-join path for
     the customer/supplier dimensions — results must equal the oracle
