@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_price_quantiles": rel.q_price_quantiles,
         "q_qty_rollup": rel.q_qty_rollup,
         "q_user_event_gaps": rel.q_user_event_gaps,
+        "q_user_cumulative_spend": rel.q_user_cumulative_spend,
         # text analysis
         "doc_token_count": co.doc_token_count,
         "doc_tokens_routed": co.doc_tokens_routed,
@@ -121,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "q_price_quantiles": rel.PRICE_QUANTILES_SQL,
         "q_qty_rollup": rel.QTY_ROLLUP_SQL,
         "q_user_event_gaps": rel.USER_EVENT_GAPS_SQL,
+        "q_user_cumulative_spend": rel.USER_CUMULATIVE_SPEND_SQL,
         "doc_token_count": co.TOKEN_COUNT_SQL,
         "doc_tokens_routed": co.TOKENS_ROUTED_SQL,
         "doc_text_stats": co.TEXT_STATS_SQL,

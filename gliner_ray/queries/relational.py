@@ -1269,6 +1269,55 @@ def q_user_event_gaps(sf_dir: str):
     )
 
 
+def q_user_cumulative_spend(sf_dir: str):
+    """Running-total window (cumulative frame — the third window shape
+    next to the LAG diff and the trailing-RANGE sum): per customer, the
+    cumulative order spend in date order. Customers hash-partition on
+    ``o_custkey % P`` (a customer's orders land in exactly one part);
+    each part sorts only its own rows and takes a vectorized groupby
+    cumsum — no global sort. Integer cents keep the oracle hash exact;
+    (date, orderkey) ordering makes ties deterministic on both engines.
+    """
+    P = 16
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "o_orderdate": t["o_orderdate"],
+                "cents": _floor_units(t["o_totalprice"], 100),
+                "part": pa.array(u % P, pa.int64()),
+            }
+        )
+
+    def running(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], ignore_index=True
+        )
+        s["cum_spend_cents"] = s.groupby("o_custkey", sort=False)["cents"].cumsum()
+        return s[["o_custkey", "o_orderkey", "cum_spend_cents"]]
+
+    return (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+        .map_batches(add_part, batch_format="pyarrow", batch_size=131072)
+        .groupby("part")
+        .map_groups(running, batch_format="pandas")
+    )
+
+
+USER_CUMULATIVE_SPEND_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS cum_spend_cents
+FROM orders
+"""
+
+
 USER_EVENT_GAPS_SQL = """
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
        CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
