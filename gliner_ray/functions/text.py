@@ -316,7 +316,12 @@ def top_terms(
             lookup = ray.get(df_ref)
             tb = term_tf_batch(t).to_pandas()
             tb["df"] = tb["term"].map(lookup).astype("int64")
-            out = tb.groupby("doc_id", group_keys=False)[tb.columns.tolist()].apply(rank)
+            # one vectorized sort + grouped head instead of a per-doc
+            # groupby.apply (the apply path was the slowest bench query)
+            out = tb.sort_values(
+                ["doc_id", "tf", "df", "term"],
+                ascending=[True, False, True, True],
+            ).groupby("doc_id", sort=False).head(k)
             return pa.Table.from_pandas(out, preserve_index=False)
 
         return ds.map_batches(topk_batch, batch_format="pyarrow")
