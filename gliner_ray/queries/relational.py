@@ -1102,10 +1102,10 @@ def q_approx_users_hll(sf_dir: str):
 _QUANTILES = (0.25, 0.5, 0.75, 0.95)
 
 
-def q_price_quantiles(sf_dir: str):
-    """EXACT distributed quantiles by iterative bin narrowing — no
-    global sort, no shuffle, and nothing row-sized or
-    distinct-value-sized ever reaches the driver.
+def _exact_int_quantiles(cents_ds, quantiles) -> list[int] | None:
+    """EXACT distributed quantiles of an integer ``cents`` column by
+    iterative bin narrowing — no global sort, no shuffle, and nothing
+    row-sized or distinct-value-sized ever reaches the driver.
 
     Pass 0 aggregates (min, max, count). Each subsequent pass bins
     every quantile's current [lo, hi] range into ``NB`` fixed-width
@@ -1118,16 +1118,13 @@ def q_price_quantiles(sf_dir: str):
     there is none. Each pass is one column-pruned streaming scan.
 
     Quantile semantics match DuckDB ``quantile_disc``: the element at
-    0-based index ``ceil(q·n) - 1`` of the sorted values.
+    0-based index ``ceil(q·n) - 1`` of the sorted values. Returns one
+    exact value per requested quantile, or None on an empty input.
     """
     from ray.data.aggregate import Count, Max, Min
 
     NB = 4096
 
-    cents_ds = _read(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
-        lambda t: pa.table({"cents": _floor_units(t["l_extendedprice"], 100)}),
-        batch_format="pyarrow",
-    )
     stats = cents_ds.aggregate(
         Min("cents", alias_name="lo"),
         Max("cents", alias_name="hi"),
@@ -1135,12 +1132,12 @@ def q_price_quantiles(sf_dir: str):
     )
     n = int(stats["n"])
     if n == 0:
-        return pd.DataFrame({"q": [], "cents": pd.array([], dtype="int64")})
+        return None
     # per quantile: target 0-based rank, current range, ranks below lo
     state = [
         {"rank": max(int(np.ceil(q * n)), 1) - 1,
          "lo": int(stats["lo"]), "hi": int(stats["hi"]), "below": 0}
-        for q in _QUANTILES
+        for q in quantiles
     ]
     while any(s["hi"] > s["lo"] for s in state):
         ranges = [
@@ -1176,10 +1173,84 @@ def q_price_quantiles(sf_dir: str):
             s["below"] += int(cum[b - 1]) if b else 0
             s["lo"] = lo + b * width
             s["hi"] = min(s["hi"], lo + (b + 1) * width - 1)
-    return pd.DataFrame(
-        {"q": list(_QUANTILES),
-         "cents": pd.array([s["lo"] for s in state], dtype="int64")}
+    return [int(s["lo"]) for s in state]
+
+
+def q_price_quantiles(sf_dir: str):
+    """Exact lineitem price quantiles (see :func:`_exact_int_quantiles`)."""
+    cents_ds = _read(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
+        lambda t: pa.table({"cents": _floor_units(t["l_extendedprice"], 100)}),
+        batch_format="pyarrow",
     )
+    vals = _exact_int_quantiles(cents_ds, _QUANTILES)
+    if vals is None:
+        return pd.DataFrame({"q": [], "cents": pd.array([], dtype="int64")})
+    return pd.DataFrame(
+        {"q": list(_QUANTILES), "cents": pd.array(vals, dtype="int64")}
+    )
+
+
+def q_order_quartiles(sf_dir: str):
+    """Global quartile assignment WITHOUT a global sort or NTILE: the
+    exact q1/q2/q3 boundaries come from the bin-narrowing quantile
+    passes (metadata-sized partials only), then ONE more streaming
+    pass buckets every order by ``searchsorted`` against the three
+    boundaries with an in-batch partial aggregate (≤ 4 keys/batch).
+    Boundary semantics are explicit (``cents <= qK``) rather than
+    NTILE's row-count split, so ties are deterministic on both
+    engines."""
+    from ray.data.aggregate import Count, Sum
+
+    cents_ds = _read(sf_dir, "orders", ["o_totalprice"]).map_batches(
+        lambda t: pa.table({"cents": _floor_units(t["o_totalprice"], 100)}),
+        batch_format="pyarrow",
+    )
+    bounds = _exact_int_quantiles(cents_ds, (0.25, 0.5, 0.75))
+    if bounds is None:
+        return pd.DataFrame(
+            {"quartile": pd.array([], dtype="int64"),
+             "n_orders": pd.array([], dtype="int64"),
+             "sum_cents": pd.array([], dtype="int64")}
+        )
+    b = np.asarray(bounds, dtype=np.int64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = t["cents"].to_numpy(zero_copy_only=False)
+        quart = np.searchsorted(b, v, side="left") + 1
+        df = pd.DataFrame({"quartile": quart.astype(np.int64), "cents": v})
+        agg = df.groupby("quartile", as_index=False).agg(
+            n_orders=("cents", "size"), sum_cents=("cents", "sum")
+        )
+        agg["n_orders"] = agg["n_orders"].astype("int64")
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        cents_ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("quartile")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("sum_cents", alias_name="sum_cents"),
+        )
+    )
+
+
+ORDER_QUARTILES_SQL = """
+WITH v AS (SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+b AS (
+  SELECT quantile_disc(cents, 0.25) AS q1,
+         quantile_disc(cents, 0.50) AS q2,
+         quantile_disc(cents, 0.75) AS q3
+  FROM v
+)
+SELECT CASE WHEN cents <= q1 THEN 1
+            WHEN cents <= q2 THEN 2
+            WHEN cents <= q3 THEN 3
+            ELSE 4 END AS quartile,
+       COUNT(*) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM v, b
+GROUP BY 1
+"""
 
 
 PRICE_QUANTILES_SQL = """
