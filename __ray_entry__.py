@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_approx_users_hll": rel.q_approx_users_hll,
         "q_price_quantiles": rel.q_price_quantiles,
         "q_order_quartiles": rel.q_order_quartiles,
+        "q_flag_median_price": rel.q_flag_median_price,
         "q_qty_rollup": rel.q_qty_rollup,
         "q_user_event_gaps": rel.q_user_event_gaps,
         "q_user_cumulative_spend": rel.q_user_cumulative_spend,
@@ -122,6 +123,7 @@ def oracle_sql() -> dict[str, str]:
         "q_top_orders_per_segment": rel.TOP_PER_SEGMENT_SQL,
         "q_price_quantiles": rel.PRICE_QUANTILES_SQL,
         "q_order_quartiles": rel.ORDER_QUARTILES_SQL,
+        "q_flag_median_price": rel.FLAG_MEDIAN_SQL,
         "q_qty_rollup": rel.QTY_ROLLUP_SQL,
         "q_user_event_gaps": rel.USER_EVENT_GAPS_SQL,
         "q_user_cumulative_spend": rel.USER_CUMULATIVE_SPEND_SQL,

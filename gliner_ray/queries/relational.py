@@ -1234,6 +1234,97 @@ def q_order_quartiles(sf_dir: str):
     )
 
 
+def q_flag_median_price(sf_dir: str):
+    """GROUPED exact quantile without a sort: the median price per
+    returnflag, every group narrowed in the SAME streaming passes.
+    Pass 0 is one small groupby (per-group min/max/count); each
+    narrowing pass emits ONE (groups × NB)-count row per batch, so the
+    driver state stays groups-sized while the fact table is only ever
+    scanned — the grouped generalization of :func:`_exact_int_quantiles`.
+    """
+    from ray.data.aggregate import Count, Max, Min
+
+    NB = 4096
+    Q = 0.5
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "flag": t["l_returnflag"],
+                "cents": _floor_units(t["l_extendedprice"], 100),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    stats = (
+        ds.groupby("flag")
+        .aggregate(
+            Min("cents", alias_name="lo"),
+            Max("cents", alias_name="hi"),
+            Count(alias_name="n"),
+        )
+        .to_pandas()  # groups-sized
+        .sort_values("flag")
+        .reset_index(drop=True)
+    )
+    if len(stats) == 0:
+        return pd.DataFrame(
+            {"l_returnflag": pd.array([], dtype="str"),
+             "median_cents": pd.array([], dtype="int64")}
+        )
+    flags = list(stats["flag"])
+    state = [
+        {"rank": max(int(np.ceil(Q * int(r.n))), 1) - 1,
+         "lo": int(r.lo), "hi": int(r.hi), "below": 0}
+        for r in stats.itertuples()
+    ]
+    while any(s["hi"] > s["lo"] for s in state):
+        ranges = [
+            (s["lo"], max(1, (s["hi"] - s["lo"] + NB) // NB)) for s in state
+        ]
+        his = [s["hi"] for s in state]
+
+        def bin_counts(t: pa.Table, ranges=ranges, his=his) -> pa.Table:
+            flag_arr = t["flag"].to_numpy(zero_copy_only=False)
+            v = t["cents"].to_numpy(zero_copy_only=False)
+            rows = []
+            for g, ((lo, width), hi) in zip(flags, zip(ranges, his)):
+                m = v[(flag_arr == g) & (v >= lo) & (v <= hi)]
+                idx = np.minimum((m - lo) // width, NB - 1)
+                rows.append(np.bincount(idx, minlength=NB))
+            return pa.table(
+                {"counts": pa.array([np.concatenate(rows).tolist()],
+                                    pa.list_(pa.int64()))}
+            )
+
+        parts = ds.map_batches(bin_counts, batch_format="pyarrow").take_all()
+        total = np.sum(
+            [np.asarray(r["counts"], dtype=np.int64) for r in parts], axis=0
+        ).reshape(len(state), NB)
+        for i, s in enumerate(state):
+            if s["hi"] <= s["lo"]:
+                continue
+            lo, width = ranges[i]
+            cum = np.cumsum(total[i])
+            b = int(np.searchsorted(cum, s["rank"] - s["below"] + 1, side="left"))
+            s["below"] += int(cum[b - 1]) if b else 0
+            s["lo"] = lo + b * width
+            s["hi"] = min(s["hi"], lo + (b + 1) * width - 1)
+    return pd.DataFrame(
+        {"l_returnflag": flags,
+         "median_cents": pd.array([s["lo"] for s in state], dtype="int64")}
+    )
+
+
+FLAG_MEDIAN_SQL = """
+SELECT l_returnflag,
+       quantile_disc(CAST(FLOOR(l_extendedprice * 100) AS BIGINT), 0.5)
+           AS median_cents
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 ORDER_QUARTILES_SQL = """
 WITH v AS (SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
 b AS (
