@@ -1316,6 +1316,50 @@ def q_flag_median_price(sf_dir: str):
     )
 
 
+def q_events_pivot(sf_dir: str):
+    """PIVOT / crosstab: per user, one count column per event type.
+    The column set is discovered first from the (tiny) distinct
+    event-type list, then ONE streaming pass pivots in-batch (pandas
+    crosstab per batch — at most users-in-batch × types cells leave a
+    batch) and a single int-keyed groupby sums the partials. No
+    generic wide shuffle: the pivot is a combiner."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    types = sorted(ds.unique("event_type"))
+    cols = [f"n_{t}" for t in types]
+
+    def pivot(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "event_type": t["event_type"].to_pylist(),
+            }
+        )
+        ct = pd.crosstab(df["user_id"], df["event_type"])
+        ct = ct.reindex(columns=types, fill_value=0).astype("int64")
+        ct.columns = cols
+        return pa.Table.from_pandas(ct.reset_index(), preserve_index=False)
+
+    return (
+        ds.map_batches(pivot, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )
+
+
+EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+FROM events
+GROUP BY user_id
+"""
+
+
 FLAG_MEDIAN_SQL = """
 SELECT l_returnflag,
        quantile_disc(CAST(FLOOR(l_extendedprice * 100) AS BIGINT), 0.5)
