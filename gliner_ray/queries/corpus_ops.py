@@ -695,6 +695,60 @@ SELECT doc_id, term, tf, df FROM (
 """
 
 
+def doc_source_mixture(sf_dir: str):
+    """Deterministic weighted data-mixture sampling (the LLM-corpus
+    "mixture weights" op): each source keeps docs at its own rate via
+    the seeded hash draw ``sha-frac(doc_id) < weight(source)`` —
+    identical keep-set any run, any partition layout, resume-safe.
+    Weights here derive from the source name (quarter steps 0.25–1.0)
+    so the op is scale-free; a real pipeline passes a weight dict the
+    same way. One streaming pass with in-batch partial counts; exact
+    DuckDB oracle (the same sha256-prefix fraction on both engines)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..functions.sampling import _stable_frac
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        import pandas as pd_
+        import pyarrow as pa
+
+        srcs = t["source"].to_pylist()
+        ids = t["doc_id"].to_pylist()
+        kept = [
+            1 if _stable_frac(str(i), "mix") < ((int(s[3:]) % 4) + 1) / 4.0 else 0
+            for i, s in zip(ids, srcs)
+        ]
+        df = pd_.DataFrame({"source": srcs, "n_kept": kept})
+        agg = df.groupby("source", as_index=False).agg(
+            n_kept=("n_kept", "sum"), n_total=("n_kept", "size")
+        )
+        agg["n_kept"] = agg["n_kept"].astype("int64")
+        agg["n_total"] = agg["n_total"].astype("int64")
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        _docs(sf_dir, ["doc_id", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_kept", alias_name="n_kept"),
+            Sum("n_total", alias_name="n_total"),
+        )
+    )
+
+
+SOURCE_MIXTURE_SQL = f"""
+SELECT source,
+       CAST(SUM(CASE WHEN {_FRAC.format(salt='mix')} <
+                     (CAST(substr(source, 4) AS INT) % 4 + 1) / 4.0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COUNT(*) AS n_total
+FROM documents
+GROUP BY source
+"""
+
+
 def doc_stratified_sample(sf_dir: str, n_per_stratum: int = 25):
     """Seeded uniform sample of ``n_per_stratum`` docs per language:
     md5-ranked within-stratum draw, per-batch partial top-k → one
