@@ -1326,7 +1326,16 @@ def q_events_pivot(sf_dir: str):
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
-    types = sorted(ds.unique("event_type"))
+    # in-batch distinct combiner first: the unique() shuffle only sees
+    # (types × blocks) rows, never the fact table
+    types = sorted(
+        ds.map_batches(
+            lambda t: pa.table(
+                {"event_type": pc.unique(t["event_type"])}
+            ),
+            batch_format="pyarrow",
+        ).unique("event_type")
+    )
     cols = [f"n_{t}" for t in types]
 
     def pivot(t: pa.Table) -> pa.Table:
