@@ -53,6 +53,42 @@ def test_rows_only_queries_run():
         assert df is not None and len(df.columns) > 0, name
 
 
+class TestExactQuantilesEdgeCases:
+    """_exact_int_quantiles edge cases the sf-oracle rows can't hit:
+    negative domains, all-equal heavy duplicates, and n=1."""
+
+    def _q(self, values, quantiles):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gliner_ray.queries.relational import _exact_int_quantiles
+
+        ds = rd.from_arrow(pa.table({"cents": pa.array(values, pa.int64())}))
+        return _exact_int_quantiles(ds, quantiles)
+
+    @staticmethod
+    def _disc(values, q):
+        # quantile_disc: element at 0-based index ceil(q*n) - 1
+        import numpy as np
+
+        s = sorted(values)
+        return s[max(int(np.ceil(q * len(s))), 1) - 1]
+
+    def test_negative_and_mixed(self, ray_session):
+        vals = [-500, -3, 0, 7, 7, 12, 99_999, -500]
+        got = self._q(vals, (0.25, 0.5, 0.9))
+        assert got == [self._disc(vals, q) for q in (0.25, 0.5, 0.9)]
+
+    def test_all_equal(self, ray_session):
+        assert self._q([42] * 1000, (0.1, 0.99)) == [42, 42]
+
+    def test_single_element(self, ray_session):
+        assert self._q([-7], (0.5,)) == [-7]
+
+    def test_empty(self, ray_session):
+        assert self._q([], (0.5,)) is None
+
+
 @pytest.mark.parametrize(
     "name", ["q3_top_orders", "q5_region_revenue", "q_segment_revenue",
              "q_top_orders_per_segment"]
