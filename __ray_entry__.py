@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_order_quartiles": rel.q_order_quartiles,
         "q_flag_median_price": rel.q_flag_median_price,
         "q_events_pivot": rel.q_events_pivot,
+        "q_lineitem_unpivot": rel.q_lineitem_unpivot,
         "q_qty_rollup": rel.q_qty_rollup,
         "q_user_event_gaps": rel.q_user_event_gaps,
         "q_user_cumulative_spend": rel.q_user_cumulative_spend,
@@ -127,6 +128,7 @@ def oracle_sql() -> dict[str, str]:
         "q_order_quartiles": rel.ORDER_QUARTILES_SQL,
         "q_flag_median_price": rel.FLAG_MEDIAN_SQL,
         "q_events_pivot": rel.EVENTS_PIVOT_SQL,
+        "q_lineitem_unpivot": rel.LINEITEM_UNPIVOT_SQL,
         "q_qty_rollup": rel.QTY_ROLLUP_SQL,
         "q_user_event_gaps": rel.USER_EVENT_GAPS_SQL,
         "q_user_cumulative_spend": rel.USER_CUMULATIVE_SPEND_SQL,

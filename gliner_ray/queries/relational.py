@@ -1357,6 +1357,56 @@ def q_events_pivot(sf_dir: str):
     )
 
 
+def q_lineitem_unpivot(sf_dir: str):
+    """UNPIVOT / melt (the pivot's inverse): each lineitem row becomes
+    one (key, measure, value) row per integer-scaled measure — pure
+    in-batch column restacking (zero shuffle, streaming-friendly at
+    any scale)."""
+    measures = [
+        ("qty", "l_quantity", 1),
+        ("price_cents", "l_extendedprice", 100),
+        ("tax_e4", "l_tax", 10000),
+    ]
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        ln = t["l_linenumber"].to_numpy(zero_copy_only=False)
+        keys_ok, keys_ln, names, vals = [], [], [], []
+        for name, col, scale in measures:
+            keys_ok.append(ok)
+            keys_ln.append(ln)
+            names.extend([name] * n)
+            vals.append(
+                np.floor(t[col].to_numpy(zero_copy_only=False) * scale).astype(np.int64)
+            )
+        return pa.table(
+            {
+                "l_orderkey": pa.array(np.concatenate(keys_ok), pa.int64()),
+                "l_linenumber": pa.array(np.concatenate(keys_ln), pa.int64()),
+                "measure": pa.array(names, pa.string()),
+                "value": pa.array(np.concatenate(vals), pa.int64()),
+            }
+        )
+
+    return _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_tax"],
+    ).map_batches(melt, batch_format="pyarrow")
+
+
+LINEITEM_UNPIVOT_SQL = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       'qty' AS measure, CAST(FLOOR(l_quantity) AS BIGINT) AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+       'price_cents', CAST(FLOOR(l_extendedprice * 100) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+       'tax_e4', CAST(FLOOR(l_tax * 10000) AS BIGINT) FROM lineitem
+"""
+
+
 EVENTS_PIVOT_SQL = """
 SELECT user_id,
        CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
