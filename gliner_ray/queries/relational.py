@@ -1507,6 +1507,55 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+def q_qty_cube(sf_dir: str):
+    """CUBE (all grouping sets over two dims) in ONE fact-table pass:
+    like the ROLLUP, only the finest (flag, status) level scans the
+    data; the three coarser sets — (flag), (status), () — re-aggregate
+    the group-sized finest result driver-side."""
+    from ray.data.aggregate import Sum
+
+    def qty(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": _floor_units(t["l_quantity"], 1),
+            }
+        )
+
+    fine = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+        .map_batches(qty, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("qty", alias_name="sum_qty"))
+        .to_pandas()  # group-sized: |flags| x |statuses| rows
+    )
+    by_flag = (
+        fine.groupby("l_returnflag", as_index=False)["sum_qty"].sum()
+        .assign(l_linestatus="ALL")
+    )
+    by_status = (
+        fine.groupby("l_linestatus", as_index=False)["sum_qty"].sum()
+        .assign(l_returnflag="ALL")
+    )
+    total = pd.DataFrame(
+        {"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+         "sum_qty": [fine["sum_qty"].sum()]}
+    )
+    out = pd.concat([fine, by_flag, by_status, total], ignore_index=True)
+    out["sum_qty"] = out["sum_qty"].astype("int64")
+    return out[["l_returnflag", "l_linestatus", "sum_qty"]]
+
+
+QTY_CUBE_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
 # ------------------------------------------------- lag window (gaps)
 
 
