@@ -543,19 +543,22 @@ def kg_mentions_numpy(sf_dir: str):
 
 
 def media_features(sf_dir: str):
-    """Multimodal plumbing demo over the synthetic media table
-    (rows-only): decode-stub features + resize plan + frame sampling."""
+    """Multimodal pipeline over the synthetic media table (rows-only):
+    REAL byte-level decode — BMP resize (decode → nearest-neighbour →
+    re-encode), Y4M frame sampling with per-frame brightness, then
+    per-modality feature extraction (``functions/codecs.py`` pure-numpy
+    codecs; no stub in this path)."""
     import ray.data as rd
 
     from ..functions import multimodal as mm
 
     ds = rd.from_arrow(mm.synth_media_table(n=48, seed=42))
-    feats = mm.decode_features(ds, fake=True)
-    resized = feats.map_batches(
-        mm.ResizeStub, fn_constructor_kwargs={"max_side": 512},
+    resized = ds.map_batches(
+        mm.Resize, fn_constructor_kwargs={"max_side": 32},
         batch_format="pyarrow", concurrency=(1, 2), batch_size=16,
     )
-    return resized.map_batches(mm.frame_sample_plan_batch, batch_format="pyarrow")
+    sampled = resized.map_batches(mm.frame_sample_batch, batch_format="pyarrow")
+    return mm.decode_features(sampled)
 
 
 # ---------------------------------------------------------- multitask

@@ -319,6 +319,118 @@ class TestEmbeddingOps:
         assert [r["vec_id"] for r in got2] == [r["vec_id"] for r in want]
 
 
+class TestCodecs:
+    """Pure-numpy BMP/WAV/Y4M codecs: exact round-trips + real decode."""
+
+    def test_bmp_roundtrip_exact(self):
+        from gliner_ray.functions import codecs
+
+        rng = np.random.RandomState(0)
+        for h, w in [(1, 1), (3, 5), (16, 16), (7, 33)]:  # odd widths hit row padding
+            rgb = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+            out = codecs.decode_bmp(codecs.encode_bmp(rgb))
+            np.testing.assert_array_equal(out, rgb)
+
+    def test_wav_roundtrip_exact(self):
+        from gliner_ray.functions import codecs
+
+        rng = np.random.RandomState(1)
+        mono = (rng.randn(777) * 5000).astype(np.int16)
+        rate, out = codecs.decode_wav(codecs.encode_wav(mono, 8000))
+        assert rate == 8000
+        np.testing.assert_array_equal(out[:, 0], mono)
+        stereo = (rng.randn(100, 2) * 5000).astype(np.int16)
+        rate, out = codecs.decode_wav(codecs.encode_wav(stereo, 44100))
+        assert rate == 44100 and out.shape == (100, 2)
+        np.testing.assert_array_equal(out, stereo)
+
+    def test_y4m_roundtrip_exact(self):
+        from gliner_ray.functions import codecs
+
+        rng = np.random.RandomState(2)
+        frames = rng.randint(0, 256, size=(4, 6, 9)).astype(np.uint8)
+        fps, out = codecs.decode_y4m(codecs.encode_y4m(frames, fps=5))
+        assert fps == 5
+        np.testing.assert_array_equal(out, frames)
+
+    def test_resize_nearest_identity_and_downscale(self):
+        from gliner_ray.functions import codecs
+
+        rng = np.random.RandomState(3)
+        rgb = rng.randint(0, 256, size=(8, 8, 3)).astype(np.uint8)
+        np.testing.assert_array_equal(codecs.resize_nearest(rgb, 8, 8), rgb)
+        small = codecs.resize_nearest(rgb, 4, 4)
+        assert small.shape == (4, 4, 3)
+        np.testing.assert_array_equal(small[0, 0], rgb[0, 0])
+
+    def test_real_decoder_features(self):
+        from gliner_ray.functions import codecs
+
+        t = mm.synth_media_table(n=9, seed=7)
+        out = mm.Decoder()(t)
+        assert all(e is None for e in out["decode_error"].to_pylist())
+        for kind, w, h, dur, mw, mh, md in zip(
+            out["kind"].to_pylist(),
+            out["decoded_width"].to_pylist(),
+            out["decoded_height"].to_pylist(),
+            out["decoded_duration_ms"].to_pylist(),
+            out["meta_width"].to_pylist(),
+            out["meta_height"].to_pylist(),
+            out["meta_duration_ms"].to_pylist(),
+        ):
+            # the decoded geometry must equal the generator's metadata
+            assert (w, h) == (mw, mh) if kind != "audio" else (w, h) == (-1, -1)
+            if kind != "image":
+                assert dur == md
+
+    def test_real_resize_reencodes(self):
+        from gliner_ray.functions import codecs
+
+        rgb = np.arange(40 * 60 * 3, dtype=np.uint8).reshape(40, 60, 3)
+        t = pa.table(
+            {
+                "media_id": pa.array([0], pa.int64()),
+                "kind": pa.array(["image"], pa.string()),
+                "mime": pa.array(["image/bmp"], pa.string()),
+                "payload": pa.array([codecs.encode_bmp(rgb)], pa.binary()),
+                "meta_width": pa.array([60], pa.int32()),
+                "meta_height": pa.array([40], pa.int32()),
+                "meta_duration_ms": pa.array([-1], pa.int32()),
+            }
+        )
+        out = mm.Resize(max_side=30)(t)
+        assert out["resized_width"].to_pylist() == [30]
+        assert out["resized_height"].to_pylist() == [20]
+        decoded = codecs.decode_bmp(out["payload"].to_pylist()[0])
+        assert decoded.shape == (20, 30, 3)
+
+    def test_real_frame_sampling(self):
+        from gliner_ray.functions import codecs
+
+        frames = np.stack([np.full((4, 4), v, np.uint8) for v in (0, 64, 128, 255)])
+        t = pa.table(
+            {
+                "mime": pa.array(["video/x-yuv4mpeg"], pa.string()),
+                "payload": pa.array([codecs.encode_y4m(frames, fps=2)], pa.binary()),
+            }
+        )
+        out = mm.frame_sample_batch(t, fps=1.0)  # keep every 2nd frame
+        assert out["frame_ts_ms"].to_pylist() == [[0, 1000]]
+        means = out["frame_mean"].to_pylist()[0]
+        assert abs(means[0] - 0.0) < 1e-6 and abs(means[1] - 128 / 255) < 1e-6
+
+    def test_unknown_mime_quarantined(self):
+        t = pa.table(
+            {
+                "mime": pa.array(["image/png"], pa.string()),
+                "payload": pa.array([b"\x89PNG..."], pa.binary()),
+            }
+        )
+        out = mm.Decoder()(t)
+        assert out["decode_error"].to_pylist()[0].startswith("NotImplementedError")
+        assert out["feature"].to_pylist()[0] == [0.0] * mm.FEATURE_DIM
+
+
 class TestMultimodal:
     def test_decode_requires_fake_flag(self):
         with pytest.raises(NotImplementedError):
