@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": go.graph_pagerank,
         # multimodal plumbing
         "media_features": co.media_features,
+        "media_near_dups": co.media_near_dups,
         # multitask pipelines (reference task API)
         "mt_classification": co.mt_classification,
         "mt_relation_triples": co.mt_relation_triples,

@@ -561,6 +561,53 @@ def media_features(sf_dir: str):
     return mm.decode_features(sampled)
 
 
+def media_near_dups(sf_dir: str):
+    """Cross-stack integration (rows-only): near-duplicate IMAGE
+    detection over features decoded from real bytes — synth corpus
+    with planted duplicate BMPs (same pixels, fresh encode) → real
+    ``Decoder`` features → the same hyperplane-LSH + exact-cosine
+    near-dup operator the text embeddings use. Planted pairs must
+    surface; pytest pins them."""
+    import pyarrow as pa_
+    import ray.data as rd
+
+    from ..functions import codecs
+    from ..functions import multimodal as mm
+    from ..functions.dedup import embedding_near_dups
+
+    base = mm.synth_media_table(n=30, seed=11)
+    # plant: re-encode three images' exact pixels under new ids
+    img_rows = [
+        i for i, k in enumerate(base["kind"].to_pylist()) if k == "image"
+    ][:3]
+    payloads = base["payload"].to_pylist()
+    extra = {name: [] for name in mm.MEDIA_SCHEMA.names}
+    for j, src in enumerate(img_rows):
+        rgb = codecs.decode_bmp(payloads[src])
+        extra["media_id"].append(1000 + j)
+        extra["kind"].append("image")
+        extra["mime"].append("image/bmp")
+        extra["payload"].append(codecs.encode_bmp(rgb))
+        extra["meta_width"].append(rgb.shape[1])
+        extra["meta_height"].append(rgb.shape[0])
+        extra["meta_duration_ms"].append(-1)
+    full = pa_.concat_tables(
+        [base,
+         pa_.table({n: pa_.array(extra[n], mm.MEDIA_SCHEMA.field(n).type)
+                    for n in mm.MEDIA_SCHEMA.names})]
+    )
+    import pyarrow.compute as pc_
+
+    feats = mm.decode_features(rd.from_arrow(full)).map_batches(
+        lambda t: pa_.table(
+            {"vec_id": t["media_id"], "embedding": t["feature"]}
+        ).filter(pc_.equal(t["kind"], "image")),
+        batch_format="pyarrow",
+    )
+    pairs = embedding_near_dups(feats, threshold=1.0 - 1e-9)
+    return pairs
+
+
 # ---------------------------------------------------------- multitask
 
 

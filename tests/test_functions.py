@@ -432,6 +432,15 @@ class TestCodecs:
 
 
 class TestMultimodal:
+    def test_media_near_dups_planted(self, ray_session):
+        from gliner_ray.queries.corpus_ops import media_near_dups
+
+        t = media_near_dups("unused")
+        pairs = {(r["id_a"], r["id_b"]) for r in t.to_pylist()}
+        # three re-encoded images planted under ids 1000..1002 must
+        # pair with their sources, and nothing else survives cosine≈1
+        assert pairs == {(0, 1000), (3, 1001), (6, 1002)}
+
     def test_decode_requires_fake_flag(self):
         with pytest.raises(NotImplementedError):
             mm.DecodeStub(fake=False)
