@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stratified_sample": co.doc_stratified_sample,
         "doc_source_mixture": co.doc_source_mixture,
         "doc_top_terms": co.doc_top_terms,
+        "doc_heavy_terms": co.doc_heavy_terms,
         # knowledge-graph construction (reference-parity ops)
         "doc_gen_labels": co.doc_gen_labels,
         "doc_token_spans": co.doc_token_spans,

@@ -167,3 +167,120 @@ def approx_distinct(
         cols[group_col] = pa.array(out_groups, pa.string())
     cols["approx_distinct"] = pa.array(ests, pa.int64())
     return pa.table(cols)
+
+
+# ------------------------------------------------- Count-Min sketch
+
+
+class CountMin:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): d rows of w
+    counters; add/merge are element-wise SUMS, so the merged sketch is
+    a pure function of the multiset — deterministic under any block
+    order or parallelism. Estimates only ever over-count."""
+
+    def __init__(self, d: int = 4, w: int = 2048):
+        self.d, self.w = d, w
+        self.tab = np.zeros((d, w), dtype=np.int64)
+        # fixed odd row salts → reproducible row hashes
+        self._salts = (splitmix64(np.arange(1, d + 1, dtype=np.int64)) | _U64(1))
+
+    def _rows(self, h: np.ndarray) -> np.ndarray:
+        """(d, n) counter indices for uint64 value hashes."""
+        return np.stack(
+            [((h * s) >> _U64(32)).astype(np.int64) % self.w for s in self._salts]
+        )
+
+    def add_hashes(self, h: np.ndarray, counts: np.ndarray | None = None) -> "CountMin":
+        if len(h) == 0:
+            return self
+        c = np.ones(len(h), np.int64) if counts is None else counts.astype(np.int64)
+        for d_i, idx in enumerate(self._rows(h)):
+            np.add.at(self.tab[d_i], idx, c)
+        return self
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        self.tab += other.tab
+        return self
+
+    def estimate_hashes(self, h: np.ndarray) -> np.ndarray:
+        if len(h) == 0:
+            return np.zeros(0, np.int64)
+        rows = self._rows(h)
+        return np.min(
+            np.stack([self.tab[i][rows[i]] for i in range(self.d)]), axis=0
+        )
+
+    def to_bytes(self) -> bytes:
+        return self.tab.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, d: int = 4, w: int = 2048) -> "CountMin":
+        sk = cls(d, w)
+        sk.tab = np.frombuffer(data, dtype=np.int64).reshape(d, w).copy()
+        return sk
+
+
+def heavy_hitters(
+    ds: "ray.data.Dataset",
+    col: str,
+    phi: float = 0.001,
+    d: int = 4,
+    w: int = 2048,
+    candidates_per_block: int = 64,
+) -> pa.Table:
+    """Approximate heavy hitters of ``col``: values with frequency
+    ≥ phi·n, found without any value-keyed shuffle.
+
+    Every block emits ONE row — its CMS partial (d×w int64, fixed
+    size) plus its local top-``candidates_per_block`` values with
+    in-block counts. The driver sums the sketches (order-independent),
+    unions the candidate sets, and keeps candidates whose CMS estimate
+    clears the threshold. Guarantee: any value with true frequency
+    ≥ phi·n is a top value of at least one block it appears in (true
+    count ≥ its in-block count somewhere ≥ block_n·phi for some block),
+    so with ``candidates_per_block ≥ 1/phi_block`` the candidate union
+    contains every true heavy hitter; CMS only over-counts, so no true
+    hitter is dropped at the threshold either. Output estimates are
+    deterministic (sums + fixed hashes).
+    """
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = pd.Series(t[col].to_pylist())
+        counts = vals.value_counts()
+        sk = CountMin(d, w).add_hashes(
+            hash_column(pa.array(list(counts.index), pa.string())),
+            counts.to_numpy(),
+        )
+        top = counts.head(candidates_per_block)
+        return pa.table(
+            {
+                "sketch": pa.array([sk.to_bytes()], pa.binary()),
+                "cands": pa.array([list(map(str, top.index))], pa.list_(pa.string())),
+                "n": pa.array([int(len(vals))], pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=131072
+    ).take_all()  # one fixed-size row per block — the reduce input
+    if not rows:
+        return pa.table({"value": pa.array([], pa.string()),
+                         "est_count": pa.array([], pa.int64())})
+    merged = CountMin.from_bytes(rows[0]["sketch"], d, w)
+    cands: set[str] = set(rows[0]["cands"])
+    n = rows[0]["n"]
+    for r in rows[1:]:
+        merged.merge(CountMin.from_bytes(r["sketch"], d, w))
+        cands.update(r["cands"])
+        n += r["n"]
+    cand_list = sorted(cands)
+    ests = merged.estimate_hashes(hash_column(pa.array(cand_list, pa.string())))
+    thresh = phi * n
+    keep = ests >= thresh
+    return pa.table(
+        {
+            "value": pa.array([c for c, k in zip(cand_list, keep) if k], pa.string()),
+            "est_count": pa.array(ests[keep], pa.int64()),
+        }
+    )

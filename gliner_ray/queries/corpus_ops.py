@@ -561,6 +561,27 @@ def media_features(sf_dir: str):
     return mm.decode_features(sampled)
 
 
+def doc_heavy_terms(sf_dir: str, phi: float = 0.005):
+    """Approximate heavy-hitter terms (Count-Min + per-block candidate
+    union — `functions/sketch.heavy_hitters`): frequent corpus terms
+    found with NO term-keyed shuffle; every block contributes one
+    fixed-size sketch row. Deterministic (sums + fixed hashes);
+    rows-only here, accuracy pinned by pytest (all true ≥ phi·n terms
+    present, estimates ≥ true counts)."""
+    import pyarrow as pa_
+
+    from ..functions.sketch import heavy_hitters
+
+    def explode(t: pa_.Table) -> pa_.Table:
+        terms: list[str] = []
+        for txt in t["text"].to_pylist():
+            terms.extend(w.lower() for w in ftext._TERM_RE.findall(txt))
+        return pa_.table({"term": pa_.array(terms, pa_.string())})
+
+    terms_ds = _docs(sf_dir, ["text"]).map_batches(explode, batch_format="pyarrow")
+    return heavy_hitters(terms_ds, "term", phi=phi)
+
+
 def media_near_dups(sf_dir: str):
     """Cross-stack integration (rows-only): near-duplicate IMAGE
     detection over features decoded from real bytes — synth corpus

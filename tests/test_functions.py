@@ -652,6 +652,59 @@ class TestAsofJoin:
             asof_join(rd.from_arrow(left), rd.from_arrow(both_v), on="ts", by="k")
 
 
+class TestCountMin:
+    def test_estimates_never_undercount_and_exact_when_sparse(self):
+        from gliner_ray.functions.sketch import CountMin, hash_column
+
+        vals = ["a"] * 50 + ["b"] * 20 + ["c"] * 5 + ["d"]
+        sk = CountMin().add_hashes(hash_column(pa.array(vals, pa.string())))
+        est = sk.estimate_hashes(hash_column(pa.array(["a", "b", "c", "d"], pa.string())))
+        # sparse load (4 values in 2048 counters) → exact
+        assert list(est) == [50, 20, 5, 1]
+
+    def test_merge_order_independent(self):
+        from gliner_ray.functions.sketch import CountMin, hash_column
+
+        h1 = hash_column(pa.array(["x"] * 7 + ["y"], pa.string()))
+        h2 = hash_column(pa.array(["y"] * 3 + ["z"], pa.string()))
+        a = CountMin().add_hashes(h1).merge(CountMin().add_hashes(h2))
+        b = CountMin().add_hashes(h2).merge(CountMin().add_hashes(h1))
+        np.testing.assert_array_equal(a.tab, b.tab)
+
+    def test_heavy_hitters_find_all_planted(self, ray_session):
+        import ray.data as rd
+
+        from gliner_ray.functions.sketch import heavy_hitters
+
+        rng = np.random.RandomState(5)
+        # planted: two heavy values in a long tail, split across blocks
+        vals = (
+            ["hot1"] * 400 + ["hot2"] * 300
+            + [f"tail{i}" for i in rng.randint(0, 5000, size=3300)]
+        )
+        rng.shuffle(vals)
+        ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.string())})).repartition(7)
+        out = heavy_hitters(ds, "v", phi=0.05).to_pandas()
+        got = dict(zip(out["value"], out["est_count"]))
+        assert "hot1" in got and "hot2" in got
+        # CMS only over-counts
+        assert got["hot1"] >= 400 and got["hot2"] >= 300
+        # nothing from the tail clears 5% of 4000
+        assert all(v.startswith("hot") for v in got)
+
+    def test_heavy_hitters_deterministic_across_layouts(self, ray_session):
+        import ray.data as rd
+
+        from gliner_ray.functions.sketch import heavy_hitters
+
+        t = pa.table({"v": pa.array(["a"] * 30 + ["b"] * 9 + ["c"], pa.string())})
+        a = heavy_hitters(rd.from_arrow(t), "v", phi=0.2).to_pandas()
+        b = heavy_hitters(rd.from_arrow(t).repartition(5), "v", phi=0.2).to_pandas()
+        assert sorted(zip(a["value"], a["est_count"])) == sorted(
+            zip(b["value"], b["est_count"])
+        )
+
+
 class TestHyperLogLog:
     def test_estimate_within_tolerance(self):
         from gliner_ray.functions import sketch
