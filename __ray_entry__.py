@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split_counts": co.doc_split_counts,
         "doc_stratified_sample": co.doc_stratified_sample,
         "doc_source_mixture": co.doc_source_mixture,
+        "doc_uniform_sample": co.doc_uniform_sample,
         "doc_top_terms": co.doc_top_terms,
         "doc_heavy_terms": co.doc_heavy_terms,
         # knowledge-graph construction (reference-parity ops)
@@ -148,6 +149,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_split_counts": co.SPLIT_COUNTS_SQL,
         "doc_stratified_sample": co.STRATIFIED_SAMPLE_SQL,
         "doc_source_mixture": co.SOURCE_MIXTURE_SQL,
+        "doc_uniform_sample": co.UNIFORM_SAMPLE_SQL,
         "doc_top_terms": co.TOP_TERMS_SQL,
         "doc_exact_dedup": co.EXACT_DEDUP_SQL,
         "q_user_item_degree": go.USER_ITEM_DEGREE_SQL,

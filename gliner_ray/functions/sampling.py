@@ -133,6 +133,38 @@ def stratified_sample(
     )
 
 
+def uniform_sample(
+    ds: "ray.data.Dataset", key_col: str, k: int, salt: str = "unif"
+) -> "ray.data.Dataset":
+    """Uniform k-row sample of the whole dataset without knowing n (the
+    distributed reservoir-sampling analog): bottom-k by ``md5(salt:key)``.
+    Per-batch partial bottom-k (≤ k rows leave each batch) → one tiny
+    final trim; deterministic across runs/layouts/resume and exactly
+    SQL-expressible (``ORDER BY md5(...) LIMIT k``)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["_rk"] = [
+            hashlib.md5(f"{salt}:{v}".encode()).hexdigest() for v in df[key_col]
+        ]
+        return pa.Table.from_pandas(
+            df.sort_values(["_rk", key_col]).head(k), preserve_index=False
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["_rk", key_col]).head(k).drop(columns=["_rk"])
+        )
+
+    # survivors are ≤ k × blocks rows; repartition(1) makes the final
+    # trim a single tiny task rather than a driver collect
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
+
+
 def limit_per_group(
     ds: "ray.data.Dataset", group_col: str, limit: int
 ) -> "ray.data.Dataset":

@@ -766,6 +766,21 @@ SELECT doc_id, term, tf, df FROM (
 """
 
 
+def doc_uniform_sample(sf_dir: str, k: int = 25):
+    """Uniform k-doc corpus sample (reservoir analog): bottom-k by
+    md5 rank — see ``functions.sampling.uniform_sample``."""
+    from ..functions.sampling import uniform_sample
+
+    return uniform_sample(_docs(sf_dir, ["doc_id", "source"]), "doc_id", k)
+
+
+UNIFORM_SAMPLE_SQL = """
+SELECT doc_id, source FROM documents
+ORDER BY md5('unif:' || CAST(doc_id AS VARCHAR)), doc_id
+LIMIT 25
+"""
+
+
 def doc_source_mixture(sf_dir: str):
     """Deterministic weighted data-mixture sampling (the LLM-corpus
     "mixture weights" op): each source keeps docs at its own rate via
