@@ -222,3 +222,80 @@ class TestSubwordProperties:
         for t in toks:
             if any("一" <= ch <= "鿿" for ch in t):
                 assert len(t) == 1
+
+
+# ---------------------------------------------------- media codecs
+
+
+class TestCodecRoundTripProperties:
+    """encode(decode(x)) == x for random shapes/content — the invariant
+    the real multimodal decode path rests on."""
+
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_bmp_roundtrip(self, h, w, seed):
+        from gliner_ray.functions import codecs
+
+        rgb = np.random.RandomState(seed).randint(
+            0, 256, size=(h, w, 3)
+        ).astype(np.uint8)
+        np.testing.assert_array_equal(codecs.decode_bmp(codecs.encode_bmp(rgb)), rgb)
+
+    @given(
+        n=st.integers(1, 500),
+        ch=st.integers(1, 2),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_wav_roundtrip(self, n, ch, rate, seed):
+        from gliner_ray.functions import codecs
+
+        samples = (
+            np.random.RandomState(seed).randint(-32768, 32768, size=(n, ch))
+        ).astype(np.int16)
+        got_rate, got = codecs.decode_wav(codecs.encode_wav(samples, rate))
+        assert got_rate == rate
+        np.testing.assert_array_equal(got, samples)
+
+    @given(
+        t=st.integers(0, 6),
+        h=st.integers(1, 16),
+        w=st.integers(1, 16),
+        fps=st.integers(1, 60),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_y4m_roundtrip(self, t, h, w, fps, seed):
+        from gliner_ray.functions import codecs
+
+        frames = np.random.RandomState(seed).randint(
+            0, 256, size=(t, h, w)
+        ).astype(np.uint8)
+        got_fps, got = codecs.decode_y4m(codecs.encode_y4m(frames, fps=fps))
+        assert got_fps == fps
+        np.testing.assert_array_equal(got, frames)
+
+    @given(
+        h=st.integers(1, 20),
+        w=st.integers(1, 20),
+        oh=st.integers(1, 20),
+        ow=st.integers(1, 20),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_resize_shape_and_pixel_provenance(self, h, w, oh, ow, seed):
+        from gliner_ray.functions import codecs
+
+        rgb = np.random.RandomState(seed).randint(
+            0, 256, size=(h, w, 3)
+        ).astype(np.uint8)
+        out = codecs.resize_nearest(rgb, ow, oh)
+        assert out.shape == (oh, ow, 3)
+        # every output pixel is an input pixel (nearest neighbour)
+        flat_in = {bytes(px) for px in rgb.reshape(-1, 3)}
+        assert all(bytes(px) in flat_in for px in out.reshape(-1, 3))
