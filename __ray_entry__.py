@@ -61,6 +61,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_qty_cube": rel.q_qty_cube,
         "q_user_event_gaps": rel.q_user_event_gaps,
         "q_user_cumulative_spend": rel.q_user_cumulative_spend,
+        "q_price_percentile_cont": rel.q_price_percentile_cont,
+        "q_cheapest_supplier_per_part": rel.q_cheapest_supplier_per_part,
+        "q_priority_mode_by_status": rel.q_priority_mode_by_status,
+        "q_user_moving_sum3": rel.q_user_moving_sum3,
+        "q_events_by_type_salted": rel.q_events_by_type_salted,
+        "q_hours_intersect": rel.q_hours_intersect,
+        "q_hours_except": rel.q_hours_except,
+        "q_top_orders_rank_ties": rel.q_top_orders_rank_ties,
+        "q_orders_of_rich_customers": rel.q_orders_of_rich_customers,
         # text analysis
         "doc_token_count": co.doc_token_count,
         "doc_tokens_routed": co.doc_tokens_routed,
@@ -137,6 +146,15 @@ def oracle_sql() -> dict[str, str]:
         "q_qty_cube": rel.QTY_CUBE_SQL,
         "q_user_event_gaps": rel.USER_EVENT_GAPS_SQL,
         "q_user_cumulative_spend": rel.USER_CUMULATIVE_SPEND_SQL,
+        "q_price_percentile_cont": rel.PRICE_PERCENTILE_CONT_SQL,
+        "q_cheapest_supplier_per_part": rel.CHEAPEST_SUPPLIER_SQL,
+        "q_priority_mode_by_status": rel.PRIORITY_MODE_SQL,
+        "q_user_moving_sum3": rel.USER_MOVING_SUM3_SQL,
+        "q_events_by_type_salted": rel.EVENTS_BY_TYPE_SALTED_SQL,
+        "q_hours_intersect": rel.HOURS_INTERSECT_SQL,
+        "q_hours_except": rel.HOURS_EXCEPT_SQL,
+        "q_top_orders_rank_ties": rel.TOP_ORDERS_RANK_TIES_SQL,
+        "q_orders_of_rich_customers": rel.ORDERS_RICH_CUSTOMERS_SQL,
         "doc_token_count": co.TOKEN_COUNT_SQL,
         "doc_tokens_routed": co.TOKENS_ROUTED_SQL,
         "doc_text_stats": co.TEXT_STATS_SQL,

@@ -232,3 +232,118 @@ def asof_join(
         right.map_batches(tag(1, r_only), batch_format="pyarrow", batch_size=131072)
     )
     return unioned.groupby("__part").map_groups(merge, batch_format="pyarrow")
+
+
+class BloomFilter:
+    """Fixed-size blocked Bloom filter over int64 keys, built as a
+    mergeable aggregate: every block folds its keys into one
+    ``nbits``-wide bitmap partial (a few hundred KiB regardless of row
+    count), the driver ORs the partials, and the result is broadcast
+    (``ray.put`` at cluster scale) to prune a fact table BEFORE its
+    shuffle join. Splitmix64-style double hashing, k derived from the
+    target false-positive rate. A Bloom pass alone is approximate;
+    pair it with an exact verification join (``bloom_semi_join``) for
+    exact semantics — the filter only shrinks the join's left input.
+    """
+
+    __slots__ = ("nbits", "k", "bits")
+
+    def __init__(self, nbits: int = 1 << 23, k: int = 7,
+                 bits: np.ndarray | None = None):
+        self.nbits = nbits
+        self.k = k
+        self.bits = (
+            bits if bits is not None
+            else np.zeros(nbits // 64, dtype=np.uint64)
+        )
+
+    @staticmethod
+    def _mix(v: np.ndarray, salt: np.uint64) -> np.ndarray:
+        x = (v.astype(np.uint64) + salt) * np.uint64(0x9E3779B97F4A7C15)
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        return x
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        h1 = self._mix(keys, np.uint64(0xA076_1D64_78BD_642F))
+        h2 = self._mix(keys, np.uint64(0xE703_7ED1_A0B4_28DB)) | np.uint64(1)
+        ks = np.arange(self.k, dtype=np.uint64)[:, None]
+        return (h1[None, :] + ks * h2[None, :]) % np.uint64(self.nbits)
+
+    def add(self, keys: np.ndarray) -> "BloomFilter":
+        pos = self._positions(np.asarray(keys, dtype=np.int64))
+        np.bitwise_or.at(
+            self.bits, (pos >> np.uint64(6)).ravel(),
+            np.uint64(1) << (pos.ravel() & np.uint64(63)),
+        )
+        return self
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        pos = self._positions(np.asarray(keys, dtype=np.int64))
+        hits = (
+            self.bits[(pos >> np.uint64(6))]
+            >> (pos & np.uint64(63))
+        ) & np.uint64(1)
+        return hits.all(axis=0).astype(bool)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        self.bits |= other.bits
+        return self
+
+
+def build_bloom(
+    ds: "ray.data.Dataset", key: str, nbits: int = 1 << 23, k: int = 7
+) -> BloomFilter:
+    """One streaming pass: each batch emits its bitmap partial as a
+    single fixed-size row; the driver ORs batches-many partials. At
+    2^23 bits a partial is 1 MiB — metadata-sized relative to blocks."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(nbits, k)
+        bf.add(t[key].to_numpy(zero_copy_only=False).astype(np.int64))
+        packed = bf.bits.view(np.uint8).tobytes()
+        return pa.table({"bits": pa.array([packed], pa.large_binary())})
+
+    out = BloomFilter(nbits, k)
+    for row in ds.map_batches(partial, batch_format="pyarrow").iter_rows():
+        out.bits |= np.frombuffer(row["bits"], dtype=np.uint64)
+    return out
+
+
+def bloom_semi_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_key: str,
+    right_key: str,
+    num_partitions: int = 16,
+    nbits: int = 1 << 23,
+) -> "ray.data.Dataset":
+    """EXACT distributed semi-join ``left WHERE left_key IN right``:
+    a broadcast Bloom filter built from the right side prunes the left
+    fact table in-stream (no shuffle, ~1 MiB broadcast), then only the
+    Bloom survivors — already within a false-positive factor of the
+    true output — pay the exact verification join against the distinct
+    right keys. The classic big-fact/medium-dim semi-join at 100 TB:
+    the all-to-all exchange moves survivors, not the fact table."""
+    bloom = build_bloom(right, right_key, nbits=nbits)
+
+    def prune(t: pa.Table) -> pa.Table:
+        keys = t[left_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(bloom.contains(keys)))
+
+    survivors = left.map_batches(prune, batch_format="pyarrow")
+
+    def distinct_keys(t: pa.Table) -> pa.Table:
+        k = t[right_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({left_key: pa.array(np.unique(k), pa.int64())})
+
+    right_keys = (
+        right.map_batches(distinct_keys, batch_format="pyarrow")
+        .groupby(left_key)
+        .map_groups(lambda df: df.head(1), batch_format="pandas")
+    )
+    return hash_join(
+        survivors, right_keys, left_key, left_key,
+        num_partitions=num_partitions,
+    )

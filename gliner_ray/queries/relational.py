@@ -1121,6 +1121,19 @@ def _exact_int_quantiles(cents_ds, quantiles) -> list[int] | None:
     0-based index ``ceil(q·n) - 1`` of the sorted values. Returns one
     exact value per requested quantile, or None on an empty input.
     """
+    return _exact_int_order_stats(
+        cents_ds,
+        lambda n: [max(int(np.ceil(q * n)), 1) - 1 for q in quantiles],
+    )
+
+
+def _exact_int_order_stats(cents_ds, make_ranks) -> list[int] | None:
+    """Core bin-narrowing engine: exact values at arbitrary 0-based
+    sorted ranks of an integer ``cents`` column. ``make_ranks(n)``
+    returns the target rank list once the count is known (lets callers
+    express quantile_disc ranks, quantile_cont's floor/ceil rank pairs,
+    or top-k thresholds uniformly). See :func:`_exact_int_quantiles`
+    for the pass structure and scale argument."""
     from ray.data.aggregate import Count, Max, Min
 
     NB = 4096
@@ -1133,11 +1146,11 @@ def _exact_int_quantiles(cents_ds, quantiles) -> list[int] | None:
     n = int(stats["n"])
     if n == 0:
         return None
-    # per quantile: target 0-based rank, current range, ranks below lo
+    # per rank: current range, ranks below lo
     state = [
-        {"rank": max(int(np.ceil(q * n)), 1) - 1,
-         "lo": int(stats["lo"]), "hi": int(stats["hi"]), "below": 0}
-        for q in quantiles
+        {"rank": int(r), "lo": int(stats["lo"]), "hi": int(stats["hi"]),
+         "below": 0}
+        for r in make_ranks(n)
     ]
     while any(s["hi"] > s["lo"] for s in state):
         ranges = [
@@ -1659,4 +1672,497 @@ FROM (
 )
 WHERE gap_us IS NOT NULL
 GROUP BY user_id
+"""
+
+
+# --------------------------------------------- interpolated percentiles
+
+
+def q_price_percentile_cont(sf_dir: str):
+    """EXACT interpolated percentiles (``quantile_cont`` semantics) via
+    the same bin-narrowing engine — no global sort. For percentile p the
+    continuous rank is ``h = p·(n-1)``; the engine fetches the exact
+    order statistics at ``floor(h)`` and ``ceil(h)`` (one shared set of
+    streaming passes for all percentiles), and the interpolation
+    ``x0 + (h - floor(h))·(x1 - x0)`` happens driver-side on two ints.
+    With quarter percentiles every interpolated value × 4 is integral,
+    so the oracle-checked column is ``cents_x4 = round(value·4)`` — an
+    exact integer on both engines (DuckDB quantile_cont uses the same
+    linear h = p·(n-1) rule)."""
+    PS = (0.25, 0.5, 0.75)
+    cents_ds = _read(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
+        lambda t: pa.table({"cents": _floor_units(t["l_extendedprice"], 100)}),
+        batch_format="pyarrow",
+    )
+
+    holder: dict[str, int] = {}
+
+    def ranks(n: int) -> list[int]:
+        holder["n"] = n
+        out = []
+        for p in PS:
+            h = p * (n - 1)
+            out.extend([int(np.floor(h)), int(np.ceil(h))])
+        return out
+
+    vals = _exact_int_order_stats(cents_ds, ranks)
+    if vals is None:
+        return pd.DataFrame(
+            {"p_x100": pd.array([], dtype="int64"),
+             "cents_x4": pd.array([], dtype="int64")}
+        )
+    n = holder["n"]
+    out = []
+    for i, p in enumerate(PS):
+        h = p * (n - 1)
+        x0, x1 = vals[2 * i], vals[2 * i + 1]
+        frac = h - np.floor(h)  # exact binary fraction for quarter p
+        out.append(int(round((x0 + frac * (x1 - x0)) * 4)))
+    return pd.DataFrame(
+        {"p_x100": pd.array([int(p * 100) for p in PS], dtype="int64"),
+         "cents_x4": pd.array(out, dtype="int64")}
+    )
+
+
+PRICE_PERCENTILE_CONT_SQL = """
+WITH t AS (SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem)
+SELECT CAST(25 AS BIGINT) AS p_x100,
+       CAST(ROUND(quantile_cont(cents, 0.25) * 4) AS BIGINT) AS cents_x4 FROM t
+UNION ALL
+SELECT CAST(50 AS BIGINT),
+       CAST(ROUND(quantile_cont(cents, 0.50) * 4) AS BIGINT) FROM t
+UNION ALL
+SELECT CAST(75 AS BIGINT),
+       CAST(ROUND(quantile_cont(cents, 0.75) * 4) AS BIGINT) FROM t
+"""
+
+
+# --------------------------------------------------- argmin per group
+
+
+def q_cheapest_supplier_per_part(sf_dir: str):
+    """Argmin-per-group (TPC-H Q2's min-cost-supplier shape): for every
+    part, the supplier row with the lowest price, deterministic ties by
+    suppkey. Combiner-friendly: each batch keeps ONE row per part seen
+    in it (in-batch lexicographic argmin), so the shuffle carries
+    ≤ parts×batches rows, then a per-part ``map_groups`` argmin
+    finishes. No sort of the fact table; result is part-count-sized."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_partkey": t["l_partkey"].to_numpy(zero_copy_only=False),
+                "cheapest_suppkey": t["l_suppkey"].to_numpy(zero_copy_only=False),
+                "min_price_cents": _floor_units(t["l_extendedprice"], 100),
+            }
+        )
+        df = df.sort_values(
+            ["l_partkey", "min_price_cents", "cheapest_suppkey"],
+            ignore_index=True,
+        )
+        return pa.Table.from_pandas(
+            df.drop_duplicates("l_partkey", keep="first"), preserve_index=False
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["l_partkey", "min_price_cents", "cheapest_suppkey"],
+            ignore_index=True,
+        )
+        return df.drop_duplicates("l_partkey", keep="first")
+
+    return (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=131072)
+        .groupby("l_partkey")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+CHEAPEST_SUPPLIER_SQL = """
+SELECT l_partkey, cheapest_suppkey, min_price_cents
+FROM (
+    SELECT l_partkey, l_suppkey AS cheapest_suppkey,
+           CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS min_price_cents,
+           ROW_NUMBER() OVER (
+               PARTITION BY l_partkey
+               ORDER BY FLOOR(l_extendedprice * 100), l_suppkey
+           ) AS rn
+    FROM lineitem
+)
+WHERE rn = 1
+"""
+
+
+# ------------------------------------------------------ mode per group
+
+
+def q_priority_mode_by_status(sf_dir: str):
+    """MODE per group (most frequent o_orderpriority per orderstatus,
+    lexicographically-smallest tie rule, made explicit so both engines
+    agree). Two-level counting: in-batch (status, priority) partial
+    counts (≤ 3×5 keys/batch) → global groupby sum → per-status argmax
+    on a groups-sized table. The fact table is scanned once; nothing
+    value-sized shuffles."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderstatus": t["o_orderstatus"].to_pandas(),
+                "mode_priority": t["o_orderpriority"].to_pandas(),
+            }
+        )
+        agg = df.groupby(
+            ["o_orderstatus", "mode_priority"], as_index=False
+        ).size()
+        return pa.Table.from_pandas(
+            agg.rename(columns={"size": "cnt"}), preserve_index=False
+        )
+
+    counts = (
+        _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=131072)
+        .groupby(["o_orderstatus", "mode_priority"])
+        .aggregate(Sum("cnt", alias_name="n_orders"))
+        .to_pandas()  # groups-sized: |status| × |priority| ≤ 15 rows
+    )
+    counts = counts.sort_values(
+        ["o_orderstatus", "n_orders", "mode_priority"],
+        ascending=[True, False, True],
+        ignore_index=True,
+    )
+    return counts.drop_duplicates("o_orderstatus", keep="first")[
+        ["o_orderstatus", "mode_priority", "n_orders"]
+    ]
+
+
+PRIORITY_MODE_SQL = """
+SELECT o_orderstatus, mode_priority, n_orders
+FROM (
+    SELECT o_orderstatus, o_orderpriority AS mode_priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY COUNT(*) DESC, o_orderpriority
+           ) AS rn
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+)
+WHERE rn = 1
+"""
+
+
+# ------------------------------------------- ROWS-frame moving window
+
+
+def q_user_moving_sum3(sf_dir: str):
+    """ROWS-frame moving window (3rd frame type next to the trailing
+    RANGE sum and the cumulative frame): per user, the sum of the
+    current + two previous event values in time order. Same partition
+    discipline as the other windows: ``user_id % P`` hash parts, each
+    part sorts only its own rows, vectorized per-user rolling sum. Ties
+    broken by event_id on both engines; integer value-cents keep the
+    hash exact."""
+    P = 16
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "cents": _floor_units(t["value"], 100),
+                "part": pa.array(u % P, pa.int64()),
+            }
+        )
+
+    def rolling(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+        s["moving_cents"] = (
+            s.groupby("user_id", sort=False)["cents"]
+            .rolling(3, min_periods=1)
+            .sum()
+            .reset_index(drop=True)
+            .astype(np.int64)
+        )
+        return s[["user_id", "event_id", "moving_cents"]]
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+        .map_batches(add_part, batch_format="pyarrow", batch_size=131072)
+        .groupby("part")
+        .map_groups(rolling, batch_format="pandas")
+    )
+
+
+USER_MOVING_SUM3_SQL = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS moving_cents
+FROM events
+"""
+
+
+# --------------------------------------------------- salted groupby
+
+
+def q_events_by_type_salted(sf_dir: str):
+    """Hot-key aggregation with EXPLICIT salting: event_type has ~5
+    values over the whole corpus — a plain groupby hashes everything to
+    5 reducers no matter the cluster size. Stage 1 groups by
+    (event_type, salt) with salt = event_id % S, spreading each hot key
+    over S reducers; stage 2 re-aggregates the S×5-row result. The
+    in-batch partial combiner still applies before stage 1, so what
+    shuffles is ≤ keys×S×batches rows. Result == plain GROUP BY."""
+    from ray.data.aggregate import Sum
+
+    S = 32
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas(),
+                "salt": t["event_id"].to_numpy(zero_copy_only=False) % S,
+                "cents": _floor_units(t["value"], 100),
+                "n": np.ones(t.num_rows, dtype=np.int64),
+            }
+        )
+        agg = df.groupby(["event_type", "salt"], as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    salted = (
+        _read(sf_dir, "events", ["event_type", "event_id", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=131072)
+        .groupby(["event_type", "salt"])
+        .aggregate(Sum("cents", alias_name="c"), Sum("n", alias_name="k"))
+    )
+    return (
+        salted.groupby("event_type")
+        .aggregate(Sum("c", alias_name="sum_cents"), Sum("k", alias_name="n_events"))
+    )
+
+
+EVENTS_BY_TYPE_SALTED_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+# ------------------------------------------------- distributed set ops
+
+
+def _hour_type_masks(sf_dir: str, types: tuple[str, str]):
+    """One streaming pass for INTERSECT/EXCEPT over event-hour sets:
+    each batch emits (hour, OR of type bits) partials — vectorized
+    per-key OR via sort + ``bitwise_or.reduceat``, no Python per-group
+    loop — and a single groupby Max merges them. The set algebra
+    happens on a bitmask, so BOTH set operations cost ONE key-shuffle
+    of pre-combined rows instead of two distinct passes plus a join."""
+    from ray.data.aggregate import Max
+
+    bit = {t: 1 << i for i, t in enumerate(types)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        hr = ts_us // 3_600_000_000
+        m = (
+            t["event_type"].to_pandas().map(bit).fillna(0).astype(np.int64).to_numpy()
+        )
+        keep = m > 0
+        u, m = hr[keep], m[keep]
+        if len(u) == 0:
+            return pa.table(
+                {"hr": pa.array([], pa.int64()),
+                 "mask": pa.array([], pa.int64())}
+            )
+        order = np.argsort(u, kind="stable")
+        u, m = u[order], m[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        return pa.table(
+            {"hr": pa.array(u[starts], pa.int64()),
+             "mask": pa.array(np.bitwise_or.reduceat(m, starts), pa.int64())}
+        )
+
+    return (
+        _read(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=131072)
+        .groupby("hr")
+        .aggregate(Max("mask", alias_name="mask"))
+    )
+
+
+def q_hours_intersect(sf_dir: str):
+    """INTERSECT: epoch-hours with BOTH a purchase and an error event
+    (see :func:`_hour_type_masks` for the single-shuffle bitmask
+    design)."""
+    masks = _hour_type_masks(sf_dir, ("purchase", "error"))
+    return masks.filter(expr="mask == 3").select_columns(["hr"])
+
+
+HOURS_INTERSECT_SQL = """
+SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hr FROM events
+WHERE event_type = 'purchase'
+INTERSECT
+SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hr FROM events
+WHERE event_type = 'error'
+"""
+
+
+def q_hours_except(sf_dir: str):
+    """EXCEPT: epoch-hours with a purchase event but NO error event —
+    same single bitmask pass, different final filter."""
+    masks = _hour_type_masks(sf_dir, ("purchase", "error"))
+    return masks.filter(expr="mask == 1").select_columns(["hr"])
+
+
+HOURS_EXCEPT_SQL = """
+SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hr FROM events
+WHERE event_type = 'purchase'
+EXCEPT
+SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hr FROM events
+WHERE event_type = 'error'
+"""
+
+
+# ------------------------------------------------- RANK() with ties
+
+
+def q_top_orders_rank_ties(sf_dir: str):
+    """Per-group top-N by RANK() WITH TIES (unlike the ROW_NUMBER cap
+    of ``q_top_orders_per_segment``, ties at the boundary all survive).
+    Pass 1: per-batch partial top-3 rows per priority (≤ 15 rows leave
+    any batch) → per-priority merge gives the 3rd-highest row value v3
+    (rows with rank ≤ 3 are EXACTLY those ≥ v3: at most 2 rows sit
+    strictly above v3, and anything below has the top-3 above it).
+    Pass 2: streaming filter ``cents >= v3[priority]`` (broadcast
+    5-entry threshold map), then rank assignment inside a per-priority
+    ``map_groups`` over the output-sized survivor set."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": t["o_orderpriority"].to_pandas(),
+                "o_orderkey": t["o_orderkey"].to_numpy(zero_copy_only=False),
+                "cents": _floor_units(t["o_totalprice"], 100),
+            }
+        )
+        df = df.sort_values(
+            ["o_orderpriority", "cents"], ascending=[True, False],
+            ignore_index=True,
+        )
+        return pa.Table.from_pandas(
+            df.groupby("o_orderpriority", sort=False).head(3),
+            preserve_index=False,
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"]
+    )
+    top3 = (
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=131072)
+        .groupby("o_orderpriority")
+        .map_groups(
+            lambda df: df.sort_values("cents", ascending=False).head(3),
+            batch_format="pandas",
+        )
+        .to_pandas()  # ≤ 3 × |priorities| rows
+    )
+    thresholds = top3.groupby("o_orderpriority")["cents"].min().to_dict()
+
+    def survives(t: pa.Table) -> pa.Table:
+        pr = t["o_orderpriority"].to_pandas()
+        cents = _floor_units(t["o_totalprice"], 100).to_numpy()
+        thr = pr.map(thresholds).fillna(np.iinfo(np.int64).max).to_numpy()
+        keep = cents >= thr
+        return pa.table(
+            {
+                # explicit string type: an all-filtered batch must not
+                # degrade to a null-typed column (block schema drift)
+                "o_orderpriority": pa.array(pr[keep], pa.string()),
+                "o_orderkey": pa.array(
+                    t["o_orderkey"].to_numpy(zero_copy_only=False)[keep]
+                ),
+                "cents": pa.array(cents[keep], pa.int64()),
+            }
+        )
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["cents", "o_orderkey"], ascending=[False, True],
+            ignore_index=True,
+        )
+        greater = np.searchsorted(-df["cents"].to_numpy(), -df["cents"].to_numpy(), side="left")
+        df["rnk"] = greater + 1
+        return df[df["rnk"] <= 3]
+
+    return (
+        orders.map_batches(survives, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .map_groups(rank, batch_format="pandas")
+    )
+
+
+TOP_ORDERS_RANK_TIES_SQL = """
+SELECT o_orderpriority, o_orderkey, cents, CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT o_orderpriority, o_orderkey,
+           CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+           RANK() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY FLOOR(o_totalprice * 100) DESC
+           ) AS rnk
+    FROM orders
+)
+WHERE rnk <= 3
+"""
+
+
+# -------------------------------------------------- Bloom semi-join
+
+
+def q_orders_of_rich_customers(sf_dir: str):
+    """EXACT semi-join via broadcast Bloom pruning
+    (``functions/joins.bloom_semi_join``): orders whose customer holds
+    a high account balance. The ~1 MiB Bloom bitmap (OR-merged from
+    per-block partials) filters the orders fact table in-stream, so
+    the exact verification join shuffles only Bloom survivors — the
+    semi-join never moves the full fact table."""
+    from ..functions.joins import bloom_semi_join
+
+    rich = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).filter(
+        expr="c_acctbal > 9000.0"
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "cents": _floor_units(t["o_totalprice"], 100),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]
+    ).map_batches(keyed, batch_format="pyarrow")
+    rich_keys = rich.map_batches(
+        lambda t: pa.table({"o_custkey": t["c_custkey"]}),
+        batch_format="pyarrow",
+    )
+    return bloom_semi_join(orders, rich_keys, "o_custkey", "o_custkey")
+
+
+ORDERS_RICH_CUSTOMERS_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0)
 """

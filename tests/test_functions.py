@@ -832,3 +832,64 @@ class TestDistributedKmeans:
         a = fc.kmeans(self._ds(rows), n_clusters=4, n_iter=4, seed=1)
         b = fc.kmeans(self._ds(rows), n_clusters=4, n_iter=4, seed=1)
         np.testing.assert_array_equal(a, b)
+
+
+class TestBloomFilter:
+    """functions/joins.BloomFilter: the broadcast-prune primitive for
+    exact semi-joins. The contract that makes bloom_semi_join EXACT is
+    'no false negatives' — anything added always tests positive."""
+
+    def test_no_false_negatives(self):
+        from gliner_ray.functions.joins import BloomFilter
+
+        rng = np.random.default_rng(7)
+        keys = rng.integers(-(2**62), 2**62, size=20_000)
+        bf = BloomFilter(nbits=1 << 18).add(keys)
+        assert bf.contains(keys).all()
+
+    def test_false_positive_rate_bounded(self):
+        from gliner_ray.functions.joins import BloomFilter
+
+        rng = np.random.default_rng(11)
+        members = rng.integers(0, 2**40, size=10_000)
+        bf = BloomFilter(nbits=1 << 20).add(members)
+        probes = rng.integers(2**41, 2**42, size=50_000)  # disjoint range
+        fpr = bf.contains(probes).mean()
+        # m/n = 2^20/10^4 ≈ 105 bits/key, k=7 → theoretical fpr ≪ 1e-4
+        assert fpr < 0.01, fpr
+
+    def test_merge_is_union(self):
+        from gliner_ray.functions.joins import BloomFilter
+
+        a_keys = np.arange(0, 500, dtype=np.int64)
+        b_keys = np.arange(10_000, 10_500, dtype=np.int64)
+        a = BloomFilter(nbits=1 << 16).add(a_keys)
+        b = BloomFilter(nbits=1 << 16).add(b_keys)
+        a.merge(b)
+        assert a.contains(a_keys).all() and a.contains(b_keys).all()
+
+    def test_semi_join_exact_vs_pandas(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from gliner_ray.functions.joins import bloom_semi_join
+
+        rng = np.random.default_rng(3)
+        left = pd.DataFrame(
+            {"k": rng.integers(0, 300, size=5_000), "v": np.arange(5_000)}
+        )
+        right = pd.DataFrame({"k": np.unique(rng.integers(0, 300, size=80))})
+        # tiny filter forces real false positives → verification join
+        # must still make the result exact
+        got = (
+            bloom_semi_join(
+                rd.from_pandas(left), rd.from_pandas(right), "k", "k",
+                nbits=1 << 10,
+            )
+            .to_pandas()
+            .sort_values(["k", "v"], ignore_index=True)
+        )
+        want = left[left["k"].isin(set(right["k"]))].sort_values(
+            ["k", "v"], ignore_index=True
+        )
+        pd.testing.assert_frame_equal(got[["k", "v"]], want)
