@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hours_except": rel.q_hours_except,
         "q_top_orders_rank_ties": rel.q_top_orders_rank_ties,
         "q_orders_of_rich_customers": rel.q_orders_of_rich_customers,
+        "q_customer_order_counts": rel.q_customer_order_counts,
+        "q_props_k_sum": rel.q_props_k_sum,
         # text analysis
         "doc_token_count": co.doc_token_count,
         "doc_tokens_routed": co.doc_tokens_routed,
@@ -155,6 +157,8 @@ def oracle_sql() -> dict[str, str]:
         "q_hours_except": rel.HOURS_EXCEPT_SQL,
         "q_top_orders_rank_ties": rel.TOP_ORDERS_RANK_TIES_SQL,
         "q_orders_of_rich_customers": rel.ORDERS_RICH_CUSTOMERS_SQL,
+        "q_customer_order_counts": rel.CUSTOMER_ORDER_COUNTS_SQL,
+        "q_props_k_sum": rel.PROPS_K_SUM_SQL,
         "doc_token_count": co.TOKEN_COUNT_SQL,
         "doc_tokens_routed": co.TOKENS_ROUTED_SQL,
         "doc_text_stats": co.TEXT_STATS_SQL,

@@ -33,12 +33,16 @@ def hash_join(
     left_on: str,
     right_on: str,
     num_partitions: int = 8,
+    how: str = "inner",
 ) -> "ray.data.Dataset":
-    """Inner equi-join on int64 OR string keys. Output columns: all
-    left columns + right columns except ``right_on`` (matching
-    pyarrow's coalesce-keys inner-join shape). String keys partition
-    via ``pd.util.hash_array`` (deterministic fixed-key siphash — safe
-    across worker processes, unlike Python ``hash``)."""
+    """Equi-join on int64 OR string keys (``how``: "inner" or "left" —
+    left-outer keeps unmatched left rows with nulls in right columns).
+    Output columns: all left columns + right columns except
+    ``right_on`` (matching pyarrow's coalesce-keys join shape). String
+    keys partition via ``pd.util.hash_array`` (deterministic fixed-key
+    siphash — safe across worker processes, unlike Python ``hash``)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     ls, rs = left.schema(), right.schema()
     key_type = ls.types[ls.names.index(left_on)]
     str_key = pa.types.is_string(key_type) or pa.types.is_large_string(key_type)
@@ -103,10 +107,11 @@ def hash_join(
         side = group["__side"]
         lt = group.filter(pc.equal(side, 0)).select(["__key"] + l_names)
         rt = group.filter(pc.equal(side, 1)).select(["__key"] + r_names)
-        if lt.num_rows == 0 or rt.num_rows == 0:
+        if lt.num_rows == 0 or (rt.num_rows == 0 and how == "inner"):
             return out_schema.empty_table()
         j = lt.combine_chunks().join(
-            rt.combine_chunks(), keys=["__key"], join_type="inner"
+            rt.combine_chunks(), keys=["__key"],
+            join_type="inner" if how == "inner" else "left outer",
         )
         return j.select(out_schema.names).cast(out_schema)
 

@@ -2166,3 +2166,118 @@ SELECT o_custkey, o_orderkey,
 FROM orders
 WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0)
 """
+
+
+# ---------------------------------------------------- LEFT OUTER join
+
+
+def q_customer_order_counts(sf_dir: str):
+    """LEFT OUTER join (``functions/joins.hash_join(how="left")``):
+    every customer with their order count + spend, zeros for customers
+    with NO orders. The scale-correct shape: orders pre-aggregate to
+    one row per custkey FIRST (combiner + key groupby), so the outer
+    join is customer ⟕ customer-sized — the fact table never joins
+    row-level. Unmatched rows surface as nulls and are coalesced to 0
+    in-stream."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.joins import hash_join
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_custkey": t["o_custkey"].to_numpy(zero_copy_only=False),
+                "n_orders": np.ones(t.num_rows, dtype=np.int64),
+                "spend_cents": _floor_units(t["o_totalprice"], 100),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("o_custkey", as_index=False).sum(), preserve_index=False
+        )
+
+    per_cust = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=131072)
+        .groupby("o_custkey")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("spend_cents", alias_name="spend_cents"),
+        )
+        .map_batches(
+            lambda t: t.rename_columns(["c_custkey", "n_orders", "spend_cents"]),
+            batch_format="pyarrow",
+        )
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    joined = hash_join(cust, per_cust, "c_custkey", "c_custkey", how="left")
+
+    def coalesce(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "n_orders": pc.fill_null(t["n_orders"], 0),
+                "spend_cents": pc.fill_null(t["spend_cents"], 0),
+            }
+        )
+
+    return joined.map_batches(coalesce, batch_format="pyarrow")
+
+
+CUSTOMER_ORDER_COUNTS_SQL = """
+SELECT c_custkey,
+       CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(spend_cents, 0) AS BIGINT) AS spend_cents
+FROM customer
+LEFT JOIN (
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS spend_cents
+    FROM orders GROUP BY o_custkey
+) ON c_custkey = o_custkey
+"""
+
+
+# ------------------------------------------------- JSON extraction
+
+
+def q_props_k_sum(sf_dir: str):
+    """Semi-structured column processing: extract the integer ``k``
+    field from the JSON ``props`` string with a VECTORIZED Arrow regex
+    kernel (``pc.extract_regex`` — no per-row json.loads loop), then
+    the usual partial-agg → tiny groupby. The JSON parse never leaves
+    the batch; only (type, sum, count) partials shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        df = pd.DataFrame(
+            {
+                "event_type": t["event_type"].to_pandas(),
+                "sum_k": pc.fill_null(k, 0).to_numpy(zero_copy_only=False),
+                "n_with_k": pc.is_valid(k).to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("event_type", as_index=False).sum(), preserve_index=False
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=131072)
+        .groupby("event_type")
+        .aggregate(
+            Sum("sum_k", alias_name="sum_k"),
+            Sum("n_with_k", alias_name="n_with_k"),
+        )
+    )
+
+
+PROPS_K_SUM_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
+       CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k
+FROM events
+GROUP BY event_type
+"""

@@ -530,6 +530,32 @@ class TestHashJoin:
         with pytest.raises(ValueError):
             hash_join(rd.from_arrow(t), rd.from_arrow(t), "k", "k")
 
+    def test_left_outer_keeps_unmatched_with_nulls(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from gliner_ray.functions.joins import hash_join
+
+        left = pa.table(
+            {
+                "k": pa.array([1, 2, 3, 9], pa.int64()),
+                "v": pa.array(["a", "b", "c", "z"], pa.string()),
+            }
+        )
+        right = pa.table(
+            {"rk": pa.array([2, 3], pa.int64()), "w": pa.array([20, 30], pa.int64())}
+        )
+        out = (
+            hash_join(rd.from_arrow(left), rd.from_arrow(right), "k", "rk", how="left")
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        assert out["k"].tolist() == [1, 2, 3, 9]
+        assert out["w"].tolist()[1:3] == [20, 30]
+        assert pd.isna(out["w"][0]) and pd.isna(out["w"][3])
+        with pytest.raises(ValueError):
+            hash_join(rd.from_arrow(left), rd.from_arrow(right), "k", "rk", how="full")
+
 
 class TestAsofJoin:
     def _sides(self):
