@@ -123,6 +123,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "doc_top_terms": co.doc_top_terms,
         "doc_decontam": co.doc_decontam,
         "doc_packing": co.doc_packing,
+        "q_orders_of_rich_customers": rel.q_orders_of_rich_customers,
+        "q_cheapest_supplier_per_part": rel.q_cheapest_supplier_per_part,
+        "q_top_orders_rank_ties": rel.q_top_orders_rank_ties,
+        "q_price_percentile_cont": rel.q_price_percentile_cont,
+        "q_props_k_sum": rel.q_props_k_sum,
     }
     qtimes: dict[str, float] = {}
     for name, fn in query_fns.items():

@@ -343,10 +343,15 @@ def bloom_semi_join(
         k = t[right_key].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({left_key: pa.array(np.unique(k), pa.int64())})
 
+    from ray.data.aggregate import Count
+
+    # distinct via a native arrow groupby aggregate (per-group pandas
+    # map_groups pays group-count overhead at key cardinality)
     right_keys = (
         right.map_batches(distinct_keys, batch_format="pyarrow")
         .groupby(left_key)
-        .map_groups(lambda df: df.head(1), batch_format="pandas")
+        .aggregate(Count(alias_name="__n"))
+        .select_columns([left_key])
     )
     return hash_join(
         survivors, right_keys, left_key, left_key,

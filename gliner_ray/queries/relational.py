@@ -1744,39 +1744,51 @@ SELECT CAST(75 AS BIGINT),
 def q_cheapest_supplier_per_part(sf_dir: str):
     """Argmin-per-group (TPC-H Q2's min-cost-supplier shape): for every
     part, the supplier row with the lowest price, deterministic ties by
-    suppkey. Combiner-friendly: each batch keeps ONE row per part seen
-    in it (in-batch lexicographic argmin), so the shuffle carries
-    ≤ parts×batches rows, then a per-part ``map_groups`` argmin
-    finishes. No sort of the fact table; result is part-count-sized."""
+    suppkey. The lexicographic pair (cents, suppkey) is ENCODED into
+    one int64 (``cents·2^20 + suppkey``, valid while suppkey < 2^20 —
+    TPC-H suppliers reach 2^20 only past sf100; assert-guarded), so
+    both levels are a native ``Min``: an in-batch partial argmin (ONE
+    row per part leaves a batch — vectorized sort+dedup, no per-group
+    loop) and an arrow-level ``groupby.aggregate(Min)`` — NOT
+    ``map_groups``, which pays per-group pandas overhead at part
+    cardinality (measured 11 s → this shape ~2 s at sf0.1)."""
+    from ray.data.aggregate import Min
+
+    SHIFT = 1 << 20
 
     def partial(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
+        part = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        supp = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        assert supp.max(initial=0) < SHIFT, "suppkey exceeds encode width"
+        cents = _floor_units(t["l_extendedprice"], 100).to_numpy()
+        enc = cents * SHIFT + supp
+        # vectorized per-part min: sort by (part, enc), keep group heads
+        order = np.lexsort((enc, part))
+        part, enc = part[order], enc[order]
+        heads = np.flatnonzero(np.r_[True, part[1:] != part[:-1]])
+        return pa.table(
             {
-                "l_partkey": t["l_partkey"].to_numpy(zero_copy_only=False),
-                "cheapest_suppkey": t["l_suppkey"].to_numpy(zero_copy_only=False),
-                "min_price_cents": _floor_units(t["l_extendedprice"], 100),
+                "l_partkey": pa.array(part[heads], pa.int64()),
+                "enc": pa.array(enc[heads], pa.int64()),
             }
         )
-        df = df.sort_values(
-            ["l_partkey", "min_price_cents", "cheapest_suppkey"],
-            ignore_index=True,
-        )
-        return pa.Table.from_pandas(
-            df.drop_duplicates("l_partkey", keep="first"), preserve_index=False
-        )
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(
-            ["l_partkey", "min_price_cents", "cheapest_suppkey"],
-            ignore_index=True,
+    def decode(t: pa.Table) -> pa.Table:
+        enc = t["enc"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "cheapest_suppkey": pa.array(enc % SHIFT, pa.int64()),
+                "min_price_cents": pa.array(enc // SHIFT, pa.int64()),
+            }
         )
-        return df.drop_duplicates("l_partkey", keep="first")
 
     return (
         _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
         .map_batches(partial, batch_format="pyarrow", batch_size=131072)
         .groupby("l_partkey")
-        .map_groups(final, batch_format="pandas")
+        .aggregate(Min("enc", alias_name="enc"))
+        .map_batches(decode, batch_format="pyarrow")
     )
 
 

@@ -299,3 +299,54 @@ class TestCodecRoundTripProperties:
         # every output pixel is an input pixel (nearest neighbour)
         flat_in = {bytes(px) for px in rgb.reshape(-1, 3)}
         assert all(bytes(px) in flat_in for px in out.reshape(-1, 3))
+
+
+class TestOrderStatsProperties:
+    """_exact_int_order_stats (the bin-narrowing engine behind
+    quantile_disc / quantile_cont / quartiles) vs a numpy sort, under
+    random signed-int arrays and random rank sets."""
+
+    @given(
+        vals=st.lists(
+            st.integers(min_value=-(10**9), max_value=10**9),
+            min_size=1, max_size=300,
+        ),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_matches_numpy_sort(self, vals, seed):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gliner_ray.queries.relational import _exact_int_order_stats
+
+        rng = np.random.default_rng(seed)
+        n = len(vals)
+        ranks = sorted(set(rng.integers(0, n, size=min(4, n)).tolist()))
+        ds = rd.from_arrow(pa.table({"cents": pa.array(vals, pa.int64())}))
+        got = _exact_int_order_stats(ds, lambda _: ranks)
+        want = [int(np.sort(np.asarray(vals))[r]) for r in ranks]
+        assert got == want
+
+
+class TestRankTiesLemma:
+    """The threshold lemma q_top_orders_rank_ties relies on: rows with
+    RANK() ≤ k (descending) are EXACTLY the rows ≥ the k-th largest
+    row value — under random duplicates."""
+
+    @given(
+        vals=st.lists(
+            st.integers(min_value=0, max_value=20), min_size=1, max_size=200
+        ),
+        k=st.integers(min_value=1, max_value=5),
+    )
+    @settings(max_examples=50, deadline=None)
+    def test_threshold_equals_rank_filter(self, vals, k):
+        import pandas as pd
+
+        s = pd.Series(vals)
+        rank = s.rank(method="min", ascending=False)
+        want = set(s.index[rank <= k])
+        v3 = np.sort(np.asarray(vals))[::-1][min(k, len(vals)) - 1]
+        got = set(s.index[s >= v3])
+        assert got == want
