@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions": co.kg_mentions,
         "kg_mentions_numpy": co.kg_mentions_numpy,
         "kg_triples": co.kg_triples,
+        "kg_cooccurrence": co.kg_cooccurrence,
     }
 
 

@@ -857,3 +857,22 @@ SELECT doc_id, lang FROM (
   FROM documents
 ) WHERE rn <= 25
 """
+
+
+def kg_cooccurrence(sf_dir: str):
+    """Entity co-occurrence graph from the triple table
+    (`stages/triples.cooccurrence_edges`): unordered canonical-entity
+    pairs defined in the same file, with file counts. Rows-only here;
+    pytest pins exact parity against pairs derived from the sequential
+    oracle's file-defines-entity triples."""
+    import ray.data as rd
+
+    from ..stages.triples import cooccurrence_edges
+
+    out = _kg_out(sf_dir)
+    # column-pruned streaming read of the partitioned triples table —
+    # the edge builder never materializes the triple set
+    triples = rd.read_parquet(
+        os.path.join(out, "triples"), columns=["subj", "pred", "obj"]
+    )
+    return cooccurrence_edges(triples)

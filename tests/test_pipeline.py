@@ -148,3 +148,35 @@ class TestDistributedLinking:
             for t in _read(os.path.join(out_d, "triples"))
         )
         assert guarded == baseline
+
+
+class TestCooccurrence:
+    def test_edges_match_sequential_oracle(self, kg_run):
+        """cooccurrence_edges == pairs derived from the sequential
+        oracle's file-defines-entity triples (exact set + counts)."""
+        from collections import Counter
+        from itertools import combinations
+
+        import ray.data as rd
+
+        from gliner_ray.stages.triples import cooccurrence_edges
+
+        triples = rd.read_parquet(
+            os.path.join(kg_run["out"], "triples"),
+            columns=["subj", "pred", "obj"],
+        )
+        got = {
+            (r["ent_a"], r["ent_b"]): r["n_files"]
+            for r in cooccurrence_edges(triples).to_pandas().to_dict("records")
+        }
+
+        per_file: dict[str, set] = {}
+        for t in kg_run["ot"]:
+            if t["pred"] == "file-defines-entity":
+                per_file.setdefault(t["subj"], set()).add(t["obj"])
+        want: Counter = Counter()
+        for ents in per_file.values():
+            for a, b in combinations(sorted(ents), 2):
+                want[(a, b)] += 1
+        assert got == dict(want)
+        assert len(got) > 0  # corpus must actually produce co-occurrence
