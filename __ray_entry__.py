@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_packing": co.doc_packing,
         # dedup family
         "doc_exact_dedup": co.doc_exact_dedup,
+        "doc_segment_dedup": co.doc_segment_dedup,
         "doc_minhash_dedup": co.doc_minhash_dedup,
         "doc_ngram_jaccard_dups": co.doc_ngram_jaccard_dups,
         "doc_simhash_dups": co.doc_simhash_dups,
@@ -175,6 +176,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_uniform_sample": co.UNIFORM_SAMPLE_SQL,
         "doc_top_terms": co.TOP_TERMS_SQL,
         "doc_exact_dedup": co.EXACT_DEDUP_SQL,
+        "doc_segment_dedup": co.SEGMENT_DEDUP_SQL,
         "q_user_item_degree": go.USER_ITEM_DEGREE_SQL,
         "graph_components": go.GRAPH_COMPONENTS_SQL,
         "emb_ann_topk": co.ANN_TOPK_SQL,

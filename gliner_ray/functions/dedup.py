@@ -1027,3 +1027,105 @@ def embedding_near_dups(
             "cosine": pa.array([c for _, _, c in out], pa.float64()),
         }
     )
+
+
+def segment_dedup(
+    ds: "ray.data.Dataset",
+    n_words: int = 10,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Sub-document (segment-level) exact dedup — the
+    Dolma/RefinedWeb-style pass that removes boilerplate shared ACROSS
+    documents (license headers, templated runs) while keeping each
+    document's first occurrence: text splits into fixed ``n_words``
+    segments; a segment survives only in its OWNER document, the
+    corpus-wide minimum of ``doc_id·2^20 + idx`` (deterministic, any
+    layout). Surviving segments reassemble per doc in original order.
+
+    Shuffle shape: the owner election groupby moves ONLY (md5, enc) —
+    never segment text; the verification join ships each segment row
+    once (hash_join on the md5 key, string-keyed); reassembly
+    hash-partitions by ``doc_id % P`` so one part holds a doc's
+    segments. md5 is the cross-engine content key (DuckDB ``md5()``
+    bit-equal), collision-free at corpus scale; per-segment hashing is
+    inherent to exact content identity (cf. ``exact_dedup``'s sha).
+    """
+    import hashlib
+
+    import pandas as pd
+    from ray.data.aggregate import Min
+
+    from .joins import hash_join
+
+    SHIFT = 1 << 20
+    P = num_partitions
+
+    def explode(t: pa.Table) -> pa.Table:
+        doc_ids: list[int] = []
+        idxs: list[int] = []
+        paras: list[str] = []
+        hs: list[str] = []
+        for did, txt in zip(
+            t["doc_id"].to_numpy(zero_copy_only=False), t["text"].to_pylist()
+        ):
+            words = txt.split(" ")
+            n_seg = (len(words) + n_words - 1) // n_words
+            assert n_seg < SHIFT, "doc exceeds segment-index encode width"
+            for i in range(n_seg):
+                seg = " ".join(words[i * n_words:(i + 1) * n_words])
+                doc_ids.append(int(did))
+                idxs.append(i + 1)  # 1-based, matches SQL range()
+                paras.append(seg)
+                hs.append(hashlib.md5(seg.encode()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "idx": pa.array(idxs, pa.int64()),
+                "h": pa.array(hs, pa.string()),
+                "para": pa.array(paras, pa.string()),
+                "enc": pa.array(
+                    np.asarray(doc_ids, np.int64) * SHIFT
+                    + np.asarray(idxs, np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    segs = ds.map_batches(explode, batch_format="pyarrow")
+
+    def owner_partial(t: pa.Table) -> pa.Table:
+        # in-batch combine: one (h, min enc) row per distinct segment
+        df = pd.DataFrame(
+            {"h": t["h"].to_pandas(), "owner_enc": t["enc"].to_pandas()}
+        )
+        return pa.Table.from_pandas(
+            df.groupby("h", as_index=False).min(), preserve_index=False
+        )
+
+    owners = (
+        segs.map_batches(owner_partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("owner_enc", alias_name="owner_enc"))
+    )
+
+    kept = hash_join(segs, owners, "h", "h", num_partitions=P).filter(
+        expr="enc == owner_enc"
+    )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("part", pa.array(d % P, pa.int64()))
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "idx"], ignore_index=True)
+        out = df.groupby("doc_id", as_index=False).agg(
+            n_kept=("para", "size"), clean_text=("para", " ".join)
+        )
+        return out.astype({"n_kept": "int64"})
+
+    return (
+        kept.select_columns(["doc_id", "idx", "para"])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(reassemble, batch_format="pandas")
+    )

@@ -301,8 +301,12 @@ def build_bloom(
     ds: "ray.data.Dataset", key: str, nbits: int = 1 << 23, k: int = 7
 ) -> BloomFilter:
     """One streaming pass: each batch emits its bitmap partial as a
-    single fixed-size row; the driver ORs batches-many partials. At
-    2^23 bits a partial is 1 MiB — metadata-sized relative to blocks."""
+    single fixed-size row, an intermediate map_batches OR-combines
+    every ~32 partials into one, and the driver ORs only the combined
+    remainder — at 2^23 bits a partial is 1 MiB, so the combine level
+    caps driver ingress at blocks/32 MiB (a million-block corpus
+    streams ~32 GiB of partials worker-side but ships the driver only
+    the combined rows)."""
 
     def partial(t: pa.Table) -> pa.Table:
         bf = BloomFilter(nbits, k)
@@ -310,8 +314,19 @@ def build_bloom(
         packed = bf.bits.view(np.uint8).tobytes()
         return pa.table({"bits": pa.array([packed], pa.large_binary())})
 
+    def combine(t: pa.Table) -> pa.Table:
+        acc = np.zeros(nbits // 64, dtype=np.uint64)
+        for buf in t["bits"]:
+            acc |= np.frombuffer(buf.as_py(), dtype=np.uint64)
+        return pa.table(
+            {"bits": pa.array([acc.view(np.uint8).tobytes()], pa.large_binary())}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").map_batches(
+        combine, batch_format="pyarrow", batch_size=32
+    )
     out = BloomFilter(nbits, k)
-    for row in ds.map_batches(partial, batch_format="pyarrow").iter_rows():
+    for row in partials.iter_rows():
         out.bits |= np.frombuffer(row["bits"], dtype=np.uint64)
     return out
 

@@ -876,3 +876,36 @@ def kg_cooccurrence(sf_dir: str):
         os.path.join(out, "triples"), columns=["subj", "pred", "obj"]
     )
     return cooccurrence_edges(triples)
+
+
+def doc_segment_dedup(sf_dir: str):
+    """Sub-document segment-level exact dedup
+    (`functions/dedup.segment_dedup`): 10-word segments deduped
+    corpus-wide by md5 content key with a deterministic
+    min-(doc,idx) owner rule, survivors reassembled per doc. Exact
+    DuckDB oracle (same split / owner / reassembly rules in SQL)."""
+    from ..functions.dedup import segment_dedup
+
+    return segment_dedup(_docs(sf_dir, ["doc_id", "text"]), n_words=10)
+
+
+SEGMENT_DEDUP_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+paras AS (
+  SELECT doc_id,
+         unnest(range(1, CAST(ceil(len(words)/10.0) AS BIGINT)+1)) AS idx,
+         unnest(list_transform(range(1, CAST(ceil(len(words)/10.0) AS BIGINT)+1),
+                i -> array_to_string(list_slice(words, (i-1)*10+1, i*10), ' ')))
+             AS para
+  FROM w),
+owners AS (
+  SELECT md5(para) AS h, MIN(doc_id * 1048576 + idx) AS owner_enc
+  FROM paras GROUP BY 1),
+kept AS (
+  SELECT p.doc_id, p.idx, p.para
+  FROM paras p JOIN owners o
+    ON md5(p.para) = o.h AND p.doc_id * 1048576 + p.idx = o.owner_enc)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       string_agg(para, ' ' ORDER BY idx) AS clean_text
+FROM kept GROUP BY doc_id
+"""
