@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_jaccard_dups": co.doc_ngram_jaccard_dups,
         "doc_simhash_dups": co.doc_simhash_dups,
         "emb_cosine_dups": co.emb_cosine_dups,
+        "emb_semantic_dedup": co.emb_semantic_dedup,
         # similarity search / clustering
         "emb_ann_topk": co.emb_ann_topk,
         "emb_ivf_topk": co.emb_ivf_topk,

@@ -954,6 +954,25 @@ def embedding_near_dups(
             concurrency=concurrency,
         )
     pairs = _grouped_bucket_pairs(buckets, key_col="band_key")
+    return _verify_cosine_pairs(
+        ds, pairs, threshold, id_col, emb_col, dim, pair_broadcast_limit
+    )
+
+
+def _verify_cosine_pairs(
+    ds: "ray.data.Dataset",
+    pairs: "ray.data.Dataset",
+    threshold: float,
+    id_col: str,
+    emb_col: str,
+    dim: int,
+    pair_broadcast_limit: int,
+) -> pa.Table:
+    """Exact-cosine verification of candidate id pairs, shared by the
+    hyperplane-LSH (`embedding_near_dups`) and kmeans-bucketed
+    (`semantic_dedup`) blockers. Adaptive: guarded-small pair tables
+    fetch only the needed vectors; larger ones join vectors onto the
+    pairs distributed. Nothing corpus-sized reaches the driver."""
     small, mat_pairs = _collect_pairs_if_small(pairs, pair_broadcast_limit)
 
     if small is not None:
@@ -1128,4 +1147,56 @@ def segment_dedup(
         .map_batches(add_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(reassemble, batch_format="pandas")
+    )
+
+
+def semantic_dedup(
+    ds: "ray.data.Dataset",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    kmeans_iters: int = 4,
+    seed: int = 0,
+    pair_broadcast_limit: int = 200_000,
+) -> pa.Table:
+    """SemDeDup-style near-dup detection: k-means cluster assignment is
+    the BLOCKING key (streaming Lloyd, metadata-sized partials), then
+    within-cluster candidate pairs verify with exact cosine — the same
+    adaptive verification as the hyperplane-LSH path
+    (:func:`_verify_cosine_pairs`).
+
+    vs hyperplane LSH: clusters follow the data distribution, so
+    recall concentrates where the corpus is dense (the SemDeDup
+    argument); LSH gives distribution-free guarantees. Both share the
+    bucket-pair + verify machinery; cluster sizes bound the per-bucket
+    pair blowup at n²/K on uniform data — pick ``n_clusters`` so a
+    cluster's pairs fit the per-part verifier (salt oversized clusters
+    upstream if the corpus is pathologically peaked).
+    """
+    from .clustering import assign_clusters, kmeans
+
+    dim = len(ds.take(1)[0][emb_col])
+    cents = kmeans(
+        ds, emb_col=emb_col, id_col=id_col, n_clusters=n_clusters,
+        n_iter=kmeans_iters, seed=seed,
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t[id_col].cast(pa.int64()),
+                "band_id": pa.array(
+                    np.zeros(t.num_rows, dtype=np.int32), pa.int32()
+                ),
+                "band_key": t["cluster"].cast(pa.uint64()),
+            }
+        )
+
+    buckets = assign_clusters(ds, cents, emb_col=emb_col).map_batches(
+        project, batch_format="pyarrow"
+    )
+    pairs = _grouped_bucket_pairs(buckets, key_col="band_key")
+    return _verify_cosine_pairs(
+        ds, pairs, threshold, id_col, emb_col, dim, pair_broadcast_limit
     )

@@ -909,3 +909,13 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
        string_agg(para, ' ' ORDER BY idx) AS clean_text
 FROM kept GROUP BY doc_id
 """
+
+
+def emb_semantic_dedup(sf_dir: str):
+    """SemDeDup-style near-dup pairs (`functions/dedup.semantic_dedup`):
+    k-means cluster assignment as the blocking key, exact-cosine
+    verification within clusters (rows-only; planted-pair + path-parity
+    pytest in test_functions.py)."""
+    return fdedup.semantic_dedup(
+        _embs(sf_dir, ["vec_id", "embedding"]), n_clusters=8, threshold=0.92
+    )

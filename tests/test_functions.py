@@ -274,6 +274,23 @@ class TestEmbeddingOps:
             (r["id_a"], r["id_b"]) for r in dist
         ]
 
+    def test_semantic_dedup_finds_planted_and_matches_lsh_exactness(self):
+        """SemDeDup (kmeans-bucketed) must find the planted pair: a
+        near-identical vector pair always lands in the same nearest-
+        centroid cluster, and verification is exact cosine. Both
+        adaptive verification paths must agree."""
+        ds, _ = self._emb_ds()
+        out = fdedup.semantic_dedup(ds, n_clusters=4, threshold=0.999).to_pylist()
+        assert (3, 7) in {(r["id_a"], r["id_b"]) for r in out}
+        for r in out:
+            assert r["cosine"] >= 0.999
+        dist = fdedup.semantic_dedup(
+            ds, n_clusters=4, threshold=0.999, pair_broadcast_limit=0
+        ).to_pylist()
+        assert [(r["id_a"], r["id_b"]) for r in out] == [
+            (r["id_a"], r["id_b"]) for r in dist
+        ]
+
     def test_ivf_recall(self):
         ds, mat = self._emb_ds(n=128)
         q = mat[5].astype(np.float64)
