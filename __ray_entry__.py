@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_orders_of_rich_customers": rel.q_orders_of_rich_customers,
         "q_customer_order_counts": rel.q_customer_order_counts,
         "q_props_k_sum": rel.q_props_k_sum,
+        "q_active_keys_union": rel.q_active_keys_union,
+        "q_price_mad": rel.q_price_mad,
         # text analysis
         "doc_token_count": co.doc_token_count,
         "doc_tokens_routed": co.doc_tokens_routed,
@@ -162,6 +164,8 @@ def oracle_sql() -> dict[str, str]:
         "q_orders_of_rich_customers": rel.ORDERS_RICH_CUSTOMERS_SQL,
         "q_customer_order_counts": rel.CUSTOMER_ORDER_COUNTS_SQL,
         "q_props_k_sum": rel.PROPS_K_SUM_SQL,
+        "q_active_keys_union": rel.ACTIVE_KEYS_UNION_SQL,
+        "q_price_mad": rel.PRICE_MAD_SQL,
         "doc_token_count": co.TOKEN_COUNT_SQL,
         "doc_tokens_routed": co.TOKENS_ROUTED_SQL,
         "doc_text_stats": co.TEXT_STATS_SQL,

@@ -2293,3 +2293,90 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+# ------------------------------------------------------ UNION distinct
+
+
+def q_active_keys_union(sf_dir: str):
+    """UNION (distinct) of two key streams — customers having orders ∪
+    customers having high balance. ``Dataset.union`` concatenates the
+    two pre-projected streams (no barrier), then ONE key-shuffle
+    dedups: distinct = groupby-count with the count dropped. The
+    projections shrink each side to its key column before anything
+    moves."""
+    from ray.data.aggregate import Count
+
+    orders_keys = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda t: pa.table({"custkey": t["o_custkey"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    rich_keys = (
+        _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+        .filter(expr="c_acctbal > 5000.0")
+        .map_batches(
+            lambda t: pa.table({"custkey": t["c_custkey"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+    )
+    return (
+        orders_keys.union(rich_keys)
+        .groupby("custkey")
+        .aggregate(Count(alias_name="__n"))
+        .select_columns(["custkey"])
+    )
+
+
+ACTIVE_KEYS_UNION_SQL = """
+SELECT o_custkey AS custkey FROM orders
+UNION
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000.0
+"""
+
+
+# ---------------------------------------- median absolute deviation
+
+
+def q_price_mad(sf_dir: str):
+    """Median absolute deviation — a COMPOSED exact-order-statistic
+    pipeline: pass set 1 narrows to the exact median of price cents;
+    pass set 2 runs the same engine over |cents − median| (computed
+    in-stream, never materialized). Every pass ships one fixed-width
+    bin-count row per block; robust-statistics at 100 TB without a
+    sort. DuckDB twin: nested quantile_disc."""
+    cents_ds = _read(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
+        lambda t: pa.table({"cents": _floor_units(t["l_extendedprice"], 100)}),
+        batch_format="pyarrow",
+    )
+    med = _exact_int_quantiles(cents_ds, (0.5,))
+    if med is None:
+        return pd.DataFrame(
+            {"median_cents": pd.array([], dtype="int64"),
+             "mad_cents": pd.array([], dtype="int64")}
+        )
+    m = med[0]
+    dev_ds = cents_ds.map_batches(
+        lambda t: pa.table(
+            {"cents": pc.cast(
+                pc.abs(pc.subtract(t["cents"], pa.scalar(m, pa.int64()))),
+                pa.int64(),
+            )}
+        ),
+        batch_format="pyarrow",
+    )
+    mad = _exact_int_quantiles(dev_ds, (0.5,))
+    return pd.DataFrame(
+        {"median_cents": pd.array([m], dtype="int64"),
+         "mad_cents": pd.array([mad[0]], dtype="int64")}
+    )
+
+
+PRICE_MAD_SQL = """
+WITH t AS (SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem),
+m AS (SELECT quantile_disc(cents, 0.5) AS med FROM t)
+SELECT CAST(m.med AS BIGINT) AS median_cents,
+       CAST(quantile_disc(abs(t.cents - m.med), 0.5) AS BIGINT) AS mad_cents
+FROM t, m
+GROUP BY m.med
+"""
