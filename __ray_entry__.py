@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "doc_exact_dedup": co.doc_exact_dedup,
         "doc_segment_dedup": co.doc_segment_dedup,
+        "doc_substring_dups": co.doc_substring_dups,
         "doc_minhash_dedup": co.doc_minhash_dedup,
         "doc_ngram_jaccard_dups": co.doc_ngram_jaccard_dups,
         "doc_simhash_dups": co.doc_simhash_dups,

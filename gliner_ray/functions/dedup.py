@@ -1200,3 +1200,199 @@ def semantic_dedup(
     return _verify_cosine_pairs(
         ds, pairs, threshold, id_col, emb_col, dim, pair_broadcast_limit
     )
+
+
+_SUBSTR_P = 1_000_003  # odd → invertible mod 2^64
+_SUBSTR_PINV = pow(_SUBSTR_P, -1, 1 << 64)
+_SUBSTR_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _window_hashes(b: np.ndarray, L: int, stride: int) -> tuple[np.ndarray, np.ndarray]:
+    """CONTENT-DEFINED window sampling: the polynomial hash of EVERY
+    length-``L`` window of byte array ``b`` is computed in O(n) (one
+    cumsum/cumprod rolling pass — prefix sums of ``b[i]·p^{-i}`` with
+    2^64 wraparound, p odd so the modular inverse exists), then a
+    window is SELECTED iff ``mix(h) % stride == 0`` (expected density
+    1/stride). Selection depends only on window content, so a run
+    shared between two docs selects the same run-relative windows at
+    ANY alignment — a fixed-phase stride can never align two
+    arbitrarily-offset copies. Recall is probabilistic like any CDC
+    chunker: a shared run of length ``R ≥ L`` is missed with
+    probability ≈ (1−1/stride)^(R−L+1), deterministic per content.
+    Returns (selected offsets, their hashes)."""
+    n = len(b)
+    if n < L:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    pinv_pows = np.empty(n, np.uint64)
+    pinv_pows[0] = 1
+    p_pows = np.empty(n, np.uint64)
+    p_pows[0] = 1
+    if n > 1:
+        np.cumprod(np.full(n - 1, _SUBSTR_PINV, np.uint64), out=pinv_pows[1:])
+        np.cumprod(np.full(n - 1, _SUBSTR_P, np.uint64), out=p_pows[1:])
+    c = np.zeros(n + 1, np.uint64)
+    np.cumsum(b.astype(np.uint64) * pinv_pows, out=c[1:])
+    offs = np.arange(0, n - L + 1, dtype=np.int64)
+    h = (c[offs + L] - c[offs]) * p_pows[offs + L - 1]
+    sel = (h * _SUBSTR_MIX) % np.uint64(stride) == 0
+    return offs[sel], h[sel]
+
+
+def substring_dups(
+    ds: "ray.data.Dataset",
+    L: int = 64,
+    stride: int = 8,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    pair_broadcast_limit: int = 200_000,
+) -> pa.Table:
+    """Arbitrary-alignment repeated-substring detection — the
+    ExactSubstr pass of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"), restated for Ray Data without a
+    distributed suffix array: every length-``L`` byte window hashes in
+    one O(n) rolling pass, and windows are SAMPLED content-defined
+    (``mix(h) % stride == 0`` — see :func:`_window_hashes`), so a
+    shared run selects the same run-relative windows in both copies at
+    ANY alignment; window-hash buckets with ≥ 2 members become
+    candidate pairs through the same coarse-partition bucket machinery
+    as MinHash; candidates verify by EXACT window-byte equality (hash
+    collisions die here). Fixed-segment dedup (``segment_dedup``)
+    cannot see cross-alignment repeats; this pass can, with CDC-style
+    recall ≈ 1 − (1−1/stride)^(R−L+1) for a shared run of R bytes.
+
+    Scale shape: the hash pass emits (hash, doc·2^24 + offset) — never
+    window text; verification is adaptive (guarded driver fetch of
+    just the needed windows, else re-window only the candidate docs —
+    pair-bounded — and join slices onto pairs distributed). Output:
+    verified (doc_a, off_a, doc_b, off_b, window) rows; overlapping
+    pairs along a long shared run are all reported (callers merge
+    runs). Intra-doc repeats included (doc_a == doc_b, off_a <
+    off_b)."""
+    OFF_SHIFT = 1 << 24
+
+    def windows(t: pa.Table) -> pa.Table:
+        ids: list[np.ndarray] = []
+        offs: list[np.ndarray] = []
+        hs: list[np.ndarray] = []
+        for did, txt in zip(
+            t[doc_col].to_numpy(zero_copy_only=False), t[text_col].to_pylist()
+        ):
+            b = np.frombuffer(txt.encode("utf-8"), np.uint8)
+            assert len(b) < OFF_SHIFT, "doc exceeds offset encode width"
+            o, h = _window_hashes(b, L, stride)
+            ids.append(np.full(len(o), int(did), np.int64))
+            offs.append(o)
+            hs.append(h)
+        did = np.concatenate(ids) if ids else np.zeros(0, np.int64)
+        off = np.concatenate(offs) if offs else np.zeros(0, np.int64)
+        h = np.concatenate(hs) if hs else np.zeros(0, np.uint64)
+        return pa.table(
+            {
+                "doc_id": pa.array(did * OFF_SHIFT + off, pa.int64()),
+                "band_id": pa.array(np.zeros(len(h), np.int32), pa.int32()),
+                "band_key": pa.array(h, pa.uint64()),
+            }
+        )
+
+    win_ds = ds.map_batches(windows, batch_format="pyarrow")
+    pairs = _grouped_bucket_pairs(win_ds, key_col="band_key")
+    small, mat_pairs = _collect_pairs_if_small(pairs, pair_broadcast_limit)
+
+    def _fetch_windows(needed_encs: set[int]) -> dict[int, str]:
+        by_doc: dict[int, list[int]] = {}
+        for e in needed_encs:
+            by_doc.setdefault(e // OFF_SHIFT, []).append(e % OFF_SHIFT)
+        rows = _fetch_rows_for_ids(
+            ds.select_columns([doc_col, text_col]), doc_col,
+            [doc_col, text_col], set(by_doc),
+        )
+        out: dict[int, str] = {}
+        for r in rows:
+            did = int(r[doc_col])
+            bs = r[text_col].encode("utf-8")
+            for off in by_doc.get(did, ()):
+                out[did * OFF_SHIFT + off] = bs[off:off + L].decode(
+                    "utf-8", errors="surrogateescape"
+                )
+        return out
+
+    if small is not None:
+        win = _fetch_windows({i for p in small for i in p})
+        verified = [
+            (a, b, win[a]) for a, b in small if win.get(a) == win.get(b)
+        ]
+    else:
+        # distributed: re-window ONLY the candidate docs (pair-bounded)
+        from .joins import hash_join
+
+        def pair_docs(t: pa.Table) -> pa.Table:
+            e = np.concatenate([
+                t["id_a"].to_numpy(zero_copy_only=False),
+                t["id_b"].to_numpy(zero_copy_only=False),
+            ])
+            return pa.table(
+                {doc_col: pa.array(np.unique(e // OFF_SHIFT), pa.int64())}
+            )
+
+        from ray.data.aggregate import Count
+
+        needed_docs = (
+            mat_pairs.map_batches(pair_docs, batch_format="pyarrow")
+            .groupby(doc_col)
+            .aggregate(Count(alias_name="__n"))
+            .select_columns([doc_col])
+        )
+        cand_docs = hash_join(
+            ds.select_columns([doc_col, text_col]), needed_docs,
+            doc_col, doc_col,
+        )
+
+        def slices(t: pa.Table) -> pa.Table:
+            encs: list[int] = []
+            wins: list[str] = []
+            for did, txt in zip(
+                t[doc_col].to_numpy(zero_copy_only=False),
+                t[text_col].to_pylist(),
+            ):
+                bs = txt.encode("utf-8")
+                o, _ = _window_hashes(
+                    np.frombuffer(bs, np.uint8), L, stride
+                )
+                for off in o:
+                    encs.append(int(did) * OFF_SHIFT + int(off))
+                    wins.append(bs[off:off + L].decode(
+                        "utf-8", errors="surrogateescape"))
+            return pa.table(
+                {"doc_id": pa.array(encs, pa.int64()),
+                 "win": pa.array(wins, pa.string())}
+            )
+
+        win_slices = cand_docs.map_batches(slices, batch_format="pyarrow")
+        joined = join_attr_onto_pairs(
+            mat_pairs, win_slices, "win", id_col="doc_id", dedup_pairs=True
+        )
+
+        def verify(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            keep = pc.equal(t["win_a"], t["win_b"])
+            t = t.filter(keep)
+            return pa.table(
+                {"id_a": t["id_a"], "id_b": t["id_b"], "win": t["win_a"]}
+            )
+
+        verified = sorted(
+            (r["id_a"], r["id_b"], r["win"])
+            for r in joined.map_batches(verify, batch_format="pyarrow").take_all()
+        )
+
+    verified = sorted(verified)
+    return pa.table(
+        {
+            "doc_a": pa.array([a // OFF_SHIFT for a, _, _ in verified], pa.int64()),
+            "off_a": pa.array([a % OFF_SHIFT for a, _, _ in verified], pa.int64()),
+            "doc_b": pa.array([b // OFF_SHIFT for _, b, _ in verified], pa.int64()),
+            "off_b": pa.array([b % OFF_SHIFT for _, b, _ in verified], pa.int64()),
+            "window": pa.array([w for _, _, w in verified], pa.string()),
+        }
+    )

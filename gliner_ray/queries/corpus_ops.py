@@ -919,3 +919,14 @@ def emb_semantic_dedup(sf_dir: str):
     return fdedup.semantic_dedup(
         _embs(sf_dir, ["vec_id", "embedding"]), n_clusters=8, threshold=0.92
     )
+
+
+def doc_substring_dups(sf_dir: str):
+    """ExactSubstr-style repeated-substring pairs
+    (`functions/dedup.substring_dups`): content-defined window sampling
+    over an O(n) rolling hash, bucket pairing, exact window-byte
+    verification (rows-only; planted cross-alignment + path-parity
+    pytest in test_functions.py)."""
+    return fdedup.substring_dups(
+        _docs(sf_dir, ["doc_id", "text"]), L=48, stride=8
+    )

@@ -936,3 +936,69 @@ class TestBloomFilter:
             ["k", "v"], ignore_index=True
         )
         pd.testing.assert_frame_equal(got[["k", "v"]], want)
+
+
+class TestSubstringDups:
+    """functions/dedup.substring_dups — ExactSubstr-style arbitrary
+    alignment repeated-substring detection."""
+
+    def _corpus(self):
+        import random
+        import ray.data as rd
+
+        rng = random.Random(5)
+        alpha = "abcdefghijklmnopqrstuvwxyz"
+        docs = [
+            "".join(rng.choice(alpha) for _ in range(400)) for _ in range(12)
+        ]
+        shared = "".join(rng.choice(alpha) for _ in range(100))
+        # plant at ARBITRARY (non-stride-aligned) offsets in docs 2 and 9
+        docs[2] = docs[2][:37] + shared + docs[2][37:]
+        docs[9] = docs[9][:203] + shared + docs[9][203:]
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs, pa.string()),
+                }
+            )
+        ), docs, shared
+
+    def test_finds_planted_cross_alignment(self):
+        ds, docs, shared = self._corpus()
+        out = fdedup.substring_dups(ds, L=64, stride=8).to_pylist()
+        cross = [
+            r for r in out
+            if {r["doc_a"], r["doc_b"]} == {2, 9}
+        ]
+        assert cross, "planted shared run not detected"
+        for r in cross:
+            # every reported window must be byte-equal in both docs
+            a = docs[r["doc_a"]][r["off_a"]:r["off_a"] + 64]
+            b = docs[r["doc_b"]][r["off_b"]:r["off_b"] + 64]
+            assert a == b == r["window"]
+            assert r["window"] in shared
+        # random 400-char docs share no 64-char runs besides the plant
+        for r in out:
+            if {r["doc_a"], r["doc_b"]} & {2, 9} == set():
+                assert r["doc_a"] == r["doc_b"], r
+
+    def test_distributed_path_matches_broadcast(self):
+        ds, _, _ = self._corpus()
+        fast = fdedup.substring_dups(ds, L=64, stride=8).to_pylist()
+        dist = fdedup.substring_dups(
+            ds, L=64, stride=8, pair_broadcast_limit=0
+        ).to_pylist()
+        key = lambda r: (r["doc_a"], r["off_a"], r["doc_b"], r["off_b"])
+        assert sorted(map(key, fast)) == sorted(map(key, dist))
+
+    def test_short_docs_and_empty(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(
+            pa.table(
+                {"doc_id": pa.array([0, 1], pa.int64()),
+                 "text": pa.array(["tiny", ""], pa.string())}
+            )
+        )
+        assert fdedup.substring_dups(ds, L=64, stride=8).num_rows == 0
