@@ -1396,3 +1396,57 @@ def substring_dups(
             "window": pa.array([w for _, _, w in verified], pa.string()),
         }
     )
+
+
+def merge_window_runs(
+    pairs: pa.Table, L: int, gap: int | None = None, stride: int = 8
+) -> pa.Table:
+    """Collapse :func:`substring_dups` window hits into MAXIMAL shared
+    runs (the ExactSubstr deliverable): hits on the same diagonal
+    (same doc pair, same ``off_a − off_b``) whose windows overlap or
+    sit within ``gap`` bytes (default ``stride·4`` — content-defined
+    sampling leaves gaps up to a few strides inside one run) merge
+    into one (doc_a, doc_b, start_a, start_b, length) interval.
+    Output-sized input → output-sized output; pure vectorized pandas,
+    usable driver-side or inside a per-doc-pair ``map_groups``."""
+    import pandas as pd
+
+    if gap is None:
+        gap = stride * 4
+    if pairs.num_rows == 0:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "start_a": pa.array([], pa.int64()),
+                "start_b": pa.array([], pa.int64()),
+                "length": pa.array([], pa.int64()),
+            }
+        )
+    df = pd.DataFrame(
+        {
+            "doc_a": pairs["doc_a"].to_numpy(zero_copy_only=False),
+            "doc_b": pairs["doc_b"].to_numpy(zero_copy_only=False),
+            "off_a": pairs["off_a"].to_numpy(zero_copy_only=False),
+            "off_b": pairs["off_b"].to_numpy(zero_copy_only=False),
+        }
+    )
+    df["diag"] = df["off_a"] - df["off_b"]
+    df = df.sort_values(["doc_a", "doc_b", "diag", "off_a"], ignore_index=True)
+    same_key = (
+        df[["doc_a", "doc_b", "diag"]] == df[["doc_a", "doc_b", "diag"]].shift()
+    ).all(axis=1)
+    new_run = ~(same_key & (df["off_a"] <= df["off_a"].shift() + L + gap))
+    df["run"] = new_run.cumsum()
+    out = df.groupby("run", as_index=False).agg(
+        doc_a=("doc_a", "first"),
+        doc_b=("doc_b", "first"),
+        start_a=("off_a", "first"),
+        start_b=("off_b", "first"),
+        end_a=("off_a", "last"),
+    )
+    out["length"] = out["end_a"] + L - out["start_a"]
+    return pa.Table.from_pandas(
+        out[["doc_a", "doc_b", "start_a", "start_b", "length"]].astype("int64"),
+        preserve_index=False,
+    )

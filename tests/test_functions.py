@@ -1002,3 +1002,28 @@ class TestSubstringDups:
             )
         )
         assert fdedup.substring_dups(ds, L=64, stride=8).num_rows == 0
+
+    def test_merge_window_runs_recovers_planted_run(self):
+        ds, docs, shared = self._corpus()
+        hits = fdedup.substring_dups(ds, L=64, stride=8)
+        runs = fdedup.merge_window_runs(hits, L=64, stride=8).to_pylist()
+        cross = [r for r in runs if {r["doc_a"], r["doc_b"]} == {2, 9}]
+        assert len(cross) == 1, cross  # ONE maximal run, not window shards
+        r = cross[0]
+        # the merged run must lie inside the planted 100-char region
+        a0 = 37 if r["doc_a"] == 2 else 203
+        b0 = 203 if r["doc_a"] == 2 else 37
+        assert r["start_a"] >= a0 and r["start_a"] + r["length"] <= a0 + 100
+        assert r["start_b"] >= b0 and r["start_b"] + r["length"] <= b0 + 100
+        assert r["length"] >= 64
+        # run content must be byte-identical in both docs
+        assert (
+            docs[r["doc_a"]][r["start_a"]:r["start_a"] + r["length"]]
+            == docs[r["doc_b"]][r["start_b"]:r["start_b"] + r["length"]]
+        )
+
+    def test_merge_window_runs_empty(self):
+        empty = fdedup.substring_dups(
+            _docs_ds([(0, "short"), (1, "tiny")]), L=64, stride=8
+        )
+        assert fdedup.merge_window_runs(empty, L=64).num_rows == 0
