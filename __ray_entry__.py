@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_price_quantiles": rel.q_price_quantiles,
         "q_order_quartiles": rel.q_order_quartiles,
         "q_flag_median_price": rel.q_flag_median_price,
+        "q_flag_median_cont": rel.q_flag_median_cont,
         "q_events_pivot": rel.q_events_pivot,
         "q_lineitem_unpivot": rel.q_lineitem_unpivot,
         "q_qty_rollup": rel.q_qty_rollup,
@@ -148,6 +149,7 @@ def oracle_sql() -> dict[str, str]:
         "q_price_quantiles": rel.PRICE_QUANTILES_SQL,
         "q_order_quartiles": rel.ORDER_QUARTILES_SQL,
         "q_flag_median_price": rel.FLAG_MEDIAN_SQL,
+        "q_flag_median_cont": rel.FLAG_MEDIAN_CONT_SQL,
         "q_events_pivot": rel.EVENTS_PIVOT_SQL,
         "q_lineitem_unpivot": rel.LINEITEM_UNPIVOT_SQL,
         "q_qty_rollup": rel.QTY_ROLLUP_SQL,

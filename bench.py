@@ -128,6 +128,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "q_top_orders_rank_ties": rel.q_top_orders_rank_ties,
         "q_price_percentile_cont": rel.q_price_percentile_cont,
         "q_props_k_sum": rel.q_props_k_sum,
+        "doc_segment_dedup": co.doc_segment_dedup,
+        "doc_substring_dups": co.doc_substring_dups,
+        "q_customer_order_counts": rel.q_customer_order_counts,
+        "q_hours_intersect": rel.q_hours_intersect,
     }
     qtimes: dict[str, float] = {}
     for name, fn in query_fns.items():

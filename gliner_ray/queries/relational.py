@@ -1247,28 +1247,20 @@ def q_order_quartiles(sf_dir: str):
     )
 
 
-def q_flag_median_price(sf_dir: str):
-    """GROUPED exact quantile without a sort: the median price per
-    returnflag, every group narrowed in the SAME streaming passes.
+def _grouped_int_order_stats(ds, make_ranks):
+    """GROUPED order statistics without a sort — the grouped
+    generalization of :func:`_exact_int_order_stats`. ``ds`` has
+    columns (flag, cents); ``make_ranks(n)`` gives the target 0-based
+    ranks for a group of ``n`` rows (same rank set shape per group).
     Pass 0 is one small groupby (per-group min/max/count); each
-    narrowing pass emits ONE (groups × NB)-count row per batch, so the
-    driver state stays groups-sized while the fact table is only ever
-    scanned — the grouped generalization of :func:`_exact_int_quantiles`.
-    """
+    narrowing pass emits ONE (groups × ranks × NB)-count row per
+    batch, so the driver state stays groups-sized while the fact table
+    is only ever scanned. Returns (flags, n_per_group, values[group][rank])
+    or None on empty input."""
     from ray.data.aggregate import Count, Max, Min
 
     NB = 4096
-    Q = 0.5
 
-    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"]).map_batches(
-        lambda t: pa.table(
-            {
-                "flag": t["l_returnflag"],
-                "cents": _floor_units(t["l_extendedprice"], 100),
-            }
-        ),
-        batch_format="pyarrow",
-    )
     stats = (
         ds.groupby("flag")
         .aggregate(
@@ -1281,27 +1273,30 @@ def q_flag_median_price(sf_dir: str):
         .reset_index(drop=True)
     )
     if len(stats) == 0:
-        return pd.DataFrame(
-            {"l_returnflag": pd.array([], dtype="str"),
-             "median_cents": pd.array([], dtype="int64")}
-        )
+        return None
     flags = list(stats["flag"])
-    state = [
-        {"rank": max(int(np.ceil(Q * int(r.n))), 1) - 1,
-         "lo": int(r.lo), "hi": int(r.hi), "below": 0}
-        for r in stats.itertuples()
-    ]
+    ns = [int(r.n) for r in stats.itertuples()]
+    state = []   # one entry per (group, rank), group-major
+    gidx = []    # state index → group index
+    for gi, r in enumerate(stats.itertuples()):
+        for rk in make_ranks(int(r.n)):
+            state.append(
+                {"rank": int(rk), "lo": int(r.lo), "hi": int(r.hi), "below": 0}
+            )
+            gidx.append(gi)
     while any(s["hi"] > s["lo"] for s in state):
         ranges = [
             (s["lo"], max(1, (s["hi"] - s["lo"] + NB) // NB)) for s in state
         ]
         his = [s["hi"] for s in state]
+        state_flags = [flags[g] for g in gidx]
 
-        def bin_counts(t: pa.Table, ranges=ranges, his=his) -> pa.Table:
+        def bin_counts(t: pa.Table, ranges=ranges, his=his,
+                       state_flags=state_flags) -> pa.Table:
             flag_arr = t["flag"].to_numpy(zero_copy_only=False)
             v = t["cents"].to_numpy(zero_copy_only=False)
             rows = []
-            for g, ((lo, width), hi) in zip(flags, zip(ranges, his)):
+            for g, ((lo, width), hi) in zip(state_flags, zip(ranges, his)):
                 m = v[(flag_arr == g) & (v >= lo) & (v <= hi)]
                 idx = np.minimum((m - lo) // width, NB - 1)
                 rows.append(np.bincount(idx, minlength=NB))
@@ -1323,10 +1318,74 @@ def q_flag_median_price(sf_dir: str):
             s["below"] += int(cum[b - 1]) if b else 0
             s["lo"] = lo + b * width
             s["hi"] = min(s["hi"], lo + (b + 1) * width - 1)
+    per_group: list[list[int]] = [[] for _ in flags]
+    for s, g in zip(state, gidx):
+        per_group[g].append(int(s["lo"]))
+    return flags, ns, per_group
+
+
+def _flag_cents_ds(sf_dir: str):
+    return _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "flag": t["l_returnflag"],
+                "cents": _floor_units(t["l_extendedprice"], 100),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_flag_median_price(sf_dir: str):
+    """GROUPED exact quantile (quantile_disc) — see
+    :func:`_grouped_int_order_stats`."""
+    res = _grouped_int_order_stats(
+        _flag_cents_ds(sf_dir),
+        lambda n: [max(int(np.ceil(0.5 * n)), 1) - 1],
+    )
+    if res is None:
+        return pd.DataFrame(
+            {"l_returnflag": pd.array([], dtype="str"),
+             "median_cents": pd.array([], dtype="int64")}
+        )
+    flags, _, vals = res
     return pd.DataFrame(
         {"l_returnflag": flags,
-         "median_cents": pd.array([s["lo"] for s in state], dtype="int64")}
+         "median_cents": pd.array([v[0] for v in vals], dtype="int64")}
     )
+
+
+def q_flag_median_cont(sf_dir: str):
+    """GROUPED interpolated median (quantile_cont semantics): each
+    group fetches its floor/ceil order-statistic pair in the SAME
+    shared narrowing passes, the driver interpolates two ints per
+    group. ``×2`` keeps the oracle column integral (an even-n median
+    is the average of two ints)."""
+    res = _grouped_int_order_stats(
+        _flag_cents_ds(sf_dir),
+        lambda n: [int(np.floor(0.5 * (n - 1))), int(np.ceil(0.5 * (n - 1)))],
+    )
+    if res is None:
+        return pd.DataFrame(
+            {"l_returnflag": pd.array([], dtype="str"),
+             "median_cents_x2": pd.array([], dtype="int64")}
+        )
+    flags, _, vals = res
+    return pd.DataFrame(
+        {"l_returnflag": flags,
+         "median_cents_x2": pd.array(
+             [v[0] + v[1] for v in vals], dtype="int64"
+         )}
+    )
+
+
+FLAG_MEDIAN_CONT_SQL = """
+SELECT l_returnflag,
+       CAST(ROUND(quantile_cont(CAST(FLOOR(l_extendedprice * 100) AS BIGINT),
+                                0.5) * 2) AS BIGINT) AS median_cents_x2
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 
 def q_events_pivot(sf_dir: str):
