@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_top_orders_per_segment": rel.q_top_orders_per_segment,
         "q_approx_users_hll": rel.q_approx_users_hll,
         "q_price_quantiles": rel.q_price_quantiles,
+        "q_price_quantile_sketch": rel.q_price_quantile_sketch,
         "q_order_quartiles": rel.q_order_quartiles,
         "q_flag_median_price": rel.q_flag_median_price,
         "q_flag_median_cont": rel.q_flag_median_cont,
@@ -147,6 +148,7 @@ def oracle_sql() -> dict[str, str]:
         "q_daily_active_users": rel.DAILY_ACTIVE_SQL,
         "q_top_orders_per_segment": rel.TOP_PER_SEGMENT_SQL,
         "q_price_quantiles": rel.PRICE_QUANTILES_SQL,
+        "q_price_quantile_sketch": rel.PRICE_QUANTILE_SKETCH_SQL,
         "q_order_quartiles": rel.ORDER_QUARTILES_SQL,
         "q_flag_median_price": rel.FLAG_MEDIAN_SQL,
         "q_flag_median_cont": rel.FLAG_MEDIAN_CONT_SQL,

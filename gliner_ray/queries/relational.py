@@ -376,14 +376,23 @@ GROUP BY n_name
 
 def q6_forecast_revenue(sf_dir: str):
     """TPC-H Q6 shape: pure vectorized filter + global aggregate
-    (no shuffle at all — each batch emits one partial row)."""
+    (no shuffle at all — each batch emits one partial row). The
+    selective shipdate range is PUSHED INTO the parquet scan
+    (``read_parquet(filter=...)`` → row groups outside the range are
+    skipped via footer statistics and never leave storage); the
+    remaining predicates stay as the in-batch mask (their columns are
+    unsorted, so row-group stats cannot prune on them)."""
+    import ray.data as rd
     from ray.data.aggregate import Sum
 
     lo = datetime(1996, 1, 1)
     hi = datetime(1997, 1, 1)
-    ds = _read(
-        sf_dir, "lineitem",
-        ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
     )
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -2438,4 +2447,71 @@ SELECT CAST(m.med AS BIGINT) AS median_cents,
        CAST(quantile_disc(abs(t.cents - m.med), 0.5) AS BIGINT) AS mad_cents
 FROM t, m
 GROUP BY m.med
+"""
+
+
+# ------------------------------------------- one-pass quantile sketch
+
+
+def q_price_quantile_sketch(sf_dir: str, k: int = 4096):
+    """ONE-PASS approximate quantiles (the sketch-family member next to
+    HLL-distinct and CMS-frequency): a deterministic uniform row sample
+    — bottom-k by ``md5(rowkey)``, the same mergeable bottom-k
+    machinery as ``uniform_sample`` (≤ k rows leave any block) — then
+    ``quantile_disc`` over the k-row sample. DKW bound: rank error
+    ≤ √(ln(2/δ)/2k) ≈ 3% at k=4096, δ=1e-3 (pytest-pinned vs the
+    exact engine). Unlike the exact bin-narrowing passes this needs
+    ONE scan; and because the sample is hash-deterministic the whole
+    ESTIMATOR is exactly SQL-reproducible — an exact oracle for an
+    approximate operator."""
+    from ..functions.sampling import uniform_sample
+
+    def keyed(t: pa.Table) -> pa.Table:
+        key = (
+            t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64) * 10
+            + t["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "rowkey": pa.array(key, pa.int64()),
+                "cents": _floor_units(t["l_extendedprice"], 100),
+            }
+        )
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"]
+    ).map_batches(keyed, batch_format="pyarrow")
+    sample = uniform_sample(ds, "rowkey", k, salt="qsk").to_pandas()
+    if len(sample) == 0:
+        return pd.DataFrame(
+            {"p_x100": pd.array([], dtype="int64"),
+             "cents_est": pd.array([], dtype="int64")}
+        )
+    vals = np.sort(sample["cents"].to_numpy())
+    n = len(vals)
+    out = [
+        (int(q * 100), int(vals[max(int(np.ceil(q * n)), 1) - 1]))
+        for q in (0.25, 0.5, 0.75, 0.95)
+    ]
+    return pd.DataFrame(
+        {"p_x100": pd.array([p for p, _ in out], dtype="int64"),
+         "cents_est": pd.array([v for _, v in out], dtype="int64")}
+    )
+
+
+PRICE_QUANTILE_SKETCH_SQL = """
+WITH s AS (
+  SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM (
+    SELECT * FROM lineitem
+    ORDER BY md5('qsk:' || CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)),
+             l_orderkey * 10 + l_linenumber
+    LIMIT 4096
+  )
+)
+SELECT CAST(25 AS BIGINT) AS p_x100,
+       CAST(quantile_disc(cents, 0.25) AS BIGINT) AS cents_est FROM s
+UNION ALL SELECT 50, CAST(quantile_disc(cents, 0.50) AS BIGINT) FROM s
+UNION ALL SELECT 75, CAST(quantile_disc(cents, 0.75) AS BIGINT) FROM s
+UNION ALL SELECT 95, CAST(quantile_disc(cents, 0.95) AS BIGINT) FROM s
 """

@@ -106,3 +106,23 @@ def test_dim_join_fallback_matches_broadcast(name, con):
     a, b = _norm(rdf), _norm(odf)
     assert len(a) == len(b)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_quantile_sketch_dkw_accuracy(con):
+    """The one-pass sample-sketch estimates must sit within the DKW
+    rank band of the exact engine: for k=4096 the true rank of each
+    estimate must be within 5% of its target quantile."""
+    import numpy as np
+
+    from gliner_ray.queries import relational as rel
+
+    est = rel.q_price_quantile_sketch(SF)
+    exact_vals = np.sort(
+        con.sql(
+            "SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) c FROM lineitem"
+        ).df()["c"].to_numpy()
+    )
+    n = len(exact_vals)
+    for p, v in zip(est["p_x100"], est["cents_est"]):
+        true_rank = np.searchsorted(exact_vals, v, side="right") / n
+        assert abs(true_rank - p / 100.0) <= 0.05, (p, v, true_rank)
