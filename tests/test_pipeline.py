@@ -180,3 +180,40 @@ class TestCooccurrence:
                 want[(a, b)] += 1
         assert got == dict(want)
         assert len(got) > 0  # corpus must actually produce co-occurrence
+
+
+class TestSpillResilience:
+    def test_build_completes_with_minimum_object_store(self, tmp_path):
+        """Backpressure/spill evidence: the full KG build must complete
+        (and match the oracle count) in a fresh Ray session whose
+        object store is the minimum Ray allows (~80 MB) — blocks must
+        stream and spill rather than assume a big store."""
+        import subprocess
+        import sys
+        import textwrap
+
+        script = textwrap.dedent(f"""
+            import ray
+            ray.init(address="local", num_cpus=4, include_dashboard=False,
+                     object_store_memory=80 * 1024 * 1024,
+                     logging_level="ERROR")
+            from ray.data import DataContext
+            DataContext.get_current().enable_progress_bars = False
+            from gliner_ray.corpus import write_corpus, generate_files
+            from gliner_ray.pipelines.kg import build_kg
+            from gliner_ray.oracle import oracle_mentions, oracle_triples
+            d = r"{tmp_path}/files"; o = r"{tmp_path}/out"
+            write_corpus(d, n_files=100, n_repos=12, seed=11)
+            s = build_kg(d, o)
+            files = generate_files(n_files=100, n_repos=12, seed=11)
+            ot = oracle_triples(files, oracle_mentions(files))
+            assert s["n_triples"] == len(ot), (s["n_triples"], len(ot))
+            print("SPILL_OK", s["n_triples"])
+            ray.shutdown()
+        """)
+        out = subprocess.run(
+            [sys.executable, "-c", script],
+            capture_output=True, text=True, timeout=420,
+            cwd="/root/repo",
+        )
+        assert "SPILL_OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
