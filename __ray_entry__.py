@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search / clustering
         "emb_ann_topk": co.emb_ann_topk,
         "emb_ivf_topk": co.emb_ivf_topk,
+        "emb_ivf_topk_full": co.emb_ivf_topk_full,
         "emb_kmeans": co.emb_kmeans,
         # graph analytics (degree / components / pagerank)
         "q_user_item_degree": go.q_user_item_degree,
@@ -190,4 +191,5 @@ def oracle_sql() -> dict[str, str]:
         "q_user_item_degree": go.USER_ITEM_DEGREE_SQL,
         "graph_components": go.GRAPH_COMPONENTS_SQL,
         "emb_ann_topk": co.ANN_TOPK_SQL,
+        "emb_ivf_topk_full": co.ANN_TOPK_SQL,
     }

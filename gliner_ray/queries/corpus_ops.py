@@ -930,3 +930,20 @@ def doc_substring_dups(sf_dir: str):
     return fdedup.substring_dups(
         _docs(sf_dir, ["doc_id", "text"]), L=48, stride=8
     )
+
+
+def emb_ivf_topk_full(sf_dir: str):
+    """IVF search at nprobe = n_clusters: every partition is probed,
+    so the result EQUALS brute force exactly — this puts the whole IVF
+    machinery (persisted cluster=K partitions, probe-dir reads,
+    per-partition top-k merge) under the same exact DuckDB oracle as
+    `emb_ann_topk`; the pruned-probe path stays `emb_ivf_topk`
+    (rows-only + recall pytest)."""
+    q = _query_vector(sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    index_dir = f"/tmp/gliner_ray_scratch/{tag}/ivf_index"
+    if os.path.exists(os.path.join(index_dir, "_centroids.npy")):
+        index = fsim.IVFIndex.load(index_dir)
+    else:
+        index = fsim.IVFIndex.build(_embs(sf_dir), n_clusters=8, index_dir=index_dir)
+    return index.search(q, k=10, nprobe=8).select(["vec_id"])
