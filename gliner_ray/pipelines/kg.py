@@ -72,6 +72,7 @@ def extract_mentions(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     scorer_cls=DeterministicScorer,
     fused: bool = True,
+    scorer_kwargs: dict | None = None,
 ) -> "ray.data.Dataset":
     """Stages [A]→[C]: files → mentions (lazy Dataset).
 
@@ -99,7 +100,9 @@ def extract_mentions(
 
         return files_ds.map_batches(
             FusedExtractor,
-            fn_constructor_kwargs={"cfg": cfg, "scorer_cls": scorer_cls},
+            fn_constructor_kwargs={"cfg": cfg, "scorer_cls": scorer_cls,
+                                   **({"scorer_kwargs": scorer_kwargs}
+                                      if scorer_kwargs else {})},
             batch_format="pyarrow",
             # 256 files/batch ≈ 80 ms of kernel work: large enough to
             # amortize per-task dispatch (measured min-of-4 13.5 s vs
@@ -117,7 +120,7 @@ def extract_mentions(
     )
     scored = chunks.map_batches(
         scorer_cls,
-        fn_constructor_kwargs={"cfg": cfg},
+        fn_constructor_kwargs={"cfg": cfg, **(scorer_kwargs or {})},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

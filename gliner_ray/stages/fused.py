@@ -47,7 +47,8 @@ class FusedExtractor:
     mentions batch (MENTION_SCHEMA). State (vocab index) built once
     per actor."""
 
-    def __init__(self, cfg: PipelineConfig, scorer_cls=None):
+    def __init__(self, cfg: PipelineConfig, scorer_cls=None,
+                 scorer_kwargs: dict | None = None):
         self.cfg = cfg
         if scorer_cls is None or scorer_cls.__name__ == "DeterministicScorer":
             self.kernel = DeterministicScorerKernel(cfg.vocab, cfg.labels)
@@ -59,7 +60,7 @@ class FusedExtractor:
             from .normalize import make_chunker
 
             self._chunk = make_chunker(cfg)
-            self._scorer_stage = scorer_cls(cfg)
+            self._scorer_stage = scorer_cls(cfg, **(scorer_kwargs or {}))
             self._decode = make_decoder(cfg)
 
     def __call__(self, batch: pa.Table) -> pa.Table:

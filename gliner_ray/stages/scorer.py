@@ -98,6 +98,7 @@ class NumpyGlinerScorer:
         seed: int = 1234,
         model_dir: str | None = None,
         span_mode: str = "markerV0",
+        encoder: str = "mix",
     ):
         import numpy as np
 
@@ -115,6 +116,7 @@ class NumpyGlinerScorer:
                 max_width=cfg.max_width,
                 seed=seed,
                 span_mode=span_mode,
+                encoder=encoder,
             )
         self.label_embeds = self.model.label_embeddings()  # (C, D), cached
         self.emit_threshold = cfg.threshold

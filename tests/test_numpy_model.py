@@ -431,3 +431,32 @@ class TestAttnEncoder:
             flat_ner=True, threshold=0.5,
         )
         assert isinstance(spans, list)  # decodes without shape errors
+
+
+def test_attn_backend_extracts_e2e(ray_session, tmp_path):
+    """encoder="attn" wired through NumpyGlinerScorer runs the real
+    extraction stage end-to-end (actor pool -> sparse candidates ->
+    decode) and is deterministic across runs."""
+    import ray.data as rd
+
+    from gliner_ray.config import DEFAULT_CONFIG
+    from gliner_ray.corpus import write_corpus
+    from gliner_ray.pipelines.kg import extract_mentions, read_files
+    from gliner_ray.stages.scorer import NumpyGlinerScorer
+
+    d = str(tmp_path / "files")
+    write_corpus(d, n_files=30, n_repos=5, seed=3)
+
+    def run():
+        m = extract_mentions(
+            read_files(d, DEFAULT_CONFIG), DEFAULT_CONFIG,
+            scorer_cls=NumpyGlinerScorer,
+            scorer_kwargs={"encoder": "attn"}, fused=False,
+        )
+        df = m.select_columns(
+            ["doc_sha256", "start", "end", "label"]
+        ).to_pandas()
+        return sorted(map(tuple, df.values.tolist()))
+
+    a = run()
+    assert run() == a
