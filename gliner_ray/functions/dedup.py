@@ -1052,6 +1052,7 @@ def segment_dedup(
     ds: "ray.data.Dataset",
     n_words: int = 10,
     num_partitions: int = 16,
+    owner_broadcast_limit: int = 200_000,
 ) -> "ray.data.Dataset":
     """Sub-document (segment-level) exact dedup — the
     Dolma/RefinedWeb-style pass that removes boilerplate shared ACROSS
@@ -1121,15 +1122,32 @@ def segment_dedup(
             df.groupby("h", as_index=False).min(), preserve_index=False
         )
 
-    owners = (
-        segs.map_batches(owner_partial, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(Min("owner_enc", alias_name="owner_enc"))
-    )
+    # adaptive owner election + check (same guard pattern as the
+    # near-dup verifiers): the owner partials are in-batch combined to
+    # distinct-segment size — under the limit the FINAL min happens in
+    # one driver pandas groupby and the check is a broadcast dict (no
+    # all-to-all at all); above it the Ray groupby + hash_join run
+    partials_mat = segs.map_batches(
+        owner_partial, batch_format="pyarrow"
+    ).materialize()
+    if partials_mat.count() <= owner_broadcast_limit:
+        pdf = partials_mat.to_pandas().groupby("h", as_index=False).min()
+        owner_by_h = dict(zip(pdf["h"], pdf["owner_enc"]))
 
-    kept = hash_join(segs, owners, "h", "h", num_partitions=P).filter(
-        expr="enc == owner_enc"
-    )
+        def keep_owned(t: pa.Table) -> pa.Table:
+            hs = pd.Series(t["h"].to_pylist())
+            enc = t["enc"].to_numpy(zero_copy_only=False)
+            keep = hs.map(owner_by_h).to_numpy() == enc
+            return t.filter(pa.array(keep))
+
+        kept = segs.map_batches(keep_owned, batch_format="pyarrow")
+    else:
+        owners = partials_mat.groupby("h").aggregate(
+            Min("owner_enc", alias_name="owner_enc")
+        )
+        kept = hash_join(segs, owners, "h", "h", num_partitions=P).filter(
+            expr="enc == owner_enc"
+        )
 
     def add_part(t: pa.Table) -> pa.Table:
         d = t["doc_id"].to_numpy(zero_copy_only=False)

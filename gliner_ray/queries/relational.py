@@ -2251,14 +2251,19 @@ WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0)
 # ---------------------------------------------------- LEFT OUTER join
 
 
-def q_customer_order_counts(sf_dir: str):
+def q_customer_order_counts(
+    sf_dir: str, dim_broadcast_limit: int = DIM_BROADCAST_LIMIT
+):
     """LEFT OUTER join (``functions/joins.hash_join(how="left")``):
     every customer with their order count + spend, zeros for customers
     with NO orders. The scale-correct shape: orders pre-aggregate to
     one row per custkey FIRST (combiner + key groupby), so the outer
     join is customer ⟕ customer-sized — the fact table never joins
     row-level. Unmatched rows surface as nulls and are coalesced to 0
-    in-stream."""
+    in-stream. Under ``dim_broadcast_limit`` the aggregate side
+    broadcasts as a lookup (one map pass, no join shuffle) — the
+    COUNT-GUARDED dimension pattern of q3/q5; above it the distributed
+    left hash_join runs."""
     from ray.data.aggregate import Sum
 
     from ..functions.joins import hash_join
@@ -2275,10 +2280,43 @@ def q_customer_order_counts(sf_dir: str):
             df.groupby("o_custkey", as_index=False).sum(), preserve_index=False
         )
 
+    partials = _read(
+        sf_dir, "orders", ["o_custkey", "o_totalprice"]
+    ).map_batches(partial, batch_format="pyarrow", batch_size=131072)
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    # the partials are already in-batch combined to ≤ customers rows
+    # per batch; under the guard the FINAL combine happens driver-side
+    # (one pandas groupby on a dimension-sized table — Ray's
+    # groupby().aggregate() costs ~4 s of fixed shuffle latency that
+    # only pays off above the guard)
+    pmat = partials.materialize()
+    if pmat.count() <= dim_broadcast_limit:
+        pdf = (
+            pmat.to_pandas()
+            .groupby("o_custkey", as_index=False)
+            .sum()
+        )
+        lut_n = dict(zip(pdf["o_custkey"], pdf["n_orders"].astype(np.int64)))
+        lut_c = dict(zip(pdf["o_custkey"], pdf["spend_cents"].astype(np.int64)))
+
+        def attach(t: pa.Table) -> pa.Table:
+            keys = pd.Series(t["c_custkey"].to_numpy(zero_copy_only=False))
+            return pa.table(
+                {
+                    "c_custkey": t["c_custkey"],
+                    "n_orders": pa.array(
+                        keys.map(lut_n).fillna(0).astype(np.int64)
+                    ),
+                    "spend_cents": pa.array(
+                        keys.map(lut_c).fillna(0).astype(np.int64)
+                    ),
+                }
+            )
+
+        return cust.map_batches(attach, batch_format="pyarrow")
+
     per_cust = (
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(partial, batch_format="pyarrow", batch_size=131072)
-        .groupby("o_custkey")
+        pmat.groupby("o_custkey")
         .aggregate(
             Sum("n_orders", alias_name="n_orders"),
             Sum("spend_cents", alias_name="spend_cents"),
@@ -2288,7 +2326,6 @@ def q_customer_order_counts(sf_dir: str):
             batch_format="pyarrow",
         )
     )
-    cust = _read(sf_dir, "customer", ["c_custkey"])
     joined = hash_join(cust, per_cust, "c_custkey", "c_custkey", how="left")
 
     def coalesce(t: pa.Table) -> pa.Table:

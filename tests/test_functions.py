@@ -2,6 +2,7 @@
 similarity search, multimodal plumbing — with planted ground truth."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -1027,3 +1028,24 @@ class TestSubstringDups:
             _docs_ds([(0, "short"), (1, "tiny")]), L=64, stride=8
         )
         assert fdedup.merge_window_runs(empty, L=64).num_rows == 0
+
+
+class TestSegmentDedupPaths:
+    def test_broadcast_and_join_paths_agree(self, ray_session):
+        from gliner_ray.functions.dedup import segment_dedup
+
+        rows = [
+            (0, "a b c d e f g h i j k l m n o p q r s t"),
+            (1, "a b c d e f g h i j z z z z z z z z z z"),  # shares seg 0
+            (2, "completely different words here in this one doc only x y"),
+        ]
+        fast = segment_dedup(_docs_ds(rows), n_words=10).to_pandas()
+        dist = segment_dedup(
+            _docs_ds(rows), n_words=10, owner_broadcast_limit=0
+        ).to_pandas()
+        key = ["doc_id", "n_kept", "clean_text"]
+        a = fast[key].sort_values("doc_id", ignore_index=True)
+        b = dist[key].sort_values("doc_id", ignore_index=True)
+        pd.testing.assert_frame_equal(a, b)
+        # doc 1's first segment is a dup of doc 0's → dropped
+        assert a.loc[a.doc_id == 1, "n_kept"].item() == 1
