@@ -194,10 +194,13 @@ def _layout_modulus(input_path: str) -> int | None:
 
 def _corpus_bucket_files(
     input_path: str, n_buckets: int | None = None
-) -> dict[int, str] | None:
-    """bucket id → corpus shard path, when the input layout encodes
-    bucket ranges in filenames (``part-bLLLL-HHHH``) AND the recorded
-    clustering modulus matches ``n_buckets``. None otherwise."""
+) -> dict[int, list[str]] | None:
+    """bucket id → ALL corpus shard paths covering it, when the input
+    layout encodes bucket ranges in filenames (``part-bLLLL-HHHH``)
+    AND the recorded clustering modulus matches ``n_buckets``. None
+    otherwise. Multiple files may cover one bucket (incremental
+    appends land as extra shards) — every consumer must read the full
+    list."""
     import re
 
     if not os.path.isdir(input_path):
@@ -205,7 +208,7 @@ def _corpus_bucket_files(
     if n_buckets is not None and _layout_modulus(input_path) != n_buckets:
         return None
     pat = re.compile(r"part-b(\d+)-(\d+)\.parquet$")
-    out: dict[int, str] = {}
+    out: dict[int, list[str]] = {}
     files = sorted(f for f in os.listdir(input_path) if f.endswith(".parquet"))
     if not files:
         return None
@@ -214,8 +217,35 @@ def _corpus_bucket_files(
         if not m:
             return None
         for b in range(int(m.group(1)), int(m.group(2)) + 1):
-            out[b] = os.path.join(input_path, f)
+            out.setdefault(b, []).append(os.path.join(input_path, f))
     return out
+
+
+def _bucket_fingerprints(
+    input_path: str, n_buckets: int
+) -> dict[int, str] | None:
+    """PER-BUCKET input fingerprint (footer metadata of the shards
+    covering each bucket) for bucket-clustered layouts — incremental
+    appends then invalidate ONLY the buckets the new shards cover,
+    instead of the whole-input fingerprint forcing a full re-extract.
+    None when the layout is not bucket-clustered (appends scatter
+    across every bucket there anyway, so the global fingerprint is the
+    right granularity)."""
+    bucket_files = _corpus_bucket_files(input_path, n_buckets=n_buckets)
+    if bucket_files is None:
+        return None
+    import pyarrow.parquet as pq
+
+    meta: dict[str, str] = {}
+    for paths in bucket_files.values():
+        for p in paths:
+            if p not in meta:
+                md = pq.ParquetFile(p).metadata
+                meta[p] = f"{os.path.basename(p)}:{os.path.getsize(p)}:{md.num_rows}"
+    return {
+        b: hashlib.sha256("|".join(meta[p] for p in paths).encode()).hexdigest()[:24]
+        for b, paths in bucket_files.items()
+    }
 
 
 def _stage2_bucket_triples(
@@ -261,11 +291,11 @@ def _stage2_bucket_triples(
         for b in batch["bucket"].to_pylist():
             frames = []
             # file triples from the corpus slice (repo, path only)
-            cpath = bucket_files.get(b)
-            if cpath is not None:
+            cpaths = bucket_files.get(b)
+            if cpaths:
                 from ..stages.normalize import repo_bucket
 
-                ft = pq.read_table(cpath, columns=["repo", "path"])
+                ft = pq.read_table(cpaths, columns=["repo", "path"])
                 df = ft.to_pandas()
                 # hash once per distinct repo, not per row (~100 rows/repo)
                 lut = {r: repo_bucket(r, n_buckets) for r in df["repo"].unique()}
@@ -484,6 +514,14 @@ def build_kg(
     t0 = _time.perf_counter()
     files_ds = read_files(input_path, cfg)
     input_fp = _input_metadata_fingerprint(input_path)
+    # bucket-clustered layouts fingerprint PER BUCKET: an appended
+    # shard invalidates only the buckets it covers (incremental
+    # ingest); other layouts bind every bucket to the global print
+    bucket_fps = _bucket_fingerprints(input_path, cfg.n_buckets)
+
+    def _fp_for(b: int) -> str:
+        return bucket_fps.get(b, input_fp) if bucket_fps else input_fp
+
     all_buckets = set(range(cfg.n_buckets))
     timings["fingerprint_sec"] = round(_time.perf_counter() - t0, 3)
 
@@ -491,7 +529,7 @@ def build_kg(
     done = {
         b
         for b, m in manifests.items()
-        if m.input_fingerprint == input_fp
+        if m.input_fingerprint == _fp_for(b)
         and m.config_hash == cfg_hash
         and m.stage == "mentions"
     }
@@ -529,7 +567,7 @@ def build_kg(
                 mentions_dir,
                 BucketManifest(
                     bucket=b,
-                    input_fingerprint=input_fp,
+                    input_fingerprint=_fp_for(b),
                     n_input_rows=-1,  # row-level counts would need a scan
                     n_output_rows=_count_partition_rows(mentions_dir, b),
                     stage="mentions",

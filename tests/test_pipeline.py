@@ -217,3 +217,58 @@ class TestSpillResilience:
             cwd="/root/repo",
         )
         assert "SPILL_OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
+
+
+class TestIncrementalAppend:
+    def test_append_reruns_only_touched_buckets(self, tmp_path):
+        """Incremental ingest: appending shards to a bucket-clustered
+        corpus re-extracts ONLY the buckets the new shards cover
+        (per-bucket input fingerprints), and the resumed output equals
+        a cold rebuild of the combined corpus."""
+        import pyarrow.parquet as pq
+
+        from gliner_ray.corpus import generate_files, write_corpus
+        from gliner_ray.stages.normalize import repo_bucket
+
+        d = str(tmp_path / "files")
+        out = str(tmp_path / "out")
+        write_corpus(d, n_files=120, n_repos=15, seed=42)
+        s1 = build_kg(d, out)
+        assert s1["buckets_processed"] == 64
+
+        # append: new repos' rows written as single-bucket shards
+        extra = generate_files(n_files=30, n_repos=4, seed=99).to_pandas()
+        extra["b"] = extra["repo"].map(lambda r: repo_bucket(r, 64))
+        touched = sorted(extra["b"].unique())
+        assert 0 < len(touched) < 64
+        import pyarrow as pa_
+
+        for b, grp in extra.groupby("b"):
+            pq.write_table(
+                pa_.Table.from_pandas(
+                    grp.drop(columns=["b"]), preserve_index=False
+                ),
+                os.path.join(d, f"part-b{b:04d}-{b:04d}.parquet"),
+            )
+
+        s2 = build_kg(d, out)  # resume over the grown corpus
+        assert s2["buckets_processed"] == len(touched), s2
+        assert s2["buckets_skipped"] == 64 - len(touched)
+
+        # cold rebuild of the combined corpus must produce identical triples
+        out_cold = str(tmp_path / "out_cold")
+        build_kg(d, out_cold)
+
+        def triples(o):
+            import pyarrow.dataset as pads
+
+            t = pads.dataset(
+                os.path.join(o, "triples"), format="parquet",
+                partitioning="hive",
+            ).to_table()
+            return sorted(
+                zip(t["subj"].to_pylist(), t["pred"].to_pylist(),
+                    t["obj"].to_pylist())
+            )
+
+        assert triples(out) == triples(out_cold)
