@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_props_k_sum": rel.q_props_k_sum,
         "q_active_keys_union": rel.q_active_keys_union,
         "q_price_mad": rel.q_price_mad,
+        "q_user_first_last_event": rel.q_user_first_last_event,
+        "q_orders_above_cust_avg": rel.q_orders_above_cust_avg,
         # text analysis
         "doc_token_count": co.doc_token_count,
         "doc_tokens_routed": co.doc_tokens_routed,
@@ -172,6 +174,8 @@ def oracle_sql() -> dict[str, str]:
         "q_props_k_sum": rel.PROPS_K_SUM_SQL,
         "q_active_keys_union": rel.ACTIVE_KEYS_UNION_SQL,
         "q_price_mad": rel.PRICE_MAD_SQL,
+        "q_user_first_last_event": rel.USER_FIRST_LAST_SQL,
+        "q_orders_above_cust_avg": rel.ORDERS_ABOVE_CUST_AVG_SQL,
         "doc_token_count": co.TOKEN_COUNT_SQL,
         "doc_tokens_routed": co.TOKENS_ROUTED_SQL,
         "doc_text_stats": co.TEXT_STATS_SQL,

@@ -2552,3 +2552,166 @@ UNION ALL SELECT 50, CAST(quantile_disc(cents, 0.50) AS BIGINT) FROM s
 UNION ALL SELECT 75, CAST(quantile_disc(cents, 0.75) AS BIGINT) FROM s
 UNION ALL SELECT 95, CAST(quantile_disc(cents, 0.95) AS BIGINT) FROM s
 """
+
+
+# --------------------------------------- FIRST_VALUE / LAST_VALUE
+
+
+def q_user_first_last_event(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE window (the boundary-row window shape
+    next to LAG, cumulative, ROWS and RANGE frames): each user's first
+    and last event value in time order. Same ``user_id % P`` partition
+    discipline; per part one vectorized sort + groupby first/last.
+    Ties broken by event_id on both engines."""
+    P = 16
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "cents": _floor_units(t["value"], 100),
+                "part": pa.array(u % P, pa.int64()),
+            }
+        )
+
+    def first_last(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+        g = s.groupby("user_id", sort=False)["cents"]
+        out = pd.DataFrame(
+            {
+                "user_id": g.first().index,
+                "first_cents": g.first().to_numpy(),
+                "last_cents": g.last().to_numpy(),
+            }
+        )
+        return out.astype(
+            {"user_id": "int64", "first_cents": "int64", "last_cents": "int64"}
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+        .map_batches(add_part, batch_format="pyarrow", batch_size=131072)
+        .groupby("part")
+        .map_groups(first_last, batch_format="pandas")
+    )
+
+
+USER_FIRST_LAST_SQL = """
+SELECT DISTINCT user_id,
+       CAST(FIRST_VALUE(CAST(FLOOR(value * 100) AS BIGINT)) OVER w AS BIGINT)
+           AS first_cents,
+       CAST(LAST_VALUE(CAST(FLOOR(value * 100) AS BIGINT)) OVER w AS BIGINT)
+           AS last_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# ------------------------------------- correlated scalar subquery
+
+
+def q_orders_above_cust_avg(
+    sf_dir: str, dim_broadcast_limit: int = DIM_BROADCAST_LIMIT
+):
+    """Correlated scalar subquery shape (``o_totalprice > AVG(...) of
+    the SAME customer``): pass 1 pre-combines per-customer (sum, n)
+    in-batch and finishes the dimension-sized aggregate under the
+    guarded driver combine; pass 2 streams orders again, comparing each
+    row against its customer's mean via the broadcast lookup — the
+    correlated subquery decorrelates into aggregate + re-join, the
+    standard engine rewrite. Integer comparison on BOTH engines:
+    ``cents·n > sum_cents`` avoids float division entirely."""
+    partials = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "o_custkey": t["o_custkey"].to_numpy(zero_copy_only=False),
+                    "sum_cents": _floor_units(t["o_totalprice"], 100).to_numpy(),
+                    "n": np.ones(t.num_rows, dtype=np.int64),
+                }
+            ).groupby("o_custkey", as_index=False).sum(),
+            preserve_index=False,
+        ),
+        batch_format="pyarrow",
+        batch_size=131072,
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    pmat = partials.materialize()
+    if pmat.count() <= dim_broadcast_limit:
+        # guarded broadcast (customer-dimension-sized): one more map
+        # pass over orders, zero additional shuffles
+        pdf = pmat.to_pandas().groupby("o_custkey", as_index=False).sum()
+        lut_sum = dict(zip(pdf["o_custkey"], pdf["sum_cents"].astype(np.int64)))
+        lut_n = dict(zip(pdf["o_custkey"], pdf["n"].astype(np.int64)))
+
+        def above_avg(t: pa.Table) -> pa.Table:
+            keys = pd.Series(t["o_custkey"].to_numpy(zero_copy_only=False))
+            cents = _floor_units(t["o_totalprice"], 100).to_numpy()
+            s = keys.map(lut_sum).to_numpy(dtype=np.int64)
+            n = keys.map(lut_n).to_numpy(dtype=np.int64)
+            keep = cents * n > s
+            return pa.table(
+                {
+                    "o_orderkey": pa.array(
+                        t["o_orderkey"].to_numpy(zero_copy_only=False)[keep]
+                    ),
+                    "o_custkey": pa.array(keys.to_numpy()[keep]),
+                    "cents": pa.array(cents[keep], pa.int64()),
+                }
+            )
+
+        return orders.map_batches(above_avg, batch_format="pyarrow")
+
+    # distributed decorrelation: finish the aggregate with a key
+    # groupby, hash-join it back onto orders, filter in-stream
+    from ray.data.aggregate import Sum
+
+    from ..functions.joins import hash_join
+
+    agg = pmat.groupby("o_custkey").aggregate(
+        Sum("sum_cents", alias_name="sum_cents"), Sum("n", alias_name="n")
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "cents": _floor_units(t["o_totalprice"], 100),
+            }
+        )
+
+    joined = hash_join(
+        orders.map_batches(keyed, batch_format="pyarrow"), agg,
+        "o_custkey", "o_custkey",
+    )
+
+    def flt(t: pa.Table) -> pa.Table:
+        keep = (
+            t["cents"].to_numpy(zero_copy_only=False)
+            * t["n"].to_numpy(zero_copy_only=False)
+            > t["sum_cents"].to_numpy(zero_copy_only=False)
+        )
+        return t.select(["o_orderkey", "o_custkey", "cents"]).filter(
+            pa.array(keep)
+        )
+
+    return joined.map_batches(flt, batch_format="pyarrow")
+
+
+ORDERS_ABOVE_CUST_AVG_SQL = """
+WITH agg AS (
+    SELECT o_custkey,
+           SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS sum_cents,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_custkey
+)
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS cents
+FROM orders o JOIN agg USING (o_custkey)
+WHERE CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) * agg.n > agg.sum_cents
+"""

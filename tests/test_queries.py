@@ -126,3 +126,16 @@ def test_quantile_sketch_dkw_accuracy(con):
     for p, v in zip(est["p_x100"], est["cents_est"]):
         true_rank = np.searchsorted(exact_vals, v, side="right") / n
         assert abs(true_rank - p / 100.0) <= 0.05, (p, v, true_rank)
+
+
+def test_above_cust_avg_distributed_path_matches(con):
+    """dim_broadcast_limit=0 forces the hash-join decorrelation path —
+    must equal the oracle exactly, same as the broadcast path."""
+    from gliner_ray.queries import relational as rel
+
+    res = rel.q_orders_above_cust_avg(SF, dim_broadcast_limit=0)
+    rdf = res.to_pandas()
+    odf = con.sql(E.oracle_sql()["q_orders_above_cust_avg"]).df()
+    a, b = _norm(rdf), _norm(odf)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
