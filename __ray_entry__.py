@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": co.doc_exact_dedup,
         "doc_segment_dedup": co.doc_segment_dedup,
         "doc_substring_dups": co.doc_substring_dups,
+        "doc_substring_rewrite": co.doc_substring_rewrite,
         "doc_minhash_dedup": co.doc_minhash_dedup,
         "doc_ngram_jaccard_dups": co.doc_ngram_jaccard_dups,
         "doc_simhash_dups": co.doc_simhash_dups,

@@ -1468,3 +1468,80 @@ def merge_window_runs(
         out[["doc_a", "doc_b", "start_a", "start_b", "length"]].astype("int64"),
         preserve_index=False,
     )
+
+
+def substring_dedup_rewrite(
+    ds: "ray.data.Dataset",
+    L: int = 64,
+    stride: int = 8,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    pair_broadcast_limit: int = 200_000,
+) -> "ray.data.Dataset":
+    """The REMOVAL half of ExactSubstr dedup (Lee et al. 2022 cut the
+    later copy of every repeated run): detect repeated windows
+    (:func:`substring_dups`), merge them to maximal runs
+    (:func:`merge_window_runs`), keep each run only in its OWNER — the
+    lexicographically smallest (doc, offset) — and cut it from every
+    other doc. Returns (doc_id, clean_text, n_cut_bytes) for ALL docs.
+
+    Cut intervals are output-sized (they exist only where dup runs
+    exist), so they broadcast as a per-doc interval dict; the rewrite
+    itself is one streaming pass. Overlapping cut intervals in one doc
+    merge before cutting, so rewrites never double-cut."""
+    import pandas as pd
+
+    pairs = substring_dups(
+        ds, L=L, stride=stride, doc_col=doc_col, text_col=text_col,
+        pair_broadcast_limit=pair_broadcast_limit,
+    )
+    runs = merge_window_runs(pairs, L=L, stride=stride).to_pylist()
+    # owner = min (doc, start); cut the other side of each run.
+    cuts: dict[int, list[tuple[int, int]]] = {}
+    for r in runs:
+        a = (r["doc_a"], r["start_a"])
+        b = (r["doc_b"], r["start_b"])
+        loser_doc, loser_start = max(a, b)
+        cuts.setdefault(loser_doc, []).append(
+            (loser_start, loser_start + r["length"])
+        )
+    merged_cuts: dict[int, list[tuple[int, int]]] = {}
+    for d, iv in cuts.items():
+        iv.sort()
+        acc = [list(iv[0])]
+        for s0, e0 in iv[1:]:
+            if s0 <= acc[-1][1]:
+                acc[-1][1] = max(acc[-1][1], e0)
+            else:
+                acc.append([s0, e0])
+        merged_cuts[d] = [(s0, e0) for s0, e0 in acc]
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        ids = t[doc_col].to_numpy(zero_copy_only=False)
+        texts = t[text_col].to_pylist()
+        out_txt: list[str] = []
+        out_cut: list[int] = []
+        for did, txt in zip(ids, texts):
+            iv = merged_cuts.get(int(did))
+            if not iv:
+                out_txt.append(txt)
+                out_cut.append(0)
+                continue
+            bs = txt.encode("utf-8")
+            kept, pos = [], 0
+            for s0, e0 in iv:
+                kept.append(bs[pos:s0])
+                pos = e0
+            kept.append(bs[pos:])
+            clean = b"".join(kept)
+            out_txt.append(clean.decode("utf-8", errors="surrogateescape"))
+            out_cut.append(len(bs) - len(clean))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "clean_text": pa.array(out_txt, pa.string()),
+                "n_cut_bytes": pa.array(out_cut, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")

@@ -947,3 +947,12 @@ def emb_ivf_topk_full(sf_dir: str):
     else:
         index = fsim.IVFIndex.build(_embs(sf_dir), n_clusters=8, index_dir=index_dir)
     return index.search(q, k=10, nprobe=8).select(["vec_id"])
+
+
+def doc_substring_rewrite(sf_dir: str):
+    """ExactSubstr REMOVAL pass (`functions/dedup.substring_dedup_rewrite`):
+    repeated runs cut from every non-owner doc, owners untouched
+    (rows-only; owner/loser/idempotence pytest in test_functions.py)."""
+    return fdedup.substring_dedup_rewrite(
+        _docs(sf_dir, ["doc_id", "text"]), L=48, stride=8
+    )

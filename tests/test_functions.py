@@ -1049,3 +1049,23 @@ class TestSegmentDedupPaths:
         pd.testing.assert_frame_equal(a, b)
         # doc 1's first segment is a dup of doc 0's → dropped
         assert a.loc[a.doc_id == 1, "n_kept"].item() == 1
+
+    def test_rewrite_cuts_loser_keeps_owner(self, ray_session):
+        from gliner_ray.functions.dedup import substring_dedup_rewrite
+
+        ds, docs, shared = TestSubstringDups()._corpus()
+        out = {
+            r["doc_id"]: r
+            for r in substring_dedup_rewrite(ds, L=64, stride=8)
+            .to_pandas().to_dict("records")
+        }
+        assert len(out) == len(docs)
+        # owner (doc 2, earlier offset) keeps its text intact
+        assert out[2]["clean_text"] == docs[2] and out[2]["n_cut_bytes"] == 0
+        # loser (doc 9) had a run cut, and the cut text was inside the plant
+        assert out[9]["n_cut_bytes"] >= 64
+        assert len(out[9]["clean_text"]) == len(docs[9]) - out[9]["n_cut_bytes"]
+        assert shared not in out[9]["clean_text"]  # the full plant is gone
+        # untouched docs unchanged
+        for d in (0, 1, 3):
+            assert out[d]["clean_text"] == docs[d]
