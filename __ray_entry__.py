@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sha256": co.doc_sha256,
         "doc_lang_id": co.doc_lang_id,
         "doc_quality": co.doc_quality,
+        "doc_lm_perplexity": co.doc_lm_perplexity,
         "doc_fingerprint": co.doc_fingerprint,
         "doc_pii_redact": co.doc_pii_redact,
         "doc_repetition": co.doc_repetition,

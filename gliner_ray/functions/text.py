@@ -343,3 +343,74 @@ def top_terms(
 
 def apply(ds: "ray.data.Dataset", fn, **kwargs) -> "ray.data.Dataset":
     return ds.map_batches(fn, batch_format="pyarrow", **kwargs)
+
+
+def char_bigram_model(
+    ds: "ray.data.Dataset", text_col: str = "text"
+) -> "np.ndarray":
+    """Train a character-bigram LM over the corpus in ONE streaming
+    pass (the KenLM-style quality-filter model, byte alphabet): every
+    batch folds its texts into a single 256×256 int64 count partial
+    (512 KiB fixed — metadata-sized regardless of rows), partials sum
+    driver-side. Returns the raw count matrix; smoothing happens at
+    scoring time so the counts stay mergeable across corpora."""
+    import pyarrow as pa_
+
+    def partial(t: pa_.Table) -> pa_.Table:
+        counts = np.zeros(256 * 256, dtype=np.int64)
+        for txt in t[text_col].to_pylist():
+            b = np.frombuffer(txt.encode("utf-8"), np.uint8)
+            if len(b) < 2:
+                continue
+            idx = b[:-1].astype(np.int64) * 256 + b[1:]
+            counts += np.bincount(idx, minlength=256 * 256)
+        return pa_.table(
+            {"counts": pa_.array([counts.tobytes()], pa_.large_binary())}
+        )
+
+    total = np.zeros(256 * 256, dtype=np.int64)
+    for row in ds.map_batches(partial, batch_format="pyarrow").iter_rows():
+        total += np.frombuffer(row["counts"], dtype=np.int64)
+    return total.reshape(256, 256)
+
+
+def perplexity_batch_fn(counts: "np.ndarray"):
+    """Scoring closure for ``map_batches``: per-doc byte-bigram
+    perplexity under the trained model with add-one smoothing —
+    ``logp(b|a) = log((c[a,b]+1) / (c[a,·]+256))``. The 512 KiB logp
+    table is closure-captured (``ray.put`` small-side at cluster
+    scale); scoring is one vectorized gather + mean per doc."""
+    import pyarrow as pa_
+
+    row_tot = counts.sum(axis=1, keepdims=True).astype(np.float64)
+    logp = np.log((counts + 1.0) / (row_tot + 256.0))
+
+    def score(t: pa_.Table) -> pa_.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out = np.empty(t.num_rows, dtype=np.float64)
+        for i, txt in enumerate(t["text"].to_pylist()):
+            b = np.frombuffer(txt.encode("utf-8"), np.uint8)
+            if len(b) < 2:
+                out[i] = float("nan")
+                continue
+            lp = logp[b[:-1].astype(np.int64), b[1:].astype(np.int64)]
+            out[i] = float(np.exp(-lp.mean()))
+        return pa_.table(
+            {
+                "doc_id": pa_.array(ids, pa_.int64()),
+                "perplexity": pa_.array(out, pa_.float64()),
+            }
+        )
+
+    return score
+
+
+def lm_perplexity(
+    ds: "ray.data.Dataset", text_col: str = "text"
+) -> "ray.data.Dataset":
+    """Two-pass corpus perplexity scoring: train
+    (:func:`char_bigram_model`, metadata-sized partials) then one
+    streaming score pass. Deterministic; high perplexity = unusual
+    byte sequences (the classic LM quality-filter signal)."""
+    counts = char_bigram_model(ds, text_col)
+    return ds.map_batches(perplexity_batch_fn(counts), batch_format="pyarrow")

@@ -956,3 +956,11 @@ def doc_substring_rewrite(sf_dir: str):
     return fdedup.substring_dedup_rewrite(
         _docs(sf_dir, ["doc_id", "text"]), L=48, stride=8
     )
+
+
+def doc_lm_perplexity(sf_dir: str):
+    """Character-bigram LM perplexity (`functions/text.lm_perplexity`):
+    train on the corpus in one metadata-partial pass, score per doc in
+    a second streaming pass — the LM quality-filter signal (rows-only,
+    float scores; ordering + determinism pytest-pinned)."""
+    return ftext.lm_perplexity(_docs(sf_dir, ["doc_id", "text"]))

@@ -1069,3 +1069,49 @@ class TestSegmentDedupPaths:
         # untouched docs unchanged
         for d in (0, 1, 3):
             assert out[d]["clean_text"] == docs[d]
+
+
+class TestLmPerplexity:
+    def test_gibberish_scores_higher_and_deterministic(self, ray_session):
+        from gliner_ray.functions.text import lm_perplexity
+
+        common = "the quick brown fox jumps over the lazy dog " * 4
+        rows = [(i, common) for i in range(8)]
+        rows.append((100, "zqxj vkpw qzzx jjjj wwqq xxkk zzvv ppqq"))
+        out = {
+            r["doc_id"]: r["perplexity"]
+            for r in lm_perplexity(_docs_ds(rows)).to_pandas().to_dict("records")
+        }
+        # the gibberish doc must be the clear perplexity outlier
+        assert out[100] > 2 * max(out[i] for i in range(8))
+        again = {
+            r["doc_id"]: r["perplexity"]
+            for r in lm_perplexity(_docs_ds(rows)).to_pandas().to_dict("records")
+        }
+        assert out == again  # deterministic: fixed counts, fixed math
+
+    def test_partials_merge_equals_sequential(self, ray_session):
+        """The per-block count partials summed must equal a sequential
+        count over the concatenated corpus (mergeability)."""
+        import numpy as np
+
+        from gliner_ray.functions.text import char_bigram_model
+
+        texts = ["hello world", "hold the door", "wold hello"]
+        rows = list(enumerate(texts))
+        got = char_bigram_model(_docs_ds(rows))
+        want = np.zeros((256, 256), dtype=np.int64)
+        for t in texts:
+            b = np.frombuffer(t.encode(), np.uint8)
+            for a, c in zip(b[:-1], b[1:]):
+                want[a, c] += 1
+        np.testing.assert_array_equal(got, want)
+
+    def test_short_docs_nan(self, ray_session):
+        from gliner_ray.functions.text import lm_perplexity
+
+        import math
+
+        out = lm_perplexity(_docs_ds([(0, "x"), (1, "ab")])).to_pandas()
+        assert math.isnan(out.loc[out.doc_id == 0, "perplexity"].item())
+        assert out.loc[out.doc_id == 1, "perplexity"].item() > 0
