@@ -32,6 +32,20 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """All implemented pipelines, ORDERED oracle-bearing-first: the
+    driver checks a leading window of this dict against
+    ``oracle_sql()``, so every entry with an exact DuckDB twin must
+    precede the rows-only entries (round-2 verdict item #1 — 14
+    SQL-oracle queries fell past the round-2 window). The reorder is
+    computed from ``oracle_sql()`` itself so it can never drift."""
+    all_q = _all_queries()
+    sql = oracle_sql()
+    ordered = {k: v for k, v in all_q.items() if k in sql}
+    ordered.update({k: v for k, v in all_q.items() if k not in sql})
+    return ordered
+
+
+def _all_queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational operator coverage (TPC-H-shaped)
         "q1_pricing_summary": rel.q1_pricing_summary,

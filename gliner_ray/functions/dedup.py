@@ -179,7 +179,8 @@ class MinHashStage:
     signature matrix."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, ngram: int = 3, seed: int = 1):
-        assert num_perm % bands == 0
+        if num_perm % bands != 0:
+            raise ValueError("num_perm must be a multiple of bands")
         self.a, self.b = _minhash_params(num_perm, seed)
         self.bands = bands
         self.rows_per_band = num_perm // bands
@@ -1090,7 +1091,8 @@ def segment_dedup(
         ):
             words = txt.split(" ")
             n_seg = (len(words) + n_words - 1) // n_words
-            assert n_seg < SHIFT, "doc exceeds segment-index encode width"
+            if n_seg >= SHIFT:  # not assert: survives python -O
+                raise ValueError("doc exceeds segment-index encode width")
             for i in range(n_seg):
                 seg = " ".join(words[i * n_words:(i + 1) * n_words])
                 doc_ids.append(int(did))
@@ -1296,7 +1298,11 @@ def substring_dups(
             t[doc_col].to_numpy(zero_copy_only=False), t[text_col].to_pylist()
         ):
             b = np.frombuffer(txt.encode("utf-8"), np.uint8)
-            assert len(b) < OFF_SHIFT, "doc exceeds offset encode width"
+            if len(b) >= OFF_SHIFT:  # not assert: survives python -O
+                raise ValueError(
+                    "doc exceeds 2^24-byte offset encode width; raise "
+                    "OFF_SHIFT or pre-split >16MB docs"
+                )
             o, h = _window_hashes(b, L, stride)
             ids.append(np.full(len(o), int(did), np.int64))
             offs.append(o)
@@ -1324,14 +1330,14 @@ def substring_dups(
             ds.select_columns([doc_col, text_col]), doc_col,
             [doc_col, text_col], set(by_doc),
         )
-        out: dict[int, str] = {}
+        out: dict[int, bytes] = {}
         for r in rows:
             did = int(r[doc_col])
             bs = r[text_col].encode("utf-8")
             for off in by_doc.get(did, ()):
-                out[did * OFF_SHIFT + off] = bs[off:off + L].decode(
-                    "utf-8", errors="surrogateescape"
-                )
+                # raw bytes: a window may split a multi-byte code point,
+                # so it is NOT valid UTF-8 — never store it as pa.string()
+                out[did * OFF_SHIFT + off] = bs[off:off + L]
         return out
 
     if small is not None:
@@ -1367,7 +1373,7 @@ def substring_dups(
 
         def slices(t: pa.Table) -> pa.Table:
             encs: list[int] = []
-            wins: list[str] = []
+            wins: list[bytes] = []
             for did, txt in zip(
                 t[doc_col].to_numpy(zero_copy_only=False),
                 t[text_col].to_pylist(),
@@ -1378,11 +1384,11 @@ def substring_dups(
                 )
                 for off in o:
                     encs.append(int(did) * OFF_SHIFT + int(off))
-                    wins.append(bs[off:off + L].decode(
-                        "utf-8", errors="surrogateescape"))
+                    # raw bytes: windows can split code points
+                    wins.append(bs[off:off + L])
             return pa.table(
                 {"doc_id": pa.array(encs, pa.int64()),
-                 "win": pa.array(wins, pa.string())}
+                 "win": pa.array(wins, pa.binary())}
             )
 
         win_slices = cand_docs.map_batches(slices, batch_format="pyarrow")
@@ -1411,7 +1417,7 @@ def substring_dups(
             "off_a": pa.array([a % OFF_SHIFT for a, _, _ in verified], pa.int64()),
             "doc_b": pa.array([b // OFF_SHIFT for _, b, _ in verified], pa.int64()),
             "off_b": pa.array([b % OFF_SHIFT for _, b, _ in verified], pa.int64()),
-            "window": pa.array([w for _, _, w in verified], pa.string()),
+            "window": pa.array([w for _, _, w in verified], pa.binary()),
         }
     )
 
@@ -1516,6 +1522,16 @@ def substring_dedup_rewrite(
                 acc.append([s0, e0])
         merged_cuts[d] = [(s0, e0) for s0, e0 in acc]
 
+    def _snap(bs: bytes, i: int) -> int:
+        # advance i to the next UTF-8 code-point boundary (continuation
+        # bytes are 0b10xxxxxx) so cut texts stay valid UTF-8 — Arrow
+        # string columns reject surrogates from a mid-code-point cut.
+        n = len(bs)
+        i = min(i, n)
+        while i < n and (bs[i] & 0xC0) == 0x80:
+            i += 1
+        return i
+
     def rewrite(t: pa.Table) -> pa.Table:
         ids = t[doc_col].to_numpy(zero_copy_only=False)
         texts = t[text_col].to_pylist()
@@ -1530,11 +1546,12 @@ def substring_dedup_rewrite(
             bs = txt.encode("utf-8")
             kept, pos = [], 0
             for s0, e0 in iv:
+                s0, e0 = _snap(bs, s0), _snap(bs, e0)
                 kept.append(bs[pos:s0])
-                pos = e0
+                pos = max(pos, e0)
             kept.append(bs[pos:])
             clean = b"".join(kept)
-            out_txt.append(clean.decode("utf-8", errors="surrogateescape"))
+            out_txt.append(clean.decode("utf-8"))
             out_cut.append(len(bs) - len(clean))
         return pa.table(
             {

@@ -1097,8 +1097,12 @@ def q_approx_users_hll(sf_dir: str):
     HyperLogLog aggregate (``functions/sketch.py``) — the sketch path
     for cardinalities where the exact two-level groupby
     (:func:`q_daily_active_users`) would itself be a heavy shuffle.
-    Deterministic (fixed hash), so rows are stable; accuracy is pinned
-    by pytest against the exact count (rows-only for the driver)."""
+    Deterministic (fixed hash), so rows are stable. This is the one
+    BY-DESIGN no-oracle row in the driver report: an exact value-hash
+    can't grade an approximate sketch. Its tolerance oracle is
+    ``tests/test_queries.py::test_approx_users_hll_tolerance`` —
+    every per-group estimate within 3σ = 3·1.04/√2^p of DuckDB's
+    exact COUNT(DISTINCT)."""
     from ..functions.sketch import approx_distinct
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
@@ -1827,7 +1831,8 @@ def q_cheapest_supplier_per_part(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         part = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         supp = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        assert supp.max(initial=0) < SHIFT, "suppkey exceeds encode width"
+        if supp.max(initial=0) >= SHIFT:  # not assert: survives python -O
+            raise ValueError("suppkey exceeds int64-encode width 2^20")
         cents = _floor_units(t["l_extendedprice"], 100).to_numpy()
         enc = cents * SHIFT + supp
         # vectorized per-part min: sort by (part, enc), keep group heads
@@ -2041,11 +2046,15 @@ GROUP BY event_type
 
 def _hour_type_masks(sf_dir: str, types: tuple[str, str]):
     """One streaming pass for INTERSECT/EXCEPT over event-hour sets:
-    each batch emits (hour, OR of type bits) partials — vectorized
-    per-key OR via sort + ``bitwise_or.reduceat``, no Python per-group
-    loop — and a single groupby Max merges them. The set algebra
-    happens on a bitmask, so BOTH set operations cost ONE key-shuffle
-    of pre-combined rows instead of two distinct passes plus a join."""
+    each batch emits per-hour 0/1 presence columns (one per event
+    type) — vectorized per-key OR via sort + ``bitwise_or.reduceat``,
+    no Python per-group loop — and a single groupby merges each
+    presence column with Max (Max over {0,1} IS boolean OR; a packed
+    bitmask under Max would be wrong: Max(1, 2)=2 != OR(1, 2)=3, so an
+    hour whose two types never co-occur in one batch would lose a
+    bit). The set algebra runs on the merged presence columns, so BOTH
+    set operations cost ONE key-shuffle of pre-combined rows instead
+    of two distinct passes plus a join."""
     from ray.data.aggregate import Max
 
     bit = {t: 1 << i for i, t in enumerate(types)}
@@ -2061,30 +2070,33 @@ def _hour_type_masks(sf_dir: str, types: tuple[str, str]):
         if len(u) == 0:
             return pa.table(
                 {"hr": pa.array([], pa.int64()),
-                 "mask": pa.array([], pa.int64())}
+                 "b0": pa.array([], pa.int64()),
+                 "b1": pa.array([], pa.int64())}
             )
         order = np.argsort(u, kind="stable")
         u, m = u[order], m[order]
         starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        masks = np.bitwise_or.reduceat(m, starts)
         return pa.table(
             {"hr": pa.array(u[starts], pa.int64()),
-             "mask": pa.array(np.bitwise_or.reduceat(m, starts), pa.int64())}
+             "b0": pa.array(masks & 1, pa.int64()),
+             "b1": pa.array((masks >> 1) & 1, pa.int64())}
         )
 
     return (
         _read(sf_dir, "events", ["ts", "event_type"])
         .map_batches(partial, batch_format="pyarrow", batch_size=131072)
         .groupby("hr")
-        .aggregate(Max("mask", alias_name="mask"))
+        .aggregate(Max("b0", alias_name="b0"), Max("b1", alias_name="b1"))
     )
 
 
 def q_hours_intersect(sf_dir: str):
     """INTERSECT: epoch-hours with BOTH a purchase and an error event
-    (see :func:`_hour_type_masks` for the single-shuffle bitmask
+    (see :func:`_hour_type_masks` for the single-shuffle presence-bit
     design)."""
     masks = _hour_type_masks(sf_dir, ("purchase", "error"))
-    return masks.filter(expr="mask == 3").select_columns(["hr"])
+    return masks.filter(expr="b0 == 1 and b1 == 1").select_columns(["hr"])
 
 
 HOURS_INTERSECT_SQL = """
@@ -2098,9 +2110,9 @@ WHERE event_type = 'error'
 
 def q_hours_except(sf_dir: str):
     """EXCEPT: epoch-hours with a purchase event but NO error event —
-    same single bitmask pass, different final filter."""
+    same single presence-bit pass, different final filter."""
     masks = _hour_type_masks(sf_dir, ("purchase", "error"))
-    return masks.filter(expr="mask == 1").select_columns(["hr"])
+    return masks.filter(expr="b0 == 1 and b1 == 0").select_columns(["hr"])
 
 
 HOURS_EXCEPT_SQL = """
@@ -2359,20 +2371,54 @@ LEFT JOIN (
 
 def q_props_k_sum(sf_dir: str):
     """Semi-structured column processing: extract the integer ``k``
-    field from the JSON ``props`` string with a VECTORIZED Arrow regex
-    kernel (``pc.extract_regex`` — no per-row json.loads loop), then
-    the usual partial-agg → tiny groupby. The JSON parse never leaves
-    the batch; only (type, sum, count) partials shuffle."""
+    field from the JSON ``props`` string, then the usual partial-agg →
+    tiny groupby. The JSON parse never leaves the batch; only
+    (type, sum, count) partials shuffle.
+
+    Extraction is two-tier for exact ``json_extract '$.k'`` semantics:
+    rows that are provably FLAT objects with no escapes
+    (``^\\{[^{\\[\\\\]*\\}$`` — no nested ``{``/``[``, no backslash,
+    so any ``"k":`` token can only be a top-level key) take the
+    VECTORIZED Arrow regex kernel (``pc.extract_regex``, handles
+    negative ints); anything else (nested objects, escaped strings
+    that could embed a fake ``"k":``) falls back to a real
+    ``json.loads`` on just those rows — rare by corpus shape, exact
+    always."""
     from ray.data.aggregate import Sum
 
+    _FLAT = r'^\{[^{\[\\]*\}$'
+    _KNUM = r'"k"\s*:\s*(?P<k>-?\d+)'
+
     def partial(t: pa.Table) -> pa.Table:
-        m = pc.extract_regex(t["props"], r'"k":\s*(?P<k>\d+)')
+        import json
+
+        s = t["props"]
+        m = pc.extract_regex(s, _KNUM)
         k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        vals = pc.fill_null(k, 0).to_numpy(zero_copy_only=False).copy()
+        has = pc.is_valid(k).to_numpy(zero_copy_only=False).copy()
+        safe = pc.fill_null(pc.match_substring_regex(s, _FLAT), False)
+        unsafe = np.flatnonzero(
+            np.logical_not(safe.to_numpy(zero_copy_only=False))
+        )
+        if len(unsafe):
+            raw = s.take(pa.array(unsafe)).to_pylist()
+            for i, txt in zip(unsafe, raw):
+                kk = None
+                if txt is not None:
+                    try:
+                        obj = json.loads(txt)
+                        if isinstance(obj, dict):
+                            kk = obj.get("k")
+                    except (ValueError, TypeError):
+                        kk = None
+                has[i] = kk is not None
+                vals[i] = int(kk) if kk is not None else 0
         df = pd.DataFrame(
             {
                 "event_type": t["event_type"].to_pandas(),
-                "sum_k": pc.fill_null(k, 0).to_numpy(zero_copy_only=False),
-                "n_with_k": pc.is_valid(k).to_numpy(zero_copy_only=False).astype(np.int64),
+                "sum_k": vals,
+                "n_with_k": has.astype(np.int64),
             }
         )
         return pa.Table.from_pandas(

@@ -975,10 +975,11 @@ class TestSubstringDups:
         assert cross, "planted shared run not detected"
         for r in cross:
             # every reported window must be byte-equal in both docs
+            # (the window column is raw bytes — it may split code points)
             a = docs[r["doc_a"]][r["off_a"]:r["off_a"] + 64]
             b = docs[r["doc_b"]][r["off_b"]:r["off_b"] + 64]
-            assert a == b == r["window"]
-            assert r["window"] in shared
+            assert a == b == r["window"].decode("utf-8")
+            assert r["window"].decode("utf-8") in shared
         # random 400-char docs share no 64-char runs besides the plant
         for r in out:
             if {r["doc_a"], r["doc_b"]} & {2, 9} == set():
@@ -1069,6 +1070,41 @@ class TestSegmentDedupPaths:
         # untouched docs unchanged
         for d in (0, 1, 3):
             assert out[d]["clean_text"] == docs[d]
+
+    def test_non_ascii_windows_and_cuts(self, ray_session):
+        """Regression (round-3 ADVICE): multi-byte code points. Sampled
+        windows may split a code point — the window column must be
+        binary, and rewrite cut edges must snap to UTF-8 boundaries so
+        clean_text stays a valid Arrow string."""
+        import random
+
+        import ray.data as rd
+
+        from gliner_ray.functions.dedup import (
+            substring_dedup_rewrite, substring_dups,
+        )
+
+        rng = random.Random(11)
+        # 2-byte (é), 3-byte (界), 4-byte (😀) code points mixed with ASCII
+        alpha = "abcdé界😀xyz"
+        docs = ["".join(rng.choice(alpha) for _ in range(300)) for _ in range(6)]
+        shared = "".join(rng.choice(alpha) for _ in range(80))
+        docs[1] = docs[1][:17] + shared + docs[1][17:]
+        docs[4] = docs[4][:111] + shared + docs[4][111:]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }))
+        hits = fdedup.substring_dups(ds, L=48, stride=4)
+        cross = [r for r in hits.to_pylist()
+                 if {r["doc_a"], r["doc_b"]} == {1, 4}]
+        assert cross, "planted non-ASCII shared run not detected"
+        out = substring_dedup_rewrite(ds, L=48, stride=4).to_pandas()
+        assert len(out) == len(docs)
+        for txt in out["clean_text"]:
+            txt.encode("utf-8")  # valid round-trippable string
+        cut = out.set_index("doc_id")["n_cut_bytes"]
+        assert cut[4] > 0 and cut[1] == 0  # loser cut, owner intact
 
 
 class TestLmPerplexity:

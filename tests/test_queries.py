@@ -128,6 +128,57 @@ def test_quantile_sketch_dkw_accuracy(con):
         assert abs(true_rank - p / 100.0) <= 0.05, (p, v, true_rank)
 
 
+def test_approx_users_hll_tolerance(con):
+    """The driver's exact-hash check can't grade an approximate
+    sketch (q_approx_users_hll is the one no_oracle row BY DESIGN);
+    this is its tolerance oracle: every per-group HLL estimate must
+    sit within 3σ = 3·1.04/√2^p of DuckDB's exact COUNT(DISTINCT).
+    Cited from the q_approx_users_hll docstring."""
+    from gliner_ray.queries import relational as rel
+
+    est = rel.q_approx_users_hll(SF).to_pandas()
+    exact = con.sql(
+        "SELECT event_type, COUNT(DISTINCT user_id) n FROM events GROUP BY event_type"
+    ).df().set_index("event_type")["n"]
+    sigma = 1.04 / (2 ** 12) ** 0.5  # p=12 in the query
+    assert len(est) == len(exact)
+    for _, r in est.iterrows():
+        n = exact[r["event_type"]]
+        assert abs(r["approx_distinct"] - n) / n <= 3 * sigma, (
+            r["event_type"], r["approx_distinct"], n,
+        )
+
+
+def test_hours_intersect_cross_block(tmp_path, ray_session):
+    """Regression (round-3 ADVICE): an hour whose 'purchase' and
+    'error' events never co-occur in one block must still count as an
+    intersection hour. The old packed-bitmask-under-Max merge lost the
+    bit (Max(1,2)=2 != OR(1,2)=3); per-type 0/1 presence columns under
+    Max are correct."""
+    import pandas as pd
+
+    from gliner_ray.queries import relational as rel
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    hr = 3_600
+    # hour 1000: purchase in block 0, error in block 1 (never co-batched)
+    # hour 2000: purchase only
+    pd.DataFrame(
+        {"ts": pd.to_datetime([1000 * hr, 2000 * hr], unit="s"),
+         "event_type": ["purchase", "purchase"]}
+    ).to_parquet(d / "part0.parquet")
+    pd.DataFrame(
+        {"ts": pd.to_datetime([1000 * hr], unit="s"),
+         "event_type": ["error"]}
+    ).to_parquet(d / "part1.parquet")
+
+    inter = sorted(rel.q_hours_intersect(str(tmp_path)).to_pandas()["hr"])
+    exc = sorted(rel.q_hours_except(str(tmp_path)).to_pandas()["hr"])
+    assert inter == [1000]
+    assert exc == [2000]
+
+
 def test_above_cust_avg_distributed_path_matches(con):
     """dim_broadcast_limit=0 forces the hash-join decorrelation path —
     must equal the oracle exactly, same as the broadcast path."""
