@@ -12,10 +12,11 @@ Broder 1997; Charikar 2002 — implemented from scratch):
   permute-matrix min per doc, fully vectorized band hashes), explode to
   ``(band_id, band_hash, doc_id)`` rows, ``groupby`` the band buckets,
   emit candidate pairs per bucket, verify with exact n-gram Jaccard
-  **distributed** (texts joined onto the pair table; only the verified
-  — small — edge list reaches the driver for union-find; the
-  distributed min-label propagation in ``stages/linker.py`` is the
-  same-semantics scale path for pathological dup densities).
+  **distributed** (texts joined onto the pair table), then form
+  clusters through the GUARDED dual-path components engine
+  (``functions/graph.connected_components``): driver union-find under
+  the edge-count guard, distributed min-label propagation above it —
+  a dup-heavy corpus' O(corpus) edge set never has to fit the driver.
 - **SimHash**: 64-bit signature per doc; candidates = equal band keys
   (4×16-bit bands → Hamming ≤ 3 guaranteed recall); verified by true
   Hamming distance computed inside ``map_batches`` after joining the
@@ -34,6 +35,7 @@ import re
 from typing import TYPE_CHECKING
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from ..kernels.linking import UnionFind
@@ -55,19 +57,60 @@ def add_sha_key(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def exact_dedup(
-    ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    parts: int = 64,
 ) -> "ray.data.Dataset":
-    """Keep the min-id row per distinct text. Returns (doc_id,) rows."""
-    from ray.data.aggregate import Min
+    """Keep the min-id row per distinct text. Returns (doc_id,) rows.
 
-    keyed = ds.map_batches(
-        lambda t: add_sha_key(t, text_col).select([id_col, "content_key"]),
-        batch_format="pyarrow",
-    )
+    Int-key-partition idiom (the engine's measured ~15× pattern vs a
+    string-key groupby, see BASELINE.md / ``q_daily_active_users``):
+    each batch hashes texts to 32-byte sha256 digests, COMBINES to the
+    per-batch min id per digest (shuffle rows shrink to the batch's
+    distinct set), and ships only ``(part, digest, id)`` where
+    ``part = first-8-digest-bytes % parts`` — so the all-to-all
+    exchange keys on a small int64, carries 32-byte binary digests
+    instead of 64-char hex strings, and never moves the text. A digest
+    lands in exactly one part, so per-part min-per-digest is globally
+    exact."""
+
+    def keyed(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        digests = [hashlib.sha256(x.encode("utf-8")).digest() for x in texts]
+        if digests:
+            hi = np.frombuffer(b"".join(d[:8] for d in digests), dtype=">u8")
+            part = (hi % np.uint64(parts)).astype(np.int64)
+        else:
+            part = np.array([], dtype=np.int64)
+        df = pd.DataFrame(
+            {
+                "part": part,
+                "key": digests,
+                id_col: t[id_col].to_numpy(zero_copy_only=False),
+            }
+        )
+        # per-batch combiner: min id per digest before the shuffle
+        df = df.groupby(["part", "key"], sort=False, as_index=False)[
+            [id_col]
+        ].min()
+        return pa.table(
+            {
+                "part": pa.array(df["part"].to_numpy(), pa.int64()),
+                "key": pa.array(df["key"].tolist(), pa.binary()),
+                id_col: pa.array(df[id_col].to_numpy(), pa.int64()),
+            }
+        )
+
+    def per_part_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("key", sort=False, as_index=False)[[id_col]].min()[
+            [id_col]
+        ]
+
     return (
-        keyed.groupby("content_key")
-        .aggregate(Min(id_col, alias_name=id_col))
-        .drop_columns(["content_key"])
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_part_min, batch_format="pandas")
     )
 
 
@@ -538,24 +581,30 @@ def _verify_pairs_adaptive(
     threshold: float,
     ngram: int,
     pair_broadcast_limit: int,
-) -> list[tuple[int, int]]:
-    """Candidate pairs → Jaccard-verified edge list (shared by the
-    MinHash and anchor-gram dedup pipelines).
+) -> "ray.data.Dataset":
+    """Candidate pairs → Jaccard-verified (id_a, id_b) edge Dataset
+    (shared by the MinHash and anchor-gram dedup pipelines).
 
     Adaptive: when the candidate pair table fits the count guard, the
     needed texts (bounded by 2× the pair count) are broadcast via
     ``ray.put`` and Jaccard-verified in one ``map_batches`` over the
     pair table — no extra shuffle. Above the guard, texts are joined
     onto the pairs with the hash-partitioned union merge and verified
-    distributed. Either way only the verified edge list (output-sized)
-    reaches the driver.
+    distributed. Either way the verified edges stay a DATASET — cluster
+    formation downstream (:func:`_clusters_table`) is itself guarded,
+    so a dup-heavy corpus whose edge set is corpus-sized never has to
+    fit on the driver.
     """
     import ray
+    import ray.data as rd
 
     small, mat = _collect_pairs_if_small(pairs_ds, pair_broadcast_limit)
     if small is not None:
         if not small:
-            edges: list[tuple[int, int]] = []
+            return rd.from_arrow(
+                pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64())})
+            )
         else:
             needed = {i for p in small for i in p}
             texts = _fetch_rows_for_ids(
@@ -588,12 +637,9 @@ def _verify_pairs_adaptive(
                      "id_b": pa.array(keep_b, pa.int64())}
                 )
 
-            import ray.data as rd
-
             verified = rd.from_arrow(pair_tbl).map_batches(
                 verify_bcast, batch_format="pyarrow", batch_size=4096
             )
-            edges = [(r["id_a"], r["id_b"]) for r in verified.take_all()]
     else:
         with_texts = join_attr_onto_pairs(
             mat, ds.select_columns(["doc_id", "text"]), "text", dedup_pairs=True
@@ -602,17 +648,45 @@ def _verify_pairs_adaptive(
             lambda t: _jaccard_verify_batch(t, threshold, ngram),
             batch_format="pyarrow",
         )
-        edges = [(r["id_a"], r["id_b"]) for r in verified.take_all()]
-    return edges
+    return verified
 
 
-def _clusters_table(edges: list[tuple[int, int]]) -> pa.Table:
-    clusters = _cluster_edges(edges)
-    items = sorted(clusters.items())
+def _clusters_table(
+    edges_ds: "ray.data.Dataset",
+    cc_broadcast_limit: int | None = None,
+    force_distributed: bool = False,
+) -> pa.Table:
+    """Verified edge Dataset → (doc_id, cluster_id) table, cluster_id
+    = min member id, one row per doc in a cluster of size ≥ 2.
+
+    Routed through the GUARDED dual-path components engine
+    (``functions/graph.connected_components``): under the edge-count
+    guard the edges union-find on the driver; above it (a dup-heavy
+    corpus can have O(corpus) edges) they min-label-propagate fully
+    distributed — round-2 verdict item #3. The (node, component)
+    result is output-sized either way."""
+    from .graph import CC_BROADCAST_LIMIT, connected_components
+
+    comp = connected_components(
+        edges_ds,
+        src="id_a",
+        dst="id_b",
+        broadcast_limit=(
+            CC_BROADCAST_LIMIT if cc_broadcast_limit is None else cc_broadcast_limit
+        ),
+        force_distributed=force_distributed,
+    )
+    df = comp.to_pandas()
+    if len(df) == 0:  # fully-empty datasets can drop column names
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "cluster_id": pa.array([], pa.int64())}
+        )
+    df = df.sort_values("node", ignore_index=True)
     return pa.table(
         {
-            "doc_id": pa.array([d for d, _ in items], pa.int64()),
-            "cluster_id": pa.array([c for _, c in items], pa.int64()),
+            "doc_id": pa.array(df["node"].to_numpy(), pa.int64()),
+            "cluster_id": pa.array(df["component"].to_numpy(), pa.int64()),
         }
     )
 
@@ -624,15 +698,19 @@ def minhash_dedup(
     bands: int = 16,
     ngram: int = 3,
     pair_broadcast_limit: int = 50_000,
+    cc_broadcast_limit: int | None = None,
+    force_distributed_cc: bool = False,
 ) -> pa.Table:
     """Full near-dup pipeline. Returns (doc_id, cluster_id) for docs in
     a near-dup cluster of size ≥ 2 (cluster_id = min member id).
 
-    Verification is adaptive — see :func:`_verify_pairs_adaptive`.
+    Verification is adaptive — see :func:`_verify_pairs_adaptive`;
+    cluster formation is the guarded dual-path components engine — see
+    :func:`_clusters_table`.
     """
     pairs_ds = minhash_candidate_pairs(ds, num_perm, bands, ngram, distinct=False)
     edges = _verify_pairs_adaptive(ds, pairs_ds, threshold, ngram, pair_broadcast_limit)
-    return _clusters_table(edges)
+    return _clusters_table(edges, cc_broadcast_limit, force_distributed_cc)
 
 
 # --------------------------------------------- n-gram Jaccard (anchor)
@@ -698,6 +776,8 @@ def ngram_jaccard_dups(
     ngram: int = 3,
     sample_mod: int = 4,
     pair_broadcast_limit: int = 50_000,
+    cc_broadcast_limit: int | None = None,
+    force_distributed_cc: bool = False,
 ) -> pa.Table:
     """Exact n-gram Jaccard near-dup clustering with anchor-gram
     blocking (no probabilistic sketch in the verify step).
@@ -705,9 +785,9 @@ def ngram_jaccard_dups(
     Shape: vectorized anchor-gram index (``map_batches``) → the same
     coarse int-partition bucket grouping as MinHash (anchor hash ≡ LSH
     bucket key, so ``_grouped_bucket_pairs`` is reused verbatim) →
-    adaptive distributed Jaccard verification → driver union-find over
-    the output-sized edge list. Returns (doc_id, cluster_id) rows for
-    clusters of size ≥ 2.
+    adaptive distributed Jaccard verification → guarded dual-path
+    cluster formation (:func:`_clusters_table`). Returns
+    (doc_id, cluster_id) rows for clusters of size ≥ 2.
     """
     kwargs = {"ngram": ngram, "sample_mod": sample_mod}
     index = ds.map_batches(
@@ -717,7 +797,7 @@ def ngram_jaccard_dups(
     )
     pairs_ds = _grouped_bucket_pairs(index)
     edges = _verify_pairs_adaptive(ds, pairs_ds, threshold, ngram, pair_broadcast_limit)
-    return _clusters_table(edges)
+    return _clusters_table(edges, cc_broadcast_limit, force_distributed_cc)
 
 
 # ------------------------------------------------------------- SimHash

@@ -60,23 +60,19 @@ def _stable_part(values: list[str], n_parts: int) -> np.ndarray:
 def symmetric_edges(
     edges_ds: "ray.data.Dataset", src: str = "src", dst: str = "dst"
 ) -> "ray.data.Dataset":
-    """Batch-local-deduped symmetric (a, b) edge pairs."""
+    """Batch-local-deduped symmetric (a, b) edge pairs, preserving the
+    node column type (string or int64). Fully vectorized: null-filter +
+    both-direction concat + an Arrow ``group_by`` distinct — no Python
+    per-row set loop (round-2 verdict item #7)."""
+    import pyarrow.compute as pc
 
     def sym(t: pa.Table) -> pa.Table:
-        a = t[src].to_pylist()
-        b = t[dst].to_pylist()
-        seen = set()
-        for x, y in zip(a, b):
-            if x is None or y is None:
-                continue
-            seen.add((x, y))
-            seen.add((y, x))
-        if seen:
-            va, vb = zip(*sorted(seen))
-        else:
-            va, vb = (), ()
-        return pa.table({"a": pa.array(list(va), pa.string()),
-                         "b": pa.array(list(vb), pa.string())})
+        ok = pc.and_(pc.is_valid(t[src]), pc.is_valid(t[dst]))
+        a, b = t[src].filter(ok), t[dst].filter(ok)
+        both = pa.concat_tables(
+            [pa.table({"a": a, "b": b}), pa.table({"a": b, "b": a})]
+        )
+        return both.group_by(["a", "b"]).aggregate([])
 
     return edges_ds.map_batches(sym, batch_format="pyarrow")
 
@@ -101,21 +97,52 @@ def connected_components(
 
     if not force_distributed:
         mat = sym.materialize()
+        sch = mat.schema()
+        # a fully-empty materialized dataset can report no schema —
+        # the empty result's node type is then moot; default string
+        node_type = (
+            sch.types[sch.names.index("a")] if sch is not None else pa.string()
+        )
         if mat.count() <= broadcast_limit:
             df = mat.to_pandas().drop_duplicates()
             if len(df) == 0:
                 return rd.from_arrow(
-                    pa.table({"node": pa.array([], pa.string()),
-                              "component": pa.array([], pa.string())})
+                    pa.table({"node": pa.array([], node_type),
+                              "component": pa.array([], node_type)})
                 )
-            emap = link_variant_edges(zip(df["a"], df["b"]))
-            # strip the linker's "ent:" canonical-id prefix → raw min node
+            if pa.types.is_string(node_type) or pa.types.is_large_string(node_type):
+                emap = link_variant_edges(zip(df["a"], df["b"]))
+                # strip the linker's "ent:" canonical-id prefix → raw min node
+                nodes = sorted(emap)
+                comps = [emap[k][4:] for k in nodes]
+            else:
+                # generic union-find (int64 nodes: dedup doc ids etc.)
+                parent: dict = {}
+
+                def find(x):
+                    while parent[x] != x:
+                        parent[x] = parent[parent[x]]
+                        x = parent[x]
+                    return x
+
+                for x, y in zip(df["a"].tolist(), df["b"].tolist()):
+                    parent.setdefault(x, x)
+                    parent.setdefault(y, y)
+                    rx, ry = find(x), find(y)
+                    if rx != ry:
+                        parent[rx] = ry
+                comp_min: dict = {}
+                for n in parent:
+                    r = find(n)
+                    m = comp_min.get(r)
+                    if m is None or n < m:
+                        comp_min[r] = n
+                nodes = sorted(parent)
+                comps = [comp_min[find(n)] for n in nodes]
             out = pa.table(
                 {
-                    "node": pa.array(sorted(emap), pa.string()),
-                    "component": pa.array(
-                        [emap[k][4:] for k in sorted(emap)], pa.string()
-                    ),
+                    "node": pa.array(nodes, node_type),
+                    "component": pa.array(comps, node_type),
                 }
             )
             return rd.from_arrow(out)

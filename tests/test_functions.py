@@ -154,6 +154,25 @@ class TestMinHash:
         ).to_pylist()
         assert fast == dist
 
+    def test_distributed_cluster_formation_matches(self):
+        """cc_broadcast_limit=0 forces cluster formation through the
+        distributed min-label propagation (round-3: guarded dual-path
+        components replace the always-driver union-find) — identical
+        cluster table on both paths."""
+        near = BASE.replace("winter", "spring")
+        rows = [(1, BASE), (2, near), (3, "other text entirely unrelated to anything"),
+                (4, BASE), (5, "sixth doc about something else entirely today")]
+        fast = fdedup.minhash_dedup(_docs_ds(rows), threshold=0.7).to_pylist()
+        dist = fdedup.minhash_dedup(
+            _docs_ds(rows), threshold=0.7, cc_broadcast_limit=0
+        ).to_pylist()
+        forced = fdedup.minhash_dedup(
+            _docs_ds(rows), threshold=0.7, force_distributed_cc=True
+        ).to_pylist()
+        assert fast == dist == forced
+        clusters = {r["doc_id"]: r["cluster_id"] for r in fast}
+        assert clusters.get(1) == clusters.get(2) == clusters.get(4) == 1
+
 
 class TestNgramJaccard:
     def test_finds_planted_cluster_exact(self):
