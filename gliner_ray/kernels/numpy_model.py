@@ -333,12 +333,191 @@ class _SpanQuery:
         return {"query.query_seg": self.query_seg, "query.w": self.w, "query.b": self.b}
 
 
+class _SpanMarker:
+    """Plain ``SpanMarker`` (``span_rep.py:218-259``): per-endpoint
+    2-layer MLP with a 2·D hidden (Linear(D→2D) → ReLU → Dropout →
+    Linear(2D→D)) — narrower than the 4× ``create_projection_layer``
+    of markerV0 — endpoint gather → concat → relu → a SINGLE Linear
+    2D→D out_project. Dropout is eval-inert and omitted."""
+
+    def __init__(self, rng: np.random.RandomState, d: int, max_width: int):
+        self.s_w1, self.s_b1 = _linear_init(rng, d, d * 2)
+        self.s_w2, self.s_b2 = _linear_init(rng, d * 2, d)
+        self.e_w1, self.e_b1 = _linear_init(rng, d, d * 2)
+        self.e_w2, self.e_b2 = _linear_init(rng, d * 2, d)
+        self.o_w, self.o_b = _linear_init(rng, d * 2, d)
+
+    def _mlp(self, x, w1, b1, w2, b2):
+        shp = x.shape
+        x2 = np.ascontiguousarray(x.reshape(-1, shp[-1]), dtype=np.float32)
+        return (np.maximum(x2 @ w1 + b1, 0.0) @ w2 + b2).reshape(
+            shp[:-1] + (w2.shape[-1],)
+        )
+
+    def __call__(self, we, span_idx, span_mask):
+        B, W, D = we.shape
+        K = span_idx.shape[1] // W
+        start_rep = self._mlp(we, self.s_w1, self.s_b1, self.s_w2, self.s_b2)
+        end_rep = self._mlp(we, self.e_w1, self.e_b1, self.e_w2, self.e_b2)
+        vb, vs = np.nonzero(span_mask)
+        cat = np.maximum(
+            np.concatenate(
+                [start_rep[vb, span_idx[vb, vs, 0]],
+                 end_rep[vb, span_idx[vb, vs, 1]]],
+                axis=-1,
+            ),
+            0.0,
+        )
+        out = np.zeros((B, W * K, D), dtype=start_rep.dtype)
+        out[vb, vs] = cat @ self.o_w + self.o_b
+        return out.reshape(B, W, K, D)
+
+    def weights(self):
+        return {
+            "marker.s_w1": self.s_w1, "marker.s_b1": self.s_b1,
+            "marker.s_w2": self.s_w2, "marker.s_b2": self.s_b2,
+            "marker.e_w1": self.e_w1, "marker.e_b1": self.e_b1,
+            "marker.e_w2": self.e_w2, "marker.e_b2": self.e_b2,
+            "marker.o_w": self.o_w, "marker.o_b": self.o_b,
+        }
+
+
+def _sliding_windows(x: np.ndarray, k: int) -> np.ndarray:
+    """(B, L, D) right-zero-padded by k−1 → (B, L, k, D) windows:
+    window l covers positions l..l+k−1, mirroring the reference's
+    ``F.pad(x, (0, k-1))`` + stride-1 conv/pool (``span_rep.py:84-113``)."""
+    B, L, D = x.shape
+    xp = np.concatenate(
+        [x, np.zeros((B, k - 1, D), dtype=x.dtype)], axis=1
+    ) if k > 1 else x
+    win = np.lib.stride_tricks.sliding_window_view(xp, k, axis=1)
+    # sliding_window_view puts the window axis LAST → (B, L, D, k)
+    return np.ascontiguousarray(np.moveaxis(win, -1, 2))
+
+
+class _SpanConv:
+    """``SpanConv`` + ``SpanConvBlock`` (``span_rep.py:84-145``): one
+    block per kernel size 2..K over the right-zero-padded sequence —
+    ``conv_conv`` a real Conv1d (kaiming-style random weights),
+    ``conv_max``/``conv_mean`` max/avg pooling, ``conv_sum`` avg·k —
+    stacked with the raw tokens as width 1, then ReLU → Linear(D→D)
+    (NOTE the reference projects relu-FIRST here, unlike the marker
+    family)."""
+
+    def __init__(
+        self, rng: np.random.RandomState, d: int, max_width: int,
+        span_mode: str = "conv_conv",
+    ):
+        self.k = max_width
+        self.mode = span_mode
+        if span_mode == "conv_conv":
+            # torch Conv1d weight (out, in, kw), kaiming_uniform relu
+            self.convs = []
+            for kw in range(2, max_width + 1):
+                bound = np.sqrt(6.0 / (d * kw)) * np.sqrt(2.0)
+                w = rng.uniform(-bound, bound, size=(d, d, kw)).astype(np.float32)
+                fan_in = d * kw
+                bb = 1.0 / np.sqrt(fan_in)
+                b = rng.uniform(-bb, bb, size=d).astype(np.float32)
+                self.convs.append((w, b))
+        self.p_w, self.p_b = _linear_init(rng, d, d)
+
+    def __call__(self, we, span_idx, span_mask):
+        B, W, D = we.shape
+        reps = [we]
+        for i, kw in enumerate(range(2, self.k + 1)):
+            win = _sliding_windows(we, kw)  # (B, W, kw, D)
+            if self.mode == "conv_conv":
+                w, b = self.convs[i]
+                # out[b,l,o] = Σ_{d,j} w[o,d,j]·win[b,l,j,d] + b[o]
+                reps.append(np.einsum("bljd,odj->blo", win, w) + b)
+            elif self.mode == "conv_max":
+                reps.append(win.max(axis=2))
+            elif self.mode == "conv_mean":
+                reps.append(win.mean(axis=2))
+            else:  # conv_sum = AvgPool1d · kernel_size
+                reps.append(win.mean(axis=2) * kw)
+        rep = np.stack(reps, axis=2).astype(np.float32)  # (B, W, K, D)
+        rep = np.maximum(rep, 0.0)  # Sequential(ReLU, Linear)
+        return (rep.reshape(-1, D) @ self.p_w + self.p_b).reshape(B, W, self.k, D)
+
+    def weights(self):
+        out = {"proj.w": self.p_w, "proj.b": self.p_b}
+        if self.mode == "conv_conv":
+            for i, (w, b) in enumerate(self.convs):
+                out[f"conv{i}.w"] = w
+                out[f"conv{i}.b"] = b
+        return out
+
+    def load_weights(self, arrays, prefix: str):
+        f32 = lambda a: a.astype(np.float32, copy=False)  # noqa: E731
+        self.p_w = f32(arrays[f"{prefix}proj.w"])
+        self.p_b = f32(arrays[f"{prefix}proj.b"])
+        if self.mode == "conv_conv":
+            self.convs = [
+                (f32(arrays[f"{prefix}conv{i}.w"]), f32(arrays[f"{prefix}conv{i}.b"]))
+                for i in range(self.k - 1)
+            ]
+
+
+class _ConvShare:
+    """``ConvShare`` (``span_rep.py:170-201``): ONE shared weight
+    tensor (D, D, K); width w uses its first w kernel columns as a
+    bias-free conv over the right-zero-padded sequence, stacked over
+    widths then ReLU → Linear(D→D)."""
+
+    def __init__(self, rng: np.random.RandomState, d: int, max_width: int):
+        self.k = max_width
+        bound = np.sqrt(6.0 / (d * max_width)) * np.sqrt(2.0)
+        self.conv_weight = rng.uniform(
+            -bound, bound, size=(d, d, max_width)
+        ).astype(np.float32)
+        self.p_w, self.p_b = _linear_init(rng, d, d)
+
+    def __call__(self, we, span_idx, span_mask):
+        B, W, D = we.shape
+        reps = []
+        for width in range(1, self.k + 1):
+            win = _sliding_windows(we, width)  # (B, W, width, D)
+            w = self.conv_weight[:, :, :width]
+            reps.append(np.einsum("bljd,odj->blo", win, w))
+        rep = np.stack(reps, axis=2).astype(np.float32)
+        rep = np.maximum(rep, 0.0)
+        return (rep.reshape(-1, D) @ self.p_w + self.p_b).reshape(B, W, self.k, D)
+
+    def weights(self):
+        return {
+            "conv_share.weight": self.conv_weight,
+            "proj.w": self.p_w,
+            "proj.b": self.p_b,
+        }
+
+    def load_weights(self, arrays, prefix: str):
+        f32 = lambda a: a.astype(np.float32, copy=False)  # noqa: E731
+        self.conv_weight = f32(arrays[f"{prefix}conv_share.weight"])
+        self.p_w = f32(arrays[f"{prefix}proj.w"])
+        self.p_b = f32(arrays[f"{prefix}proj.b"])
+
+
+def _conv_mode(mode: str):
+    def make(rng, d, max_width):
+        return _SpanConv(rng, d, max_width, span_mode=mode)
+
+    return make
+
+
 SPAN_MODES = {
+    "marker": _SpanMarker,
     "markerV0": _SpanMarkerV0,
     "markerV1": _SpanMarkerV1,
     "mlp": _SpanMLP,
     "cat": _SpanCAT,
     "query": _SpanQuery,
+    "conv_conv": _conv_mode("conv_conv"),
+    "conv_max": _conv_mode("conv_max"),
+    "conv_mean": _conv_mode("conv_mean"),
+    "conv_sum": _conv_mode("conv_sum"),
+    "conv_share": _ConvShare,
 }
 
 
@@ -451,14 +630,18 @@ class NumpySpanModel:
         if model.attn is not None:
             model.attn.load_weights(arrays, "attn.")
         layer = model.span_rep_layer
-        for key in layer.weights():
-            parts = key.split(".")
-            target = (
-                getattr(layer, parts[0])
-                if len(parts) == 2 and isinstance(getattr(layer, parts[0], None), _Projection)
-                else layer
-            )
-            setattr(target, parts[-1], f32(arrays[f"span_rep.{key}"]))
+        if hasattr(layer, "load_weights"):
+            layer.load_weights(arrays, "span_rep.")
+        else:
+            for key in layer.weights():
+                parts = key.split(".")
+                target = (
+                    getattr(layer, parts[0])
+                    if len(parts) == 2
+                    and isinstance(getattr(layer, parts[0], None), _Projection)
+                    else layer
+                )
+                setattr(target, parts[-1], f32(arrays[f"span_rep.{key}"]))
         for wn in ("w1", "b1", "w2", "b2"):
             setattr(model.prompt_rep_layer, wn, f32(arrays[f"prompt_rep_layer.{wn}"]))
         if model.rnn is not None:

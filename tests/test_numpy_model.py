@@ -307,7 +307,8 @@ class TestSpanModeRegistry:
     produces the (B, W, K, D)-shaped grid, is deterministic, honors
     the span mask, and checkpoint-round-trips exactly."""
 
-    MODES = ["markerV0", "markerV1", "mlp", "cat", "query"]
+    MODES = ["marker", "markerV0", "markerV1", "mlp", "cat", "query",
+             "conv_conv", "conv_max", "conv_mean", "conv_sum", "conv_share"]
 
     @pytest.mark.parametrize("mode", MODES)
     def test_shapes_determinism_and_masking(self, mode):
