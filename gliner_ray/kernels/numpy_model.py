@@ -161,10 +161,16 @@ class _AttnEncoder:
             for wn in ("w1", "b1", "w2", "b2"):
                 setattr(lay["ffn"], wn, f32(arrays[f"{prefix}l{i}.ffn.{wn}"]))
 
-    def __call__(self, e: np.ndarray, attention_mask: np.ndarray) -> np.ndarray:
+    def __call__(
+        self,
+        e: np.ndarray,
+        attention_mask: np.ndarray,
+        return_hidden: bool = False,
+    ):
         B, T, D = e.shape
         H, dh = self.h, D // self.h
         key_bias = np.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9)
+        hidden = [e]  # output_hidden_states analog: [embeddings, layer1, ...]
         for lay in self.layers:
             q = (e @ lay["wq"] + lay["bq"]).reshape(B, T, H, dh).transpose(0, 2, 1, 3)
             k = (e @ lay["wk"] + lay["bk"]).reshape(B, T, H, dh).transpose(0, 2, 1, 3)
@@ -176,7 +182,207 @@ class _AttnEncoder:
             ctx = (attn @ v).transpose(0, 2, 1, 3).reshape(B, T, D)
             e = _layernorm(e + ctx @ lay["wo"] + lay["bo"], lay["g1"], lay["b1_ln"])
             e = _layernorm(e + lay["ffn"](e), lay["g2"], lay["b2_ln"])
-        return (e * attention_mask[:, :, None]).astype(np.float32)
+            hidden.append(e)
+        out = (e * attention_mask[:, :, None]).astype(np.float32)
+        if return_hidden:
+            return out, hidden
+        return out
+
+
+class _LayersFuser:
+    """``LayersFuser`` (``layers.py:178-218``): squeeze-excitation over
+    the encoder's per-layer hidden states — skip the embedding layer
+    (``encoder_outputs[1:]``), squeeze Linear(D→1) + mean over tokens,
+    excite K→K/2→K with relu+sigmoid, gate-and-sum the layers, final
+    Linear(D→D)."""
+
+    def __init__(self, rng: np.random.RandomState, num_layers: int, d: int):
+        self.k = num_layers
+        kh = max(num_layers // 2, 1)
+        self.sq_w, self.sq_b = _linear_init(rng, d, 1)
+        self.w1, self.b1 = _linear_init(rng, num_layers, kh)
+        self.w2, self.b2 = _linear_init(rng, kh, num_layers)
+        self.out_w, self.out_b = _linear_init(rng, d, d)
+
+    def __call__(self, outputs: list[np.ndarray]) -> np.ndarray:
+        U = np.stack(outputs[1:], axis=1)  # (B, K, L, D)
+        Z = (U @ self.sq_w + self.sq_b)[..., 0].mean(axis=2)  # (B, K)
+        s = 1.0 / (
+            1.0 + np.exp(-(np.maximum(Z @ self.w1 + self.b1, 0.0) @ self.w2 + self.b2))
+        )
+        return (U * s[:, :, None, None]).sum(axis=1) @ self.out_w + self.out_b
+
+    def weights(self):
+        return {
+            "sq_w": self.sq_w, "sq_b": self.sq_b,
+            "w1": self.w1, "b1": self.b1, "w2": self.w2, "b2": self.b2,
+            "out_w": self.out_w, "out_b": self.out_b,
+        }
+
+    def load_weights(self, arrays, prefix: str):
+        f32 = lambda a: a.astype(np.float32, copy=False)  # noqa: E731
+        for nm in self.weights():
+            setattr(self, nm, f32(arrays[f"{prefix}{nm}"]))
+
+
+class _LabelsTower:
+    """``BiEncoder`` labels encoder (``encoder.py:157-186``): a SECOND
+    encoder tower (own embedding table + context mix) that encodes each
+    label text independently and MEAN-POOLS its subtokens over the
+    attention mask (``encode_labels`` + ``mean_pooling``,
+    ``encoder.py:170-180``) → one (C, D) matrix, input-independent, so
+    it is the natural label-embedding cache."""
+
+    def __init__(self, rng: np.random.RandomState, d: int, vocab_size: int):
+        self.embed = (rng.standard_normal((vocab_size, d)) / np.sqrt(d)).astype(
+            np.float32
+        )
+        self.mix_w, self.mix_b = _linear_init(rng, d, d)
+
+    def encode(
+        self, input_ids: np.ndarray, attention_mask: np.ndarray,
+        positions: np.ndarray,
+    ) -> np.ndarray:
+        e = self.embed[input_ids] + positions[None, : input_ids.shape[1], :]
+        e = e * attention_mask[:, :, None].astype(np.float32)
+        ctx = e.copy()
+        ctx[:, 1:] += e[:, :-1]
+        ctx[:, :-1] += e[:, 1:]
+        ctx /= 3.0
+        out = np.tanh(ctx @ self.mix_w + self.mix_b)
+        m = attention_mask[:, :, None].astype(np.float32)
+        return ((out * m).sum(axis=1) / np.maximum(m.sum(axis=1), 1e-9)).astype(
+            np.float32
+        )
+
+    def weights(self):
+        return {"embed": self.embed, "mix_w": self.mix_w, "mix_b": self.mix_b}
+
+    def load_weights(self, arrays, prefix: str):
+        f32 = lambda a: a.astype(np.float32, copy=False)  # noqa: E731
+        for nm in self.weights():
+            setattr(self, nm, f32(arrays[f"{prefix}{nm}"]))
+
+
+class _CrossFuser:
+    """``CrossFuser`` + Self/CrossAttentionBlock
+    (``layers.py:89-177``): schema tokens ``l2l``/``t2t`` run masked
+    self-attention on the labels/text stream, ``l2t``/``t2l`` run
+    cross-attention (labels attend to text / text to labels). Each
+    block mirrors the reference structure: pre-LN, block-level q/k/v
+    projections, an inner MHA with its OWN q/k/v linears (the double
+    projection is in the reference too), residual on the normed
+    query, post-LN. Dropout is eval-inert and omitted."""
+
+    def __init__(
+        self, rng: np.random.RandomState, d: int,
+        schema: str = "l2l-l2t", n_heads: int = 4, n_layers: int = 1,
+    ):
+        if d % n_heads != 0:
+            raise ValueError("hidden_size must divide n_heads")
+        self.schema = schema.split("-")
+        for tok in self.schema:
+            if tok not in ("l2l", "t2t", "l2t", "t2l"):
+                raise ValueError(f"unknown post_fusion schema token {tok!r}")
+        self.d, self.h = d, n_heads
+        self.n_layers = n_layers
+        self.layers: list[list[dict]] = []
+        for _ in range(n_layers):
+            subs = []
+            for tok in self.schema:
+                blk: dict = {"tok": tok}
+                if tok in ("l2l", "t2t"):
+                    for nm in ("pq", "pk", "pv"):
+                        blk[f"{nm}_w"], blk[f"{nm}_b"] = _linear_init(rng, d, d)
+                else:
+                    blk["pv_w"], blk["pv_b"] = _linear_init(rng, d, d)
+                for nm in ("aq", "ak", "av"):
+                    blk[f"{nm}_w"], blk[f"{nm}_b"] = _linear_init(rng, d, d)
+                blk["pre_g"] = np.ones(d, np.float32)
+                blk["pre_b"] = np.zeros(d, np.float32)
+                blk["post_g"] = np.ones(d, np.float32)
+                blk["post_b"] = np.zeros(d, np.float32)
+                subs.append(blk)
+            self.layers.append(subs)
+
+    def _mha(self, blk, q, k, v, mask):
+        B, Tq, D = q.shape
+        H, dh = self.h, D // self.h
+        qh = (q @ blk["aq_w"] + blk["aq_b"]).reshape(B, Tq, H, dh).transpose(0, 2, 1, 3)
+        kh = (k @ blk["ak_w"] + blk["ak_b"]).reshape(B, -1, H, dh).transpose(0, 2, 1, 3)
+        vh = (v @ blk["av_w"] + blk["av_b"]).reshape(B, -1, H, dh).transpose(0, 2, 1, 3)
+        s = qh @ kh.transpose(0, 1, 3, 2) / np.sqrt(dh)
+        if mask is not None:
+            s = s + np.where(mask[:, None] > 0, 0.0, -1e9)
+        s -= s.max(axis=-1, keepdims=True)
+        a = np.exp(s)
+        a /= np.maximum(a.sum(axis=-1, keepdims=True), 1e-12)
+        return (a @ vh).transpose(0, 2, 1, 3).reshape(B, Tq, D)
+
+    def _self_block(self, blk, x, mask):
+        xn = _layernorm(x, blk["pre_g"], blk["pre_b"])
+        q = xn @ blk["pq_w"] + blk["pq_b"]
+        k = xn @ blk["pk_w"] + blk["pk_b"]
+        v = xn @ blk["pv_w"] + blk["pv_b"]
+        out = xn + self._mha(blk, q, k, v, mask)
+        return _layernorm(out, blk["post_g"], blk["post_b"])
+
+    def _cross_block(self, blk, q_seq, k_seq, mask):
+        qn = _layernorm(q_seq, blk["pre_g"], blk["pre_b"])
+        v = k_seq @ blk["pv_w"] + blk["pv_b"]
+        out = qn + self._mha(blk, qn, k_seq, v, mask)
+        return _layernorm(out, blk["post_g"], blk["post_b"])
+
+    def __call__(self, query, key, query_mask=None, key_mask=None):
+        """(labels, text) streams — returns (labels, text), like the
+        reference's ``forward(query=labels, key=text)``."""
+        for subs in self.layers:
+            for blk in subs:
+                tok = blk["tok"]
+                if tok == "l2l":
+                    m = (
+                        query_mask[:, :, None] * query_mask[:, None, :]
+                        if query_mask is not None else None
+                    )
+                    query = self._self_block(blk, query, m)
+                elif tok == "t2t":
+                    m = (
+                        key_mask[:, :, None] * key_mask[:, None, :]
+                        if key_mask is not None else None
+                    )
+                    key = self._self_block(blk, key, m)
+                elif tok == "l2t":
+                    m = (
+                        query_mask[:, :, None] * key_mask[:, None, :]
+                        if query_mask is not None and key_mask is not None
+                        else None
+                    )
+                    query = self._cross_block(blk, query, key, m)
+                else:  # t2l
+                    m = (
+                        key_mask[:, :, None] * query_mask[:, None, :]
+                        if query_mask is not None and key_mask is not None
+                        else None
+                    )
+                    key = self._cross_block(blk, key, query, m)
+        return query, key
+
+    def weights(self):
+        out = {}
+        for i, subs in enumerate(self.layers):
+            for j, blk in enumerate(subs):
+                for nm, arr in blk.items():
+                    if nm != "tok":
+                        out[f"l{i}.b{j}.{nm}"] = arr
+        return out
+
+    def load_weights(self, arrays, prefix: str):
+        f32 = lambda a: a.astype(np.float32, copy=False)  # noqa: E731
+        for i, subs in enumerate(self.layers):
+            for j, blk in enumerate(subs):
+                for nm in list(blk):
+                    if nm != "tok":
+                        blk[nm] = f32(arrays[f"{prefix}l{i}.b{j}.{nm}"])
 
 
 # -------------------------------- span-representation plugin registry
@@ -534,6 +740,9 @@ class NumpySpanModel:
         has_rnn: bool = False,
         span_mode: str = "markerV0",
         encoder: str = "mix",
+        labels_encoder: bool = False,
+        post_fusion_schema: str = "",
+        fuse_layers: bool = False,
     ):
         rng = np.random.RandomState(seed)
         D = hidden_size
@@ -569,6 +778,43 @@ class NumpySpanModel:
             _AttnEncoder(np.random.RandomState((seed ^ 0x5EED) & 0x7FFFFFFF), D)
             if encoder == "attn" else None
         )
+        # --- BiEncoder / fuser options (all decoupled rng streams so
+        # every existing pinned result is bit-identical) -------------
+        self.labels_encoder = bool(labels_encoder)
+        self.post_fusion_schema = post_fusion_schema or ""
+        self.fuse_layers = bool(fuse_layers)
+        if post_fusion_schema and not labels_encoder:
+            raise ValueError(
+                "post_fusion_schema requires labels_encoder=True (the "
+                "cross-fuser runs in the bi-encoder representation path, "
+                "base.py:176-178)"
+            )
+        if fuse_layers and encoder != "attn":
+            raise ValueError(
+                "fuse_layers needs per-layer hidden states — only the "
+                "'attn' encoder exposes them (encoder.py:102-124)"
+            )
+        self.labels_tower = (
+            _LabelsTower(
+                np.random.RandomState((seed ^ 0x0B1E11C0) & 0x7FFFFFFF),
+                D, vocab_size,
+            )
+            if labels_encoder else None
+        )
+        self.cross_fuser = (
+            _CrossFuser(
+                np.random.RandomState((seed ^ 0x0F05E12A) & 0x7FFFFFFF),
+                D, schema=post_fusion_schema,
+            )
+            if post_fusion_schema else None
+        )
+        self.layers_fuser = (
+            _LayersFuser(
+                np.random.RandomState((seed ^ 0x1A7E55ED) & 0x7FFFFFFF),
+                self.attn.n_layers, D,
+            )
+            if fuse_layers else None
+        )
         # sinusoid positions, precomputed lazily per max length seen
         self._pos_cache: np.ndarray | None = None
 
@@ -585,6 +831,14 @@ class NumpySpanModel:
         if self.rnn is not None:
             for wn in ("w_f", "b_f", "w_b", "b_b"):
                 out[f"rnn.{wn}"] = getattr(self.rnn, wn)
+        for nm, obj in (
+            ("labels_tower", self.labels_tower),
+            ("cross_fuser", self.cross_fuser),
+            ("layers_fuser", self.layers_fuser),
+        ):
+            if obj is not None:
+                for wn, arr in obj.weights().items():
+                    out[f"{nm}.{wn}"] = arr
         return out
 
     def save(self, model_dir: str) -> str:
@@ -607,6 +861,9 @@ class NumpySpanModel:
                     "has_rnn": self.has_rnn,
                     "span_mode": self.span_mode,
                     "encoder": self.encoder,
+                    "labels_encoder": self.labels_encoder,
+                    "post_fusion_schema": self.post_fusion_schema,
+                    "fuse_layers": self.fuse_layers,
                 },
                 f,
             )
@@ -647,6 +904,13 @@ class NumpySpanModel:
         if model.rnn is not None:
             for wn in ("w_f", "b_f", "w_b", "b_b"):
                 setattr(model.rnn, wn, f32(arrays[f"rnn.{wn}"]))
+        for nm, obj in (
+            ("labels_tower", model.labels_tower),
+            ("cross_fuser", model.cross_fuser),
+            ("layers_fuser", model.layers_fuser),
+        ):
+            if obj is not None:
+                obj.load_weights(arrays, f"{nm}.")
         return model
 
     # ------------------------------------------------------ encoder-lite
@@ -669,6 +933,12 @@ class NumpySpanModel:
         e = self.embed[input_ids] + self._positions(T)[None, :, :]
         e = e * attention_mask[:, :, None].astype(np.float32)
         if self.attn is not None:  # transformer-lite path
+            if self.layers_fuser is not None:
+                # config.fuse_layers (encoder.py:102-124): squeeze-
+                # excitation sum of the per-layer hidden states
+                _, hidden = self.attn(e, attention_mask, return_hidden=True)
+                fused = self.layers_fuser(hidden)
+                return (fused * attention_mask[:, :, None]).astype(np.float32)
             return self.attn(e, attention_mask)
         # ±1 neighborhood average = minimal context mixing
         ctx = e.copy()
@@ -728,9 +998,23 @@ class NumpySpanModel:
     # ------------------------------------------------------------ forward
     def label_embeddings(self) -> np.ndarray:
         """(C, D) prompt embeddings from a prompt-only input — the
-        bi-encoder label pre-embedding cache (``gliner/model.py:604-630``,
+        label pre-embedding cache (``gliner/model.py:604-630``,
         ``encode_labels``): compute once, reuse for every batch via
-        :meth:`forward` ``prompts_embedding=``."""
+        :meth:`forward` ``prompts_embedding=``.
+
+        In bi-encoder mode (``labels_encoder=True``) this is the
+        labels TOWER output: each label encoded independently and
+        mean-pooled (``encoder.py:170-180``) — raw, un-projected,
+        because ``prompt_rep_layer`` applies after the (optional)
+        cross-fuser in forward, exactly like the reference
+        (``base.py:546``)."""
+        if self.labels_tower is not None:
+            rows = [lbl.split() or [lbl] for lbl in self.labels]
+            enc = encode_batch(self.tokenizer, rows, [])
+            return self.labels_tower.encode(
+                enc["input_ids"], enc["attention_mask"],
+                self._positions(enc["input_ids"].shape[1]),
+            )
         enc = encode_batch(self.tokenizer, [[]], self.labels)
         token_embeds = self.encode_tokens(enc["input_ids"], enc["attention_mask"])
         pe, _, _, _ = self.extract_embeddings(
@@ -746,18 +1030,23 @@ class NumpySpanModel:
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batch of word-token lists → (logits (B, W, K, C), text_lengths).
 
-        ``prompts_embedding`` (C, D): optional pre-projected label
+        ``prompts_embedding`` (C, D): optional pre-computed label
         embeddings (the ``batch_predict_with_embeds`` fast path,
         ``model.py:476-531``) — skips per-batch prompt extraction and
-        drops the prompt tokens from the encoder input entirely.
+        drops the prompt tokens from the encoder input entirely. In
+        uni mode pass the PROJECTED :meth:`label_embeddings` output;
+        in bi-encoder mode pass the RAW tower output (also what
+        :meth:`label_embeddings` returns there) — projection happens
+        after the optional cross-fuser, as in the reference.
         """
-        if prompts_embedding is not None:
+        bi = self.labels_tower is not None
+        if bi or prompts_embedding is not None:
             enc = encode_batch(self.tokenizer, token_lists, [])
         else:
             enc = encode_batch(self.tokenizer, token_lists, self.labels)
         text_lengths = enc["text_lengths"]
         token_embeds = self.encode_tokens(enc["input_ids"], enc["attention_mask"])
-        pe, _, words_embedding, _ = self.extract_embeddings(
+        pe, _, words_embedding, words_mask_out = self.extract_embeddings(
             token_embeds, enc["input_ids"], enc["words_mask"], text_lengths
         )
         B, W, D = words_embedding.shape
@@ -766,7 +1055,25 @@ class NumpySpanModel:
             C = len(self.labels)
             self.last_span_rep = np.zeros((B, 0, K, D))
             return np.zeros((B, 0, K, C)), text_lengths
-        if self.rnn is not None:  # config.has_rnn (base.py:106-107)
+        labels_b = None
+        if bi:
+            # get_bi_representations (base.py:149-180): tower labels →
+            # broadcast to the batch → optional cross-fuser enhancement
+            # of BOTH streams. NOTE no rnn in the bi path, as in ref.
+            labels_raw = (
+                prompts_embedding
+                if prompts_embedding is not None
+                else self.label_embeddings()
+            )
+            labels_b = np.broadcast_to(
+                labels_raw[None], (B,) + labels_raw.shape
+            ).astype(words_embedding.dtype)
+            if self.cross_fuser is not None:
+                labels_mask = np.ones(labels_b.shape[:2], np.int64)
+                labels_b, words_embedding = self.cross_fuser(
+                    labels_b, words_embedding, labels_mask, words_mask_out
+                )
+        elif self.rnn is not None:  # config.has_rnn (base.py:106-107)
             words_embedding = self.rnn(words_embedding, text_lengths)
 
         span_idx, span_mask = self.span_grid(text_lengths, W)
@@ -781,7 +1088,10 @@ class NumpySpanModel:
         # consumes span_rep alongside the scores, base.py:549-560)
         self.last_span_rep = span_rep
 
-        if prompts_embedding is None:
+        if bi:
+            # prompt_rep_layer applies AFTER the fuser (base.py:546)
+            prompts_embedding_b = self.prompt_rep_layer(labels_b)
+        elif prompts_embedding is None:
             prompts_embedding_b = self.prompt_rep_layer(pe)  # (B, C, D)
         else:
             prompts_embedding_b = np.broadcast_to(

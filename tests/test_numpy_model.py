@@ -461,3 +461,119 @@ def test_attn_backend_extracts_e2e(ray_session, tmp_path):
 
     a = run()
     assert run() == a
+
+
+class TestBiEncoder:
+    """labels_encoder=True: second encoder tower + mean pooling
+    (encoder.py:157-186), optional CrossFuser post-fusion
+    (layers.py:89-177) and LayersFuser squeeze-excitation
+    (layers.py:178-218)."""
+
+    LABELS = ["function", "class", "import path"]
+
+    def _model(self, **kw):
+        from gliner_ray.kernels.numpy_model import NumpySpanModel
+
+        return NumpySpanModel(self.LABELS, hidden_size=32, max_width=4,
+                              seed=11, labels_encoder=True, **kw)
+
+    def test_shapes_and_determinism(self):
+        m = self._model()
+        toks = [["def", "foo", "(", ")"], ["class", "Bar"]]
+        a, la = m.forward(toks)
+        b, _ = m.forward(toks)
+        assert a.shape == (2, 4, 4, 3)
+        np.testing.assert_array_equal(a, b)
+
+    def test_cached_labels_decode_parity(self):
+        """The bi-encoder's natural fast path: label_embeddings() is
+        input-independent tower output; feeding it back through
+        forward(prompts_embedding=) must be bit-identical to the
+        self-computing path."""
+        m = self._model()
+        toks = [["def", "alpha", "beta"], ["x", "y"]]
+        full, _ = m.forward(toks)
+        cache = m.label_embeddings()
+        assert cache.shape == (3, 32)
+        fast, _ = m.forward(toks, prompts_embedding=cache)
+        np.testing.assert_array_equal(full, fast)
+
+    def test_differs_from_uni_encoder(self):
+        from gliner_ray.kernels.numpy_model import NumpySpanModel
+
+        toks = [["def", "alpha", "beta"]]
+        uni = NumpySpanModel(self.LABELS, hidden_size=32, max_width=4,
+                             seed=11).forward(toks)[0]
+        bi = self._model().forward(toks)[0]
+        assert uni.shape == bi.shape
+        assert not np.allclose(uni, bi)
+
+    def test_cross_fuser_changes_both_streams(self):
+        """post_fusion_schema='l2l-l2t-t2l': fused logits differ from
+        the unfused bi model but stay deterministic and masked."""
+        m0 = self._model()
+        m1 = self._model(post_fusion_schema="l2l-l2t-t2l")
+        toks = [["def", "alpha", "beta"], ["x"]]
+        a, _ = m1.forward(toks)
+        b, _ = m1.forward(toks)
+        np.testing.assert_array_equal(a, b)
+        assert not np.allclose(a, m0.forward(toks)[0])
+        # invalid spans still hard-masked after fusion
+        assert (a[1, 0, 1:, :] == -30.0).all()
+
+    def test_checkpoint_roundtrip_bi(self, tmp_path):
+        from gliner_ray.kernels.numpy_model import NumpySpanModel
+
+        m = self._model(post_fusion_schema="l2l-l2t")
+        toks = [["one", "two", "three"]]
+        want, _ = m.forward(toks)
+        d = m.save(str(tmp_path / "bi_ckpt"))
+        m2 = NumpySpanModel.load(d)
+        assert m2.labels_encoder and m2.post_fusion_schema == "l2l-l2t"
+        np.testing.assert_allclose(m2.forward(toks)[0], want)
+
+    def test_config_validation(self):
+        import pytest
+
+        from gliner_ray.kernels.numpy_model import NumpySpanModel
+
+        with pytest.raises(ValueError, match="labels_encoder"):
+            NumpySpanModel(self.LABELS, post_fusion_schema="l2l-l2t")
+        with pytest.raises(ValueError, match="fuse_layers"):
+            NumpySpanModel(self.LABELS, fuse_layers=True)  # needs attn
+        with pytest.raises(ValueError, match="schema token"):
+            NumpySpanModel(self.LABELS, labels_encoder=True,
+                           post_fusion_schema="l2x")
+
+
+class TestLayersFuser:
+    LABELS = ["function", "class"]
+
+    def _model(self, **kw):
+        from gliner_ray.kernels.numpy_model import NumpySpanModel
+
+        return NumpySpanModel(self.LABELS, hidden_size=32, max_width=4,
+                              seed=5, encoder="attn", **kw)
+
+    def test_fused_differs_and_roundtrips(self, tmp_path):
+        from gliner_ray.kernels.numpy_model import NumpySpanModel
+
+        toks = [["def", "foo", "(", ")"]]
+        plain = self._model().forward(toks)[0]
+        m = self._model(fuse_layers=True)
+        fused, _ = m.forward(toks)
+        assert fused.shape == plain.shape
+        assert not np.allclose(fused, plain)
+        d = m.save(str(tmp_path / "fuse_ckpt"))
+        m2 = NumpySpanModel.load(d)
+        assert m2.fuse_layers
+        np.testing.assert_allclose(m2.forward(toks)[0], fused)
+
+    def test_padding_mask_invariance_fused(self):
+        m = self._model(fuse_layers=True)
+        short = ["def", "foo"]
+        long = ["class", "Bar", "extends", "Baz", "implements", "Qux",
+                "with", "many", "more", "words"]
+        solo, _ = m.forward([short])
+        mixed, _ = m.forward([short, long])
+        np.testing.assert_allclose(solo[0, :2], mixed[0, :2], rtol=0, atol=1e-4)
