@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .subword import ENT_TOKEN_ID, ToySubwordTokenizer, encode_batch
+from .subword import ENT_TOKEN_ID, SUBWORD_TOKENIZERS, encode_batch
 
 
 def _linear_init(rng: np.random.RandomState, fan_in: int, fan_out: int):
@@ -743,6 +743,7 @@ class NumpySpanModel:
         labels_encoder: bool = False,
         post_fusion_schema: str = "",
         fuse_layers: bool = False,
+        subword: str = "bpe",
     ):
         rng = np.random.RandomState(seed)
         D = hidden_size
@@ -756,7 +757,15 @@ class NumpySpanModel:
         if encoder not in ("mix", "attn"):
             raise ValueError(f"unknown encoder {encoder!r}; 'mix' or 'attn'")
         self.encoder = encoder
-        self.tokenizer = ToySubwordTokenizer(vocab_size=vocab_size)
+        if subword not in SUBWORD_TOKENIZERS:
+            raise ValueError(
+                f"unknown subword {subword!r}; one of {sorted(SUBWORD_TOKENIZERS)}"
+            )
+        self.subword = subword
+        # "bpe": learned merge rules (processor.py:157-212 fidelity);
+        # "chunk": the fixed-stride round-1 stand-in, kept for
+        # back-compat with configs that pinned it
+        self.tokenizer = SUBWORD_TOKENIZERS[subword](vocab_size=vocab_size)
         # encoder-lite weights
         self.embed = (rng.standard_normal((vocab_size, D)) / np.sqrt(D)).astype(
             np.float32
@@ -864,6 +873,7 @@ class NumpySpanModel:
                     "labels_encoder": self.labels_encoder,
                     "post_fusion_schema": self.post_fusion_schema,
                     "fuse_layers": self.fuse_layers,
+                    "subword": self.subword,
                 },
                 f,
             )

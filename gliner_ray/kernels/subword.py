@@ -119,6 +119,130 @@ class ToySubwordTokenizer:
         )
 
 
+# ------------------------------------------------------------ toy BPE
+#
+# A REAL byte-pair-encoding vocabulary (merge rules, not fixed-size
+# chunks) so multi-piece segmentation follows learned merges like the
+# reference's HF tokenizer (``processor.py:157-212``). The merges are
+# learned at import time from a small deterministic corpus embedded
+# below — every worker process derives the identical merge table with
+# zero shipped state, preserving the stateless-actor property of the
+# chunk tokenizer.
+
+_BPE_TRAIN_TEXT = (
+    "def def def def def class class class import import import "
+    "return return return self self self the the the the of of of "
+    "and and to to in in for for is is not none true false function "
+    "function module module value values name names type types data "
+    "path paths file files read write open close list dict set int "
+    "str float print range index item items error errors test tests "
+    "result results parse parser token tokens word words text texts "
+    "label labels span spans model models layer layers batch batches "
+    "encode decode encoder decoder input inputs output outputs mask "
+    "masks length lengths node nodes edge edges graph table tables "
+    "call calls init args kwargs object objects string number numbers "
+    "the quick brown fox jumps over the lazy dog winter spring summer "
+    "loading processing mapping filtering grouping sorting counting"
+)
+
+
+def _learn_merges(num_merges: int) -> dict[tuple[str, str], int]:
+    """Classic BPE training (Sennrich 2016): repeatedly merge the most
+    frequent adjacent symbol pair (lexicographic-max tie-break for
+    determinism). Returns pair → merge rank."""
+    from collections import Counter
+
+    wcounts = Counter(_BPE_TRAIN_TEXT.split())
+    seqs = {w: tuple(w) + ("</w>",) for w in wcounts}
+    merges: dict[tuple[str, str], int] = {}
+    for rank in range(num_merges):
+        pairs: Counter = Counter()
+        for w, c in wcounts.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += c
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        merges[best] = rank
+        joined = best[0] + best[1]
+        for w, s in seqs.items():
+            out: list[str] = []
+            i = 0
+            while i < len(s):
+                if i < len(s) - 1 and (s[i], s[i + 1]) == best:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = tuple(out)
+    return merges
+
+
+_MERGE_CACHE: dict[int, dict[tuple[str, str], int]] = {}
+
+
+class BpeSubwordTokenizer(ToySubwordTokenizer):
+    """Merge-rule subword tokenizer: encode applies the learned merges
+    lowest-rank-first until none apply (the standard BPE encode), so a
+    word's piece boundaries track corpus statistics instead of a fixed
+    stride. Piece ids still come from the stable hash — identical
+    vocabulary in every actor, no shipped state."""
+
+    MAX_CACHE = 250_000
+
+    def __init__(self, vocab_size: int = 50_000, num_merges: int = 256):
+        super().__init__(vocab_size=vocab_size)
+        if num_merges not in _MERGE_CACHE:
+            _MERGE_CACHE[num_merges] = _learn_merges(num_merges)
+        self.merges = _MERGE_CACHE[num_merges]
+        self.num_merges = num_merges
+        self._cache: dict[str, list[int]] = {}
+
+    def word_pieces(self, word: str) -> list[int]:
+        if word in _SPECIAL:
+            return [_SPECIAL[word]]
+        if not word:
+            return [_piece_id("", self.vocab_size)]
+        hit = self._cache.get(word)
+        if hit is not None:
+            return hit
+        s = list(word) + ["</w>"]
+        merges = self.merges
+        while len(s) > 1:
+            best_rank = None
+            best_pair = None
+            for i in range(len(s) - 1):
+                r = merges.get((s[i], s[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_pair = r, (s[i], s[i + 1])
+            if best_pair is None:
+                break
+            joined = best_pair[0] + best_pair[1]
+            out: list[str] = []
+            i = 0
+            while i < len(s):
+                if i < len(s) - 1 and (s[i], s[i + 1]) == best_pair:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            s = out
+        ids = [_piece_id(p, self.vocab_size) for p in s]
+        if len(self._cache) > self.MAX_CACHE:
+            self._cache.clear()
+        self._cache[word] = ids
+        return ids
+
+
+SUBWORD_TOKENIZERS = {
+    "chunk": ToySubwordTokenizer,
+    "bpe": BpeSubwordTokenizer,
+}
+
+
 def build_prompt(labels: list[str]) -> list[str]:
     """``prepare_inputs`` prompt: ``<<ENT>> label`` per label + ``<<SEP>>``."""
     out: list[str] = []

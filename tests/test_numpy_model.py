@@ -577,3 +577,69 @@ class TestLayersFuser:
         solo, _ = m.forward([short])
         mixed, _ = m.forward([short, long])
         np.testing.assert_allclose(solo[0, :2], mixed[0, :2], rtol=0, atol=1e-4)
+
+
+class TestBpeSubword:
+    """Toy-BPE vocabulary (processor.py:157-212 fidelity): learned
+    merge rules, not fixed-size chunks."""
+
+    def test_trained_words_merge_to_few_pieces(self):
+        from gliner_ray.kernels.subword import (
+            BpeSubwordTokenizer, ToySubwordTokenizer,
+        )
+
+        bpe = BpeSubwordTokenizer()
+        # high-frequency training words fuse to a single piece
+        assert len(bpe.word_pieces("function")) == 1
+        assert len(bpe.word_pieces("def")) == 1
+        # an out-of-corpus word falls back to finer segmentation —
+        # merge RULES decide the boundaries, not a fixed stride
+        chunk = ToySubwordTokenizer()
+        rare = "xqzzywv"
+        assert len(bpe.word_pieces(rare)) > len(chunk.word_pieces(rare))
+
+    def test_deterministic_across_instances(self):
+        from gliner_ray.kernels.subword import BpeSubwordTokenizer
+
+        a, b = BpeSubwordTokenizer(), BpeSubwordTokenizer()
+        for w in ["function", "tokenization", "Bar", "worldlyword", ""]:
+            assert a.word_pieces(w) == b.word_pieces(w)
+
+    def test_words_mask_semantics_hold_under_bpe(self):
+        """prepare_word_mask invariants are tokenizer-independent:
+        first-subtoken marking, prompt zeroing, specials zero."""
+        from gliner_ray.kernels.subword import BpeSubwordTokenizer, build_prompt
+
+        tok = BpeSubwordTokenizer()
+        prompt = build_prompt(["function"])
+        words = prompt + ["hello", "tokenization"]
+        enc = tok.encode_words(words, prompt_length=3)
+        assert enc.words_mask[0] == 0 and enc.words_mask[-1] == 0
+        nz = [v for v in enc.words_mask if v > 0]
+        assert nz == [1, 2]
+        # multi-piece word still marks exactly one first subtoken
+        assert enc.words_mask.count(2) == 1
+        assert enc.text_length == 2
+
+    def test_model_subword_config_roundtrip(self, tmp_path):
+        from gliner_ray.kernels.numpy_model import NumpySpanModel
+
+        m = NumpySpanModel(["function"], hidden_size=32, max_width=4,
+                           seed=3, subword="chunk")
+        toks = [["def", "foo"]]
+        want, _ = m.forward(toks)
+        m2 = NumpySpanModel.load(m.save(str(tmp_path / "ck")))
+        assert m2.subword == "chunk"
+        np.testing.assert_allclose(m2.forward(toks)[0], want)
+        # bpe default differs from chunk (segmentation changes ids)
+        mb = NumpySpanModel(["function"], hidden_size=32, max_width=4, seed=3)
+        assert mb.subword == "bpe"
+        assert not np.allclose(mb.forward(toks)[0], want)
+
+    def test_unknown_subword_rejected(self):
+        import pytest
+
+        from gliner_ray.kernels.numpy_model import NumpySpanModel
+
+        with pytest.raises(ValueError, match="subword"):
+            NumpySpanModel(["x"], subword="wordpiece")
