@@ -542,6 +542,38 @@ def kg_mentions_numpy(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def kg_mentions_gen(sf_dir: str):
+    """Decoder-mode mention extraction over the synthetic corpus — the
+    ``GLiNER.run`` decoder-mode e2e analog (``gliner/model.py:405-413``):
+    numpy forward → span selection → trie-constrained greedy label
+    generation → sel_idx-aligned decode, emitting the SAME mentions
+    schema as the prompt-mode extractor plus ``gen_label`` (rows-only;
+    pytest pins span-set parity vs prompt-mode decode and gen_label
+    membership in the allowed label set)."""
+    from ..config import DEFAULT_CONFIG
+    from ..corpus import write_corpus
+    from ..pipelines.kg import read_files
+    from ..stages.labelgen import GenMentionExtractor
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    corpus_dir = f"/tmp/gliner_ray_scratch/{tag}/files"
+    write_corpus(corpus_dir, n_files=120, n_repos=15, seed=42)
+    mentions = read_files(corpus_dir, DEFAULT_CONFIG).map_batches(
+        GenMentionExtractor,
+        fn_constructor_kwargs={
+            "labels": ["function", "class", "library"],
+            "max_width": 4,
+        },
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 8),
+    )
+    out = mentions.to_pandas()
+    return out.sort_values(
+        ["doc_sha256", "start", "end", "label"], kind="mergesort"
+    ).reset_index(drop=True)
+
+
 def media_features(sf_dir: str):
     """Multimodal pipeline over the synthetic media table (rows-only):
     REAL byte-level decode — BMP resize (decode → nearest-neighbour →

@@ -75,13 +75,20 @@ class NumpyLabelDecoder:
         self,
         labels: list[str],
         model: NumpySpanModel,
-        max_new_tokens: int = 8,
+        max_new_tokens: int | None = None,
         seed: int = 99,
     ):
         self.model = model
-        self.max_new_tokens = max_new_tokens
         tok = model.tokenizer
         self.label_seqs = {lab: tuple(tok.word_pieces(lab)) for lab in labels}
+        # generation budget must cover the LONGEST label's piece
+        # sequence (+eos step) or trie-terminality breaks — the piece
+        # count is tokenizer-dependent (BPE fragments rare words finer
+        # than the chunk stand-in did)
+        longest = max((len(s) for s in self.label_seqs.values()), default=1)
+        self.max_new_tokens = (
+            max_new_tokens if max_new_tokens is not None else longest + 1
+        )
         self.trie = LabelsTrie(self.label_seqs.values())
         self.seq_to_label = {seq: lab for lab, seq in self.label_seqs.items()}
         D = model.hidden_size
@@ -279,6 +286,88 @@ class GenLabelExtractor:
                 "doc_id": pa.array(rows["doc_id"], pa.int64()),
                 "start": pa.array(rows["start"], pa.int32()),
                 "end": pa.array(rows["end"], pa.int32()),
+                "label": pa.array(rows["label"], pa.string()),
+                "gen_label": pa.array(rows["gen_label"], pa.string()),
+                "score": pa.array(rows["score"], pa.float64()),
+            }
+        )
+
+
+class GenMentionExtractor:
+    """Decoder-mode MENTION extractor over corpus file rows — the
+    ``GLiNER.run`` decoder-mode analog (``gliner/model.py:405-413``):
+    same actor-pool shape and output schema as the prompt-mode
+    extractor (doc_sha256, char/tok offsets, text, label, score) plus
+    the trie-constrained ``gen_label``. One actor holds model + trie +
+    decoder weights; each batch runs offset tokenization → forward →
+    span selection → constrained generation → aligned decode."""
+
+    def __init__(
+        self,
+        labels: list[str],
+        hidden_size: int = 48,
+        max_width: int = 4,
+        threshold: float = 0.5,
+        seed: int = 1234,
+    ):
+        self.model = NumpySpanModel(
+            labels, hidden_size=hidden_size, max_width=max_width, seed=seed
+        )
+        self.decoder = NumpyLabelDecoder(labels, self.model)
+        self.threshold = threshold
+        self.labels = labels
+
+    def __call__(self, batch):
+        import hashlib
+
+        import pyarrow as pa
+
+        from ..kernels.tokenize import tokenize_with_offsets
+
+        texts = batch["content"].to_pylist()
+        shas = [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts]
+        toks_offs = [tokenize_with_offsets(t) for t in texts]
+        token_lists = [t for t, _, _ in toks_offs]
+
+        logits, tl = self.model.forward(token_lists)
+        span_rep = self.model.last_span_rep
+        flat, sel_idx = select_span_embeddings(
+            logits, span_rep, tl, self.model.max_width, self.threshold
+        )
+        gen = self.decoder.generate_labels(flat)
+        id_to_class = {i + 1: lab for i, lab in enumerate(self.labels)}
+        spans_per_doc = decode_with_gen_labels(
+            token_lists, id_to_class, logits,
+            sel_idx=sel_idx, gen_labels=gen, threshold=self.threshold,
+        )
+
+        rows: dict[str, list] = {
+            "doc_sha256": [], "start": [], "end": [],
+            "tok_start": [], "tok_end": [], "text": [],
+            "label": [], "gen_label": [], "score": [],
+        }
+        for (toks, starts, ends), sha, txt, spans in zip(
+            toks_offs, shas, texts, spans_per_doc
+        ):
+            for s, e, lab, gl, p in spans:
+                cs, ce = starts[s], ends[e]
+                rows["doc_sha256"].append(sha)
+                rows["start"].append(cs)
+                rows["end"].append(ce)
+                rows["tok_start"].append(s)
+                rows["tok_end"].append(e)
+                rows["text"].append(txt[cs:ce])
+                rows["label"].append(lab)
+                rows["gen_label"].append(gl[0] if gl else None)
+                rows["score"].append(p)
+        return pa.table(
+            {
+                "doc_sha256": pa.array(rows["doc_sha256"], pa.string()),
+                "start": pa.array(rows["start"], pa.int32()),
+                "end": pa.array(rows["end"], pa.int32()),
+                "tok_start": pa.array(rows["tok_start"], pa.int32()),
+                "tok_end": pa.array(rows["tok_end"], pa.int32()),
+                "text": pa.array(rows["text"], pa.string()),
                 "label": pa.array(rows["label"], pa.string()),
                 "gen_label": pa.array(rows["gen_label"], pa.string()),
                 "score": pa.array(rows["score"], pa.float64()),

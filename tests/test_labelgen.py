@@ -161,3 +161,84 @@ class TestExtractorStage:
         assert t1.equals(t2)
         gl = [g for g in t1["gen_label"].to_pylist() if g is not None]
         assert all(g in LABELS for g in gl)
+
+
+class TestGenMentionExtractor:
+    """kg_mentions_gen e2e: decoder-mode mentions mirror GLiNER.run's
+    decoder mode (model.py:405-413) with the prompt-mode mentions
+    schema + gen_label."""
+
+    def test_parity_vs_prompt_mode_and_label_set(self, ray_session):
+        """On a planted corpus the decoder-mode span SET (s, e, label,
+        score) must equal prompt-mode decode with the same model and
+        threshold — generation adds gen_label, it must not change span
+        selection. Every gen_label is a member of the allowed set (the
+        trie admits nothing else)."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gliner_ray.kernels.decode import decode_logits
+        from gliner_ray.stages.labelgen import GenMentionExtractor
+
+        labels = ["person", "organization", "location"]
+        texts = [
+            "Ada Lovelace joined Acme Corp in London last spring",
+            "short text",
+            "Grace Hopper visited Paris with the Navy team",
+        ]
+        ext = GenMentionExtractor(labels, hidden_size=48, max_width=4,
+                                  threshold=0.5)
+        batch = pa.table({"content": pa.array(texts, pa.large_string())})
+        out = ext(batch).to_pylist()
+        assert out, "planted corpus produced no decoder-mode mentions"
+
+        # prompt-mode oracle: same model, dense decode + NMS
+        token_lists = [t.split() for t in texts]
+        logits, tl = ext.model.forward(token_lists)
+        id_to_class = {i + 1: lab for i, lab in enumerate(labels)}
+        want = set()
+        import hashlib
+        shas = [hashlib.sha256(t.encode()).hexdigest() for t in texts]
+        for i in range(len(texts)):
+            for s, e, lab, p in decode_logits(
+                int(tl[i]), id_to_class, logits[i], threshold=0.5
+            ):
+                want.add((shas[i], s, e, lab, round(p, 9)))
+        got = {
+            (r["doc_sha256"], r["tok_start"], r["tok_end"], r["label"],
+             round(r["score"], 9))
+            for r in out
+        }
+        assert got == want
+        for r in out:
+            assert r["gen_label"] in labels
+            # char offsets really slice the mention text
+            assert r["text"] == texts[shas.index(r["doc_sha256"])][r["start"]:r["end"]]
+
+    def test_ray_pipeline_deterministic(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from gliner_ray.config import DEFAULT_CONFIG
+        from gliner_ray.corpus import write_corpus
+        from gliner_ray.pipelines.kg import read_files
+        from gliner_ray.stages.labelgen import GenMentionExtractor
+
+        d = str(tmp_path / "files")
+        write_corpus(d, n_files=20, n_repos=4, seed=5)
+
+        def run():
+            m = read_files(d, DEFAULT_CONFIG).map_batches(
+                GenMentionExtractor,
+                fn_constructor_kwargs={
+                    "labels": ["function", "class", "library"],
+                    "max_width": 4,
+                },
+                batch_format="pyarrow", batch_size=16, concurrency=(1, 4),
+            )
+            df = m.select_columns(
+                ["doc_sha256", "start", "end", "label", "gen_label"]
+            ).to_pandas()
+            return sorted(map(tuple, df.values.tolist()))
+
+        a = run()
+        assert a and run() == a
