@@ -88,6 +88,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "q_orders_of_rich_customers": rel.q_orders_of_rich_customers,
         "q_customer_order_counts": rel.q_customer_order_counts,
         "q_props_k_sum": rel.q_props_k_sum,
+        "q_order_ntile4": rel.q_order_ntile4,
+        "q_flag_price_corr": rel.q_flag_price_corr,
+        "q_priority_status_agg": rel.q_priority_status_agg,
         "q_active_keys_union": rel.q_active_keys_union,
         "q_price_mad": rel.q_price_mad,
         "q_user_first_last_event": rel.q_user_first_last_event,
@@ -189,6 +192,9 @@ def oracle_sql() -> dict[str, str]:
         "q_orders_of_rich_customers": rel.ORDERS_RICH_CUSTOMERS_SQL,
         "q_customer_order_counts": rel.CUSTOMER_ORDER_COUNTS_SQL,
         "q_props_k_sum": rel.PROPS_K_SUM_SQL,
+        "q_order_ntile4": rel.ORDER_NTILE4_SQL,
+        "q_flag_price_corr": rel.FLAG_PRICE_CORR_SQL,
+        "q_priority_status_agg": rel.PRIORITY_STATUS_AGG_SQL,
         "q_active_keys_union": rel.ACTIVE_KEYS_UNION_SQL,
         "q_price_mad": rel.PRICE_MAD_SQL,
         "q_user_first_last_event": rel.USER_FIRST_LAST_SQL,

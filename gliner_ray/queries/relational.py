@@ -2761,3 +2761,240 @@ SELECT o.o_orderkey, o.o_custkey,
 FROM orders o JOIN agg USING (o_custkey)
 WHERE CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) * agg.n > agg.sum_cents
 """
+
+
+# --------------------------------------- distributed window rank (NTILE)
+
+
+def q_order_ntile4(sf_dir: str, n_bins: int = 1024):
+    """NTILE(4) OVER (PARTITION BY o_orderpriority ORDER BY price_cents,
+    o_orderkey) — a PER-ROW global window rank (exact quartile bucket
+    per order), the operator class a training-data pipeline needs for
+    exact score-quantile splits. Distributed as a range-partitioned
+    two-level rank with NO global sort:
+
+    1. one streaming pass computes per-priority (min, max, n) of the
+       UNIQUE int64 sort key ``cents·2^26 + orderkey`` — metadata-sized;
+    2. a second pass histograms keys into ``n_bins`` fixed ranges per
+       priority; the (priorities × n_bins) count table prefix-sums on
+       the driver into per-bin global rank OFFSETS (metadata-sized);
+    3. rows shuffle ONCE on their (priority, bin) id; each group sorts
+       locally and emits rank = offset + local position → NTILE bucket
+       via the exact ``n//4 + remainder`` thresholds.
+
+    Per-group memory is ~n/(priorities·n_bins) rows; a hot price range
+    still splits across bins, so skew is histogram-bounded. The same
+    shape yields RANK/PERCENT_RANK/CUME_DIST by changing step 3's
+    emission."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    SHIFT = np.int64(1) << np.int64(26)
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        key = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if key.max(initial=0) >= SHIFT:  # not assert: survives python -O
+            raise ValueError("orderkey exceeds 2^26 encode width")
+        cents = _floor_units(t["o_totalprice"], 100).to_numpy()
+        return pa.table(
+            {
+                "prio": t["o_orderpriority"],
+                "enc": pa.array(cents * SHIFT + key, pa.int64()),
+            }
+        )
+
+    enc_ds = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+    stats = enc_ds.groupby("prio").aggregate(
+        Min("enc", alias_name="lo"),
+        Max("enc", alias_name="hi"),
+        Count(alias_name="n"),
+    ).take_all()  # priorities are dimension-sized
+    prios = sorted(r["prio"] for r in stats)
+    prio_id = {p: i for i, p in enumerate(prios)}
+    lo = {r["prio"]: r["lo"] for r in stats}
+    width = {
+        r["prio"]: max((r["hi"] - r["lo"]) // n_bins + 1, 1) for r in stats
+    }
+
+    def binned(t: pa.Table) -> pa.Table:
+        p = t["prio"].to_pylist()
+        e = t["enc"].to_numpy(zero_copy_only=False)
+        pid = np.fromiter((prio_id[x] for x in p), np.int64, len(p))
+        b = np.fromiter(
+            ((e[i] - lo[p[i]]) // width[p[i]] for i in range(len(p))),
+            np.int64, len(p),
+        )
+        return pa.table(
+            {"pb": pa.array(pid * n_bins + b, pa.int64()), "enc": t["enc"]}
+        )
+
+    rows = enc_ds.map_batches(binned, batch_format="pyarrow")
+
+    # per-(priority, bin) counts: combined in-batch, tiny groupby
+    def bin_counts(t: pa.Table) -> pa.Table:
+        pb = t["pb"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(pb, return_counts=True)
+        return pa.table(
+            {"pb": pa.array(u, pa.int64()),
+             "cnt": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    counts = {
+        r["pb"]: r["cnt"]
+        for r in rows.map_batches(bin_counts, batch_format="pyarrow")
+        .groupby("pb").aggregate(Sum("cnt", alias_name="cnt")).take_all()
+    }  # ≤ priorities × n_bins rows — metadata-sized
+    offsets: dict[int, int] = {}
+    cuts: dict[int, np.ndarray] = {}
+    for p, i in prio_id.items():
+        run = 0
+        n_p = 0
+        for b in range(n_bins):
+            pb = i * n_bins + b
+            if pb in counts:
+                offsets[pb] = run
+                run += counts[pb]
+        n_p = run
+        base, rem = divmod(n_p, 4)
+        sizes = np.array([base + (1 if k < rem else 0) for k in range(4)])
+        cuts[i] = np.cumsum(sizes)
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        pb = int(g["pb"].iloc[0])
+        order = np.argsort(g["enc"].to_numpy(), kind="stable")
+        rank = np.empty(len(g), np.int64)
+        rank[order] = offsets[pb] + np.arange(len(g))
+        bucket = np.searchsorted(cuts[pb // n_bins], rank, side="right") + 1
+        return pd.DataFrame(
+            {
+                "o_orderkey": (g["enc"].to_numpy() % int(SHIFT)).astype(np.int64),
+                "bucket": bucket,
+            }
+        )
+
+    return rows.groupby("pb").map_groups(assign, batch_format="pandas")
+
+
+ORDER_NTILE4_SQL = """
+SELECT o_orderkey,
+       CAST(NTILE(4) OVER (
+            PARTITION BY o_orderpriority
+            ORDER BY CAST(FLOOR(o_totalprice * 100) AS BIGINT), o_orderkey
+       ) AS BIGINT) AS bucket
+FROM orders
+"""
+
+
+# ------------------------------------------------- correlation aggregate
+
+
+def q_flag_price_corr(sf_dir: str):
+    """CORR(l_extendedprice, l_quantity) per returnflag — the two-pass
+    moment formula as a single streaming pass of fixed-size partials
+    (n, Σx, Σy, Σx², Σy², Σxy per flag per batch) and one tiny groupby.
+    Rounded to 5 dp on BOTH sides: the sums are float64 and the
+    combine order differs between engines, so agreement holds to
+    ~1e-10 relative — far inside 5 dp for a value bounded by 1."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "f": t["l_returnflag"].to_pylist(),
+                "x": t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64),
+                "y": t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64),
+            }
+        )
+        df["xx"] = df["x"] * df["x"]
+        df["yy"] = df["y"] * df["y"]
+        df["xy"] = df["x"] * df["y"]
+        df["n"] = 1
+        g = df.groupby("f", sort=False, as_index=False)[
+            ["n", "x", "y", "xx", "yy", "xy"]
+        ].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("f")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("x", alias_name="sx"),
+            Sum("y", alias_name="sy"), Sum("xx", alias_name="sxx"),
+            Sum("yy", alias_name="syy"), Sum("xy", alias_name="sxy"),
+        )
+        .take_all()  # one row per returnflag — dimension-sized
+    )
+    rows = sorted(agg, key=lambda r: r["f"])
+    out_f, out_c = [], []
+    for r in rows:
+        n = float(r["n"])
+        cov = n * r["sxy"] - r["sx"] * r["sy"]
+        vx = n * r["sxx"] - r["sx"] * r["sx"]
+        vy = n * r["syy"] - r["sy"] * r["sy"]
+        corr = cov / np.sqrt(vx * vy) if vx > 0 and vy > 0 else None
+        out_f.append(r["f"])
+        out_c.append(None if corr is None else round(float(corr), 5))
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out_f, pa.string()),
+            "corr_pq": pa.array(out_c, pa.float64()),
+        }
+    )
+
+
+FLAG_PRICE_CORR_SQL = """
+SELECT l_returnflag, ROUND(CORR(l_extendedprice, l_quantity), 5) AS corr_pq
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ------------------------------------------------ ordered string_agg
+
+
+def q_priority_status_agg(sf_dir: str):
+    """string_agg(DISTINCT status ORDER BY status) per priority — the
+    ordered list-aggregation shape. Per-batch distinct pairs are the
+    combiner (the shuffle sees ≤ priorities×statuses rows per batch,
+    never the fact table); the ordered join happens on the
+    dimension-sized result on the driver."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        return t.group_by(
+            ["o_orderpriority", "o_orderstatus"]
+        ).aggregate([])
+
+    pairs = (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(Count(alias_name="n"))
+        .take_all()  # dimension-sized
+    )
+    by_prio: dict[str, list[str]] = {}
+    for r in pairs:
+        by_prio.setdefault(r["o_orderpriority"], []).append(r["o_orderstatus"])
+    prios = sorted(by_prio)
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(prios, pa.string()),
+            "statuses": pa.array(
+                [",".join(sorted(by_prio[p])) for p in prios], pa.string()
+            ),
+        }
+    )
+
+
+PRIORITY_STATUS_AGG_SQL = """
+SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+FROM orders GROUP BY o_orderpriority
+"""
