@@ -89,6 +89,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "q_customer_order_counts": rel.q_customer_order_counts,
         "q_props_k_sum": rel.q_props_k_sum,
         "q_order_ntile4": rel.q_order_ntile4,
+        "q_order_percent_rank": rel.q_order_percent_rank,
+        "q_order_cume_dist": rel.q_order_cume_dist,
         "q_flag_price_corr": rel.q_flag_price_corr,
         "q_priority_status_agg": rel.q_priority_status_agg,
         "q_active_keys_union": rel.q_active_keys_union,
@@ -193,6 +195,8 @@ def oracle_sql() -> dict[str, str]:
         "q_customer_order_counts": rel.CUSTOMER_ORDER_COUNTS_SQL,
         "q_props_k_sum": rel.PROPS_K_SUM_SQL,
         "q_order_ntile4": rel.ORDER_NTILE4_SQL,
+        "q_order_percent_rank": rel.ORDER_PERCENT_RANK_SQL,
+        "q_order_cume_dist": rel.ORDER_CUME_DIST_SQL,
         "q_flag_price_corr": rel.FLAG_PRICE_CORR_SQL,
         "q_priority_status_agg": rel.PRIORITY_STATUS_AGG_SQL,
         "q_active_keys_union": rel.ACTIVE_KEYS_UNION_SQL,

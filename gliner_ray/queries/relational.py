@@ -2766,26 +2766,26 @@ WHERE CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) * agg.n > agg.sum_cents
 # --------------------------------------- distributed window rank (NTILE)
 
 
-def q_order_ntile4(sf_dir: str, n_bins: int = 1024):
-    """NTILE(4) OVER (PARTITION BY o_orderpriority ORDER BY price_cents,
-    o_orderkey) — a PER-ROW global window rank (exact quartile bucket
-    per order), the operator class a training-data pipeline needs for
-    exact score-quantile splits. Distributed as a range-partitioned
-    two-level rank with NO global sort:
+def _order_global_rank(sf_dir: str, n_bins: int = 1024):
+    """The shared range-partitioned two-level rank engine: exact 0-based
+    per-row rank within each o_orderpriority partition ordered by the
+    UNIQUE int64 key ``cents·2^26 + orderkey`` — NO global sort:
 
     1. one streaming pass computes per-priority (min, max, n) of the
-       UNIQUE int64 sort key ``cents·2^26 + orderkey`` — metadata-sized;
+       key — metadata-sized partials;
     2. a second pass histograms keys into ``n_bins`` fixed ranges per
        priority; the (priorities × n_bins) count table prefix-sums on
        the driver into per-bin global rank OFFSETS (metadata-sized);
     3. rows shuffle ONCE on their (priority, bin) id; each group sorts
-       locally and emits rank = offset + local position → NTILE bucket
-       via the exact ``n//4 + remainder`` thresholds.
+       locally: rank = offset + local position.
 
     Per-group memory is ~n/(priorities·n_bins) rows; a hot price range
-    still splits across bins, so skew is histogram-bounded. The same
-    shape yields RANK/PERCENT_RANK/CUME_DIST by changing step 3's
-    emission."""
+    still splits across bins, so skew is histogram-bounded. NTILE /
+    PERCENT_RANK / CUME_DIST are emission functions over (rank, n).
+
+    Returns ``(rows, offsets, n_per_prio, SHIFT, n_bins)`` where
+    ``rows`` is the (pb, enc) Dataset and ``n_per_prio`` maps
+    priority-index → partition row count."""
     from ray.data.aggregate import Count, Max, Min, Sum
 
     SHIFT = np.int64(1) << np.int64(26)
@@ -2848,34 +2848,74 @@ def q_order_ntile4(sf_dir: str, n_bins: int = 1024):
         .groupby("pb").aggregate(Sum("cnt", alias_name="cnt")).take_all()
     }  # ≤ priorities × n_bins rows — metadata-sized
     offsets: dict[int, int] = {}
-    cuts: dict[int, np.ndarray] = {}
+    n_per_prio: dict[int, int] = {}
     for p, i in prio_id.items():
         run = 0
-        n_p = 0
         for b in range(n_bins):
             pb = i * n_bins + b
             if pb in counts:
                 offsets[pb] = run
                 run += counts[pb]
-        n_p = run
-        base, rem = divmod(n_p, 4)
-        sizes = np.array([base + (1 if k < rem else 0) for k in range(4)])
-        cuts[i] = np.cumsum(sizes)
+        n_per_prio[i] = run
+    return rows, offsets, n_per_prio, SHIFT, n_bins
+
+
+def _ranked(sf_dir: str, emit, n_bins: int = 1024):
+    """Run the rank engine and apply ``emit(rank_array, n_partition)``
+    → one output column named by ``emit.col``."""
+    rows, offsets, n_per_prio, SHIFT, nb = _order_global_rank(sf_dir, n_bins)
 
     def assign(g: pd.DataFrame) -> pd.DataFrame:
         pb = int(g["pb"].iloc[0])
         order = np.argsort(g["enc"].to_numpy(), kind="stable")
         rank = np.empty(len(g), np.int64)
         rank[order] = offsets[pb] + np.arange(len(g))
-        bucket = np.searchsorted(cuts[pb // n_bins], rank, side="right") + 1
+        val = emit(rank, n_per_prio[pb // nb])
         return pd.DataFrame(
             {
                 "o_orderkey": (g["enc"].to_numpy() % int(SHIFT)).astype(np.int64),
-                "bucket": bucket,
+                emit.col: val,
             }
         )
 
     return rows.groupby("pb").map_groups(assign, batch_format="pandas")
+
+
+def q_order_ntile4(sf_dir: str, n_bins: int = 1024):
+    """NTILE(4) OVER (PARTITION BY o_orderpriority ORDER BY price_cents,
+    o_orderkey) — exact quartile bucket per order through the
+    range-partitioned two-level rank (:func:`_order_global_rank`)."""
+
+    def emit(rank: np.ndarray, n: int) -> np.ndarray:
+        base, rem = divmod(n, 4)
+        cuts = np.cumsum([base + (1 if k < rem else 0) for k in range(4)])
+        return np.searchsorted(cuts, rank, side="right") + 1
+
+    emit.col = "bucket"
+    return _ranked(sf_dir, emit, n_bins)
+
+
+def q_order_percent_rank(sf_dir: str, n_bins: int = 1024):
+    """PERCENT_RANK() over the same window — (rank−1)/(n−1) with the
+    unique sort key, so the float division is bit-identical to the
+    oracle's. Same single-shuffle rank engine, different emission."""
+
+    def emit(rank: np.ndarray, n: int) -> np.ndarray:
+        return rank / (n - 1) if n > 1 else np.zeros(len(rank))
+
+    emit.col = "pct_rank"
+    return _ranked(sf_dir, emit, n_bins)
+
+
+def q_order_cume_dist(sf_dir: str, n_bins: int = 1024):
+    """CUME_DIST() over the same window — rank_inclusive/n with the
+    unique sort key. Same engine, different emission."""
+
+    def emit(rank: np.ndarray, n: int) -> np.ndarray:
+        return (rank + 1) / n
+
+    emit.col = "cume"
+    return _ranked(sf_dir, emit, n_bins)
 
 
 ORDER_NTILE4_SQL = """
@@ -2884,6 +2924,26 @@ SELECT o_orderkey,
             PARTITION BY o_orderpriority
             ORDER BY CAST(FLOOR(o_totalprice * 100) AS BIGINT), o_orderkey
        ) AS BIGINT) AS bucket
+FROM orders
+"""
+
+
+ORDER_PERCENT_RANK_SQL = """
+SELECT o_orderkey,
+       PERCENT_RANK() OVER (
+            PARTITION BY o_orderpriority
+            ORDER BY CAST(FLOOR(o_totalprice * 100) AS BIGINT), o_orderkey
+       ) AS pct_rank
+FROM orders
+"""
+
+
+ORDER_CUME_DIST_SQL = """
+SELECT o_orderkey,
+       CUME_DIST() OVER (
+            PARTITION BY o_orderpriority
+            ORDER BY CAST(FLOOR(o_totalprice * 100) AS BIGINT), o_orderkey
+       ) AS cume
 FROM orders
 """
 
