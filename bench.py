@@ -134,6 +134,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "q_hours_intersect": rel.q_hours_intersect,
     }
     qtimes: dict[str, float] = {}
+    if os.environ.get("GRAFT_BENCH_SKIP_QUERIES"):
+        # --scaling arms: only the KG build feeds the efficiency
+        # metric; skipping the query sweep keeps the two arms close in
+        # time so VM drift has less room to skew the ratio
+        query_fns = {}
     for name, fn in query_fns.items():
         t0 = time.perf_counter()
         res = fn(sf_dir)
@@ -163,6 +168,7 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
         # files (~2/8-minute runs, the realistic regime) it amortizes
         # and the measured efficiency is the extraction's (0.91)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir,
+                   GRAFT_BENCH_SKIP_QUERIES="1",
                    GRAFT_BENCH_FILES_PER_SF=os.environ.get(
                        "GRAFT_BENCH_FILES_PER_SF", "64000000"))
         out = subprocess.run(
