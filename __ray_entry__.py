@@ -138,6 +138,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mt_summarize": co.mt_summarize,
         "doc_split_counts": co.doc_split_counts,
         "doc_stratified_sample": co.doc_stratified_sample,
+        "doc_temperature_mixture": co.doc_temperature_mixture,
         "doc_source_mixture": co.doc_source_mixture,
         "doc_uniform_sample": co.doc_uniform_sample,
         "doc_top_terms": co.doc_top_terms,
@@ -214,6 +215,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_decontam": co.DECONTAM_SQL,
         "doc_split_counts": co.SPLIT_COUNTS_SQL,
         "doc_stratified_sample": co.STRATIFIED_SAMPLE_SQL,
+        "doc_temperature_mixture": co.TEMPERATURE_MIXTURE_SQL,
         "doc_source_mixture": co.SOURCE_MIXTURE_SQL,
         "doc_uniform_sample": co.UNIFORM_SAMPLE_SQL,
         "doc_top_terms": co.TOP_TERMS_SQL,

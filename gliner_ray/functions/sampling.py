@@ -176,3 +176,66 @@ def limit_per_group(
         return g.iloc[order.argsort().to_numpy()[:limit]]
 
     return ds.groupby(group_col).map_groups(head, batch_format="pandas")
+
+
+def temperature_mixture_sample(
+    ds: "ray.data.Dataset",
+    stratum_col: str,
+    key_col: str,
+    total_k: int,
+    tau: float = 0.5,
+    salt: str = "temp",
+) -> "ray.data.Dataset":
+    """Temperature-scaled mixture sampling — the multi-source
+    data-mixing op of LLM corpus construction (sample source i with
+    probability ∝ n_i^τ; τ<1 up-weights small sources, the standard
+    multilingual-mixing trick): per-source targets
+    ``k_s = floor(total_k · n_s^τ / Σ n^τ)`` from one metadata-sized
+    count pass, then a deterministic md5-ranked bottom-k_s per source
+    (same seeded-draw semantics as :func:`stratified_sample`, variable
+    k). τ = 0.5 keeps the weights IEEE-exactly SQL-expressible
+    (``sqrt`` is correctly rounded in both engines; a general ``pow``
+    is not guaranteed to be).
+
+    Scale shape: counts are a tiny groupby; the sample pass ships at
+    most ``k_s × blocks`` pre-trimmed rows per source into one
+    stratum-keyed groupby."""
+    import math
+
+    from ray.data.aggregate import Count
+
+    counts = {
+        r[stratum_col]: r["n"]
+        for r in ds.groupby(stratum_col)
+        .aggregate(Count(alias_name="n"))
+        .take_all()  # sources are dimension-sized
+    }
+    if tau == 0.5:
+        w = {s: math.sqrt(n) for s, n in counts.items()}
+    else:
+        w = {s: float(n) ** tau for s, n in counts.items()}
+    denom = sum(w[s] for s in sorted(w))
+    k_map = {s: int(math.floor(total_k * w[s] / denom)) for s in w}
+    max_k = max(k_map.values(), default=0)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["_rk"] = [
+            hashlib.md5(f"{salt}:{v}".encode()).hexdigest() for v in df[key_col]
+        ]
+        df = df.sort_values(["_rk", key_col])
+        pos = df.groupby(stratum_col, sort=False).cumcount()
+        keep = pos.to_numpy() < df[stratum_col].map(k_map).fillna(0).to_numpy()
+        return pa.Table.from_pandas(df[keep], preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        k = k_map.get(g[stratum_col].iloc[0], 0)
+        return (
+            g.sort_values(["_rk", key_col]).head(k).drop(columns=["_rk"])
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(stratum_col)
+        .map_groups(final, batch_format="pandas")
+    )

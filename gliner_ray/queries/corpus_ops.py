@@ -879,6 +879,40 @@ def doc_stratified_sample(sf_dir: str, n_per_stratum: int = 25):
     )
 
 
+def doc_temperature_mixture(sf_dir: str, total_k: int = 100):
+    """Temperature-scaled (τ=0.5) source-mixture sample over the
+    documents table — per-source targets ∝ sqrt(n_source), drawn with
+    the deterministic md5 rank (see
+    ``functions.sampling.temperature_mixture_sample``). Exact DuckDB
+    oracle: sqrt is correctly rounded in both engines, and the draw is
+    the same ROW_NUMBER-over-md5 as the stratified sampler."""
+    from ..functions.sampling import temperature_mixture_sample
+
+    return temperature_mixture_sample(
+        _docs(sf_dir, ["doc_id", "source"]), "source", "doc_id", total_k
+    )
+
+
+TEMPERATURE_MIXTURE_SQL = """
+WITH cnt AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+), tgt AS (
+  SELECT source,
+         CAST(FLOOR(100 * sqrt(n) / (SELECT SUM(sqrt(n)) FROM cnt)) AS BIGINT) AS k
+  FROM cnt
+), ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('temp:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.source FROM ranked r JOIN tgt USING (source)
+WHERE r.rn <= tgt.k
+"""
+
+
 STRATIFIED_SAMPLE_SQL = """
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
