@@ -219,6 +219,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_source_mixture": co.SOURCE_MIXTURE_SQL,
         "doc_uniform_sample": co.UNIFORM_SAMPLE_SQL,
         "doc_top_terms": co.TOP_TERMS_SQL,
+        "doc_heavy_terms": co.HEAVY_TERMS_SQL,
         "doc_exact_dedup": co.EXACT_DEDUP_SQL,
         "doc_segment_dedup": co.SEGMENT_DEDUP_SQL,
         "q_user_item_degree": go.USER_ITEM_DEGREE_SQL,

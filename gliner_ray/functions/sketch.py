@@ -284,3 +284,62 @@ def heavy_hitters(
             "est_count": pa.array(ests[keep], pa.int64()),
         }
     )
+
+
+def heavy_hitters_exact(
+    ds: "ray.data.Dataset",
+    col: str,
+    phi: float = 0.001,
+    d: int = 4,
+    w: int = 2048,
+    candidates_per_block: int = 64,
+) -> pa.Table:
+    """EXACT heavy hitters (GROUP BY value HAVING COUNT(*) ≥ phi·n
+    semantics) without ever keying a shuffle on the value column:
+
+    1. the CMS pass (:func:`heavy_hitters`) prunes to a candidate
+       SUPERSET — its guarantee is no false negatives, CMS only
+       over-counts — bounded by ~1/phi values plus sketch noise;
+    2. one more streaming pass recounts ONLY the candidates exactly
+       (the candidate set rides the task closure — broadcast-small),
+       emitting ≤ |candidates|+1 partial rows per batch; a tiny
+       groupby sums them and the true ≥ phi·n filter applies to the
+       EXACT counts.
+
+    The second pass also re-derives n exactly (a reserved ""-key
+    partial row), so the threshold is exact too."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    approx = heavy_hitters(ds, col, phi, d, w, candidates_per_block)
+    cand = set(approx["value"].to_pylist())
+
+    def recount(t: pa.Table) -> pa.Table:
+        vals = t[col].to_pylist()
+        c = Counter(v for v in vals if v in cand)
+        keys = list(c.keys()) + [""]  # "" = the batch-n sentinel
+        cnts = [c[k] for k in c] + [len(vals)]
+        return pa.table(
+            {"value": pa.array(keys, pa.string()),
+             "cnt": pa.array(cnts, pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(recount, batch_format="pyarrow", batch_size=131072)
+        .groupby("value")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()  # ≤ |candidates|+1 rows
+    )
+    n = next((r["cnt"] for r in agg if r["value"] == ""), 0)
+    kept = sorted(
+        (r["value"], r["cnt"])
+        for r in agg
+        if r["value"] != "" and r["cnt"] >= phi * n
+    )
+    return pa.table(
+        {
+            "value": pa.array([v for v, _ in kept], pa.string()),
+            "n_count": pa.array([c for _, c in kept], pa.int64()),
+        }
+    )

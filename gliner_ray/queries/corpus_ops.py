@@ -594,15 +594,14 @@ def media_features(sf_dir: str):
 
 
 def doc_heavy_terms(sf_dir: str, phi: float = 0.005):
-    """Approximate heavy-hitter terms (Count-Min + per-block candidate
-    union — `functions/sketch.heavy_hitters`): frequent corpus terms
-    found with NO term-keyed shuffle; every block contributes one
-    fixed-size sketch row. Deterministic (sums + fixed hashes);
-    rows-only here, accuracy pinned by pytest (all true ≥ phi·n terms
-    present, estimates ≥ true counts)."""
+    """EXACT heavy-hitter terms (GROUP BY term HAVING count ≥ phi·n
+    semantics) with no term-keyed shuffle of the corpus: the Count-Min
+    pass prunes to a no-false-negative candidate superset, a second
+    streaming pass recounts only the candidates exactly
+    (`functions/sketch.heavy_hitters_exact`). Exact DuckDB oracle."""
     import pyarrow as pa_
 
-    from ..functions.sketch import heavy_hitters
+    from ..functions.sketch import heavy_hitters_exact
 
     def explode(t: pa_.Table) -> pa_.Table:
         terms: list[str] = []
@@ -611,7 +610,18 @@ def doc_heavy_terms(sf_dir: str, phi: float = 0.005):
         return pa_.table({"term": pa_.array(terms, pa_.string())})
 
     terms_ds = _docs(sf_dir, ["text"]).map_batches(explode, batch_format="pyarrow")
-    return heavy_hitters(terms_ds, "term", phi=phi)
+    return heavy_hitters_exact(terms_ds, "term", phi=phi)
+
+
+HEAVY_TERMS_SQL = """
+WITH t AS (
+  SELECT lower(w) AS term
+  FROM documents, unnest(regexp_extract_all(text, '[A-Za-z][A-Za-z]+')) AS u(w)
+)
+SELECT term AS value, CAST(COUNT(*) AS BIGINT) AS n_count
+FROM t GROUP BY term
+HAVING COUNT(*) >= 0.005 * (SELECT COUNT(*) FROM t)
+"""
 
 
 def media_near_dups(sf_dir: str):

@@ -755,6 +755,23 @@ class TestCountMin:
         # nothing from the tail clears 5% of 4000
         assert all(v.startswith("hot") for v in got)
 
+    def test_heavy_hitters_exact_counts_and_threshold(self, ray_session):
+        """heavy_hitters_exact returns TRUE counts (not CMS estimates)
+        and applies the phi*n threshold to them — partition-layout
+        invariant."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gliner_ray.functions.sketch import heavy_hitters_exact
+
+        vals = ["hot"] * 40 + ["warm"] * 12 + [f"cold{i}" for i in range(48)]
+        t = pa.table({"v": pa.array(vals, pa.string())})
+        for parts in (1, 7):
+            ds = rd.from_arrow(t).repartition(parts)
+            out = heavy_hitters_exact(ds, "v", phi=0.1).to_pandas()
+            got = dict(zip(out["value"], out["n_count"]))
+            assert got == {"hot": 40, "warm": 12}  # exact, cold* below 10%
+
     def test_heavy_hitters_deterministic_across_layouts(self, ray_session):
         import ray.data as rd
 
