@@ -739,6 +739,50 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000
 """
 
 
+def q_customers_no_urgent_orders(sf_dir: str, num_partitions: int = 8):
+    """DISTRIBUTED anti join — the shape for when NEITHER side fits a
+    broadcast (unlike :func:`q_customers_without_big_orders`'s
+    broadcast NOT IN): customers LEFT hash-join the distinct keys of
+    the urgent-order side (per-batch filter + ``pc.unique`` combiner
+    shrinks the shuffle), keep rows with a null right side. Both sides
+    move exactly once, partitioned on the key."""
+    from ray.data.aggregate import Count
+
+    from ..functions.joins import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    urgent = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .map_batches(
+            lambda t: pa.table(
+                {"o_custkey": pc.unique(
+                    t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))["o_custkey"]
+                )}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n"))
+    )
+    joined = hash_join(
+        cust, urgent, "c_custkey", "o_custkey",
+        num_partitions=num_partitions, how="left",
+    )
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_null(t["n"])).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+
+
+CUSTOMERS_NO_URGENT_SQL = """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+"""
+
+
 # ------------------------------------------------------- as-of join
 
 
