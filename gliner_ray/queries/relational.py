@@ -2864,13 +2864,12 @@ def _order_global_rank(sf_dir: str, n_bins: int = 1024):
     }
 
     def binned(t: pa.Table) -> pa.Table:
-        p = t["prio"].to_pylist()
+        # vectorized per-row bin assignment: dict maps via pd.Series.map
+        # (C level), integer arithmetic in numpy — no Python row loop
+        p = pd.Series(t["prio"].to_pylist())
         e = t["enc"].to_numpy(zero_copy_only=False)
-        pid = np.fromiter((prio_id[x] for x in p), np.int64, len(p))
-        b = np.fromiter(
-            ((e[i] - lo[p[i]]) // width[p[i]] for i in range(len(p))),
-            np.int64, len(p),
-        )
+        pid = p.map(prio_id).to_numpy(np.int64)
+        b = (e - p.map(lo).to_numpy(np.int64)) // p.map(width).to_numpy(np.int64)
         return pa.table(
             {"pb": pa.array(pid * n_bins + b, pa.int64()), "enc": t["enc"]}
         )
