@@ -75,6 +75,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "q_events_pivot": rel.q_events_pivot,
         "q_lineitem_unpivot": rel.q_lineitem_unpivot,
         "q_qty_rollup": rel.q_qty_rollup,
+        "q_qty_grouping_sets": rel.q_qty_grouping_sets,
         "q_qty_cube": rel.q_qty_cube,
         "q_user_event_gaps": rel.q_user_event_gaps,
         "q_user_cumulative_spend": rel.q_user_cumulative_spend,
@@ -183,6 +184,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_pivot": rel.EVENTS_PIVOT_SQL,
         "q_lineitem_unpivot": rel.LINEITEM_UNPIVOT_SQL,
         "q_qty_rollup": rel.QTY_ROLLUP_SQL,
+        "q_qty_grouping_sets": rel.QTY_GROUPING_SETS_SQL,
         "q_qty_cube": rel.QTY_CUBE_SQL,
         "q_user_event_gaps": rel.USER_EVENT_GAPS_SQL,
         "q_user_cumulative_spend": rel.USER_CUMULATIVE_SPEND_SQL,

@@ -1627,6 +1627,61 @@ def q_qty_rollup(sf_dir: str):
     return out[["l_returnflag", "l_linestatus", "sum_qty"]]
 
 
+def q_qty_grouping_sets(sf_dir: str):
+    """GROUPING SETS with ARBITRARY (non-hierarchical) sets —
+    ((returnflag, linestatus), (ship_month)) — the construct ROLLUP/CUBE
+    can't express: one fact-table pass groups by the UNION of all set
+    columns (flags × statuses × months — still group-sized), then each
+    requested set re-aggregates that tiny result driver-side. NULL
+    keys COALESCEd to 'ALL' on both engines."""
+    from ray.data.aggregate import Sum
+
+    def qty(t: pa.Table) -> pa.Table:
+        months = pc.strftime(t["l_shipdate"], format="%Y-%m")
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "ship_month": months,
+                "qty": _floor_units(t["l_quantity"], 1),
+            }
+        )
+
+    fine = (
+        _read(
+            sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_shipdate", "l_quantity"],
+        )
+        .map_batches(qty, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus", "ship_month"])
+        .aggregate(Sum("qty", alias_name="sum_qty"))
+        .to_pandas()  # group-sized: flags x statuses x months rows
+    )
+    set1 = (
+        fine.groupby(["l_returnflag", "l_linestatus"], as_index=False)["sum_qty"]
+        .sum()
+        .assign(ship_month="ALL")
+    )
+    set2 = (
+        fine.groupby("ship_month", as_index=False)["sum_qty"]
+        .sum()
+        .assign(l_returnflag="ALL", l_linestatus="ALL")
+    )
+    out = pd.concat([set1, set2], ignore_index=True)
+    out["sum_qty"] = out["sum_qty"].astype("int64")
+    return out[["l_returnflag", "l_linestatus", "ship_month", "sum_qty"]]
+
+
+QTY_GROUPING_SETS_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       COALESCE(strftime(l_shipdate, '%Y-%m'), 'ALL') AS ship_month,
+       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (strftime(l_shipdate, '%Y-%m')))
+"""
+
+
 QTY_ROLLUP_SQL = """
 SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
        COALESCE(l_linestatus, 'ALL') AS l_linestatus,
