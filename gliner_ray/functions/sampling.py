@@ -199,7 +199,14 @@ def temperature_mixture_sample(
 
     Scale shape: counts are a tiny groupby; the sample pass ships at
     most ``k_s × blocks`` pre-trimmed rows per source into one
-    stratum-keyed groupby."""
+    stratum-keyed groupby.
+
+    Note: targets are floored, so the total drawn is
+    ``Σ floor(total_k·w_s/Σw)`` — up to ``len(sources) − 1`` rows
+    short of ``total_k``. The floor rule (rather than a
+    largest-remainder top-up) is what keeps the per-source target an
+    exact closed form both engines compute identically, which is what
+    the SQL oracle pins."""
     import math
 
     from ray.data.aggregate import Count
@@ -216,7 +223,6 @@ def temperature_mixture_sample(
         w = {s: float(n) ** tau for s, n in counts.items()}
     denom = sum(w[s] for s in sorted(w))
     k_map = {s: int(math.floor(total_k * w[s] / denom)) for s in w}
-    max_k = max(k_map.values(), default=0)
 
     def partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()

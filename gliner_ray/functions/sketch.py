@@ -18,6 +18,7 @@ associative+commutative), which is what lets tests pin exact outputs.
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import TYPE_CHECKING
 
 import numpy as np
@@ -226,27 +227,34 @@ def heavy_hitters(
     phi: float = 0.001,
     d: int = 4,
     w: int = 2048,
-    candidates_per_block: int = 64,
+    candidates_per_block: int | None = None,
 ) -> pa.Table:
-    """Approximate heavy hitters of ``col``: values with frequency
-    ≥ phi·n, found without any value-keyed shuffle.
+    """Approximate heavy hitters of ``col``: non-null values with
+    frequency ≥ phi·n (n = COUNT(col), nulls excluded), found without
+    any value-keyed shuffle.
 
     Every block emits ONE row — its CMS partial (d×w int64, fixed
     size) plus its local top-``candidates_per_block`` values with
     in-block counts. The driver sums the sketches (order-independent),
     unions the candidate sets, and keeps candidates whose CMS estimate
-    clears the threshold. Guarantee: any value with true frequency
-    ≥ phi·n is a top value of at least one block it appears in (true
-    count ≥ its in-block count somewhere ≥ block_n·phi for some block),
-    so with ``candidates_per_block ≥ 1/phi_block`` the candidate union
-    contains every true heavy hitter; CMS only over-counts, so no true
-    hitter is dropped at the threshold either. Output estimates are
-    deterministic (sums + fixed hashes).
+    clears the threshold. Candidate-recall guarantee: a value with
+    true global frequency ≥ phi·n has, in at least one block, an
+    in-block frequency ≥ phi·n_block (else its total would be
+    < phi·Σn_block), and a block holds at most ⌈1/phi⌉ values at that
+    in-block frequency — so ``candidates_per_block ≥ ⌈1/phi⌉``
+    (the default) makes the candidate union contain every true heavy
+    hitter; CMS only over-counts, so none is dropped at the threshold
+    either. A smaller explicit ``candidates_per_block`` trades recall
+    for partial-row size and loses that guarantee. Output estimates
+    are deterministic (sums + fixed hashes).
     """
     import pandas as pd
 
+    if candidates_per_block is None:
+        candidates_per_block = int(math.ceil(1.0 / phi))
+
     def partial(t: pa.Table) -> pa.Table:
-        vals = pd.Series(t[col].to_pylist())
+        vals = t[col].to_pandas().dropna()
         counts = vals.value_counts()
         sk = CountMin(d, w).add_hashes(
             hash_column(pa.array(list(counts.index), pa.string())),
@@ -292,50 +300,68 @@ def heavy_hitters_exact(
     phi: float = 0.001,
     d: int = 4,
     w: int = 2048,
-    candidates_per_block: int = 64,
+    candidates_per_block: int | None = None,
 ) -> pa.Table:
-    """EXACT heavy hitters (GROUP BY value HAVING COUNT(*) ≥ phi·n
-    semantics) without ever keying a shuffle on the value column:
+    """EXACT heavy hitters (GROUP BY value HAVING COUNT(col) ≥ phi·n
+    semantics, n = non-null count) without ever keying a shuffle on
+    the value column:
 
     1. the CMS pass (:func:`heavy_hitters`) prunes to a candidate
-       SUPERSET — its guarantee is no false negatives, CMS only
-       over-counts — bounded by ~1/phi values plus sketch noise;
+       SUPERSET — no false negatives REQUIRES
+       ``candidates_per_block ≥ ⌈1/phi⌉`` (the default; see the recall
+       argument in :func:`heavy_hitters`), so an explicit smaller
+       value raises rather than silently dropping true hitters;
     2. one more streaming pass recounts ONLY the candidates exactly
        (the candidate set rides the task closure — broadcast-small),
        emitting ≤ |candidates|+1 partial rows per batch; a tiny
        groupby sums them and the true ≥ phi·n filter applies to the
        EXACT counts.
 
-    The second pass also re-derives n exactly (a reserved ""-key
-    partial row), so the threshold is exact too."""
-    from collections import Counter
-
+    The second pass also re-derives n exactly via a sentinel partial
+    row flagged by a separate ``is_n`` column (never a reachable value
+    of ``col``), so "" and nulls in the data cannot corrupt it."""
     from ray.data.aggregate import Sum
+
+    min_cand = int(math.ceil(1.0 / phi))
+    if candidates_per_block is None:
+        candidates_per_block = min_cand
+    elif candidates_per_block < min_cand:
+        raise ValueError(
+            f"heavy_hitters_exact(phi={phi}) needs candidates_per_block"
+            f" >= ceil(1/phi) = {min_cand} for the no-false-negative"
+            f" guarantee; got {candidates_per_block}. Use"
+            f" heavy_hitters() if approximate recall is acceptable."
+        )
 
     approx = heavy_hitters(ds, col, phi, d, w, candidates_per_block)
     cand = set(approx["value"].to_pylist())
 
     def recount(t: pa.Table) -> pa.Table:
-        vals = t[col].to_pylist()
-        c = Counter(v for v in vals if v in cand)
-        keys = list(c.keys()) + [""]  # "" = the batch-n sentinel
-        cnts = [c[k] for k in c] + [len(vals)]
+        vals = t[col].to_pandas().dropna()
+        vc = vals[vals.isin(cand)].value_counts()
         return pa.table(
-            {"value": pa.array(keys, pa.string()),
-             "cnt": pa.array(cnts, pa.int64())}
+            {
+                "value": pa.array(
+                    [str(v) for v in vc.index] + [""], pa.string()
+                ),
+                "cnt": pa.array(
+                    list(vc.to_numpy()) + [int(len(vals))], pa.int64()
+                ),
+                "is_n": pa.array([False] * len(vc) + [True], pa.bool_()),
+            }
         )
 
     agg = (
         ds.map_batches(recount, batch_format="pyarrow", batch_size=131072)
-        .groupby("value")
+        .groupby(["value", "is_n"])
         .aggregate(Sum("cnt", alias_name="cnt"))
         .take_all()  # ≤ |candidates|+1 rows
     )
-    n = next((r["cnt"] for r in agg if r["value"] == ""), 0)
+    n = next((r["cnt"] for r in agg if r["is_n"]), 0)
     kept = sorted(
         (r["value"], r["cnt"])
         for r in agg
-        if r["value"] != "" and r["cnt"] >= phi * n
+        if not r["is_n"] and r["cnt"] >= phi * n
     )
     return pa.table(
         {

@@ -889,6 +889,11 @@ class NumpySpanModel:
 
         with open(os.path.join(model_dir, "config.json")) as f:
             cfg = json.load(f)
+        # Checkpoints written before the BPE tokenizer existed carry no
+        # "subword" key; they were tokenized with "chunk" at save time,
+        # so reloading them must NOT pick up the newer "bpe" default
+        # (the reference keeps tokenizer config with the checkpoint).
+        cfg.setdefault("subword", "chunk")
         model = cls(**cfg)
         arrays = np.load(os.path.join(model_dir, "model.npz"))
         f32 = lambda a: a.astype(np.float32, copy=False)  # noqa: E731

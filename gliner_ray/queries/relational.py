@@ -3052,11 +3052,26 @@ FROM orders
 def q_flag_price_corr(sf_dir: str):
     """CORR(l_extendedprice, l_quantity) per returnflag — the two-pass
     moment formula as a single streaming pass of fixed-size partials
-    (n, Σx, Σy, Σx², Σy², Σxy per flag per batch) and one tiny groupby.
+    (n, Σx', Σy', Σx'², Σy'², Σx'y' per flag per batch) and one tiny
+    groupby, where x' = x − px, y' = y − py for a constant pivot
+    sampled from the first parquet row group. CORR is invariant to
+    per-column constant shifts, and a pivot within a few std of the
+    mean keeps the moment differences O(σ²·n) instead of O(μ²·n) —
+    the naive unshifted form cancels catastrophically once μ/σ is
+    large (ADVICE r3), e.g. prices ~1e4 at big scale factors.
     Rounded to 5 dp on BOTH sides: the sums are float64 and the
-    combine order differs between engines, so agreement holds to
-    ~1e-10 relative — far inside 5 dp for a value bounded by 1."""
+    combine order differs between engines, so agreement holds far
+    inside 5 dp for a value bounded by 1."""
+    import pyarrow.parquet as pq
     from ray.data.aggregate import Sum
+
+    # Constant pivots from the first row group only — metadata-scale
+    # read, identical for every batch so the shifted sums stay
+    # Sum-combinable. Any constant is exact; nearby-mean is stable.
+    pf = pq.ParquetFile(f"{sf_dir}/lineitem.parquet")
+    head = pf.read_row_group(0, columns=["l_extendedprice", "l_quantity"])
+    px = float(np.mean(head["l_extendedprice"].to_numpy(zero_copy_only=False)))
+    py = float(np.mean(head["l_quantity"].to_numpy(zero_copy_only=False)))
 
     ds = _read(
         sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"]
@@ -3066,8 +3081,8 @@ def q_flag_price_corr(sf_dir: str):
         df = pd.DataFrame(
             {
                 "f": t["l_returnflag"].to_pylist(),
-                "x": t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64),
-                "y": t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64),
+                "x": t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64) - px,
+                "y": t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64) - py,
             }
         )
         df["xx"] = df["x"] * df["x"]

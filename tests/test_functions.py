@@ -784,6 +784,54 @@ class TestCountMin:
             zip(b["value"], b["est_count"])
         )
 
+    def test_heavy_hitters_exact_spread_hitter_not_dropped(self, ray_session):
+        """ADVICE-high regression: a true heavy hitter spread evenly
+        across blocks where EVERY block has many locally-hotter values
+        must survive the candidate pass. With the old fixed default
+        (candidates_per_block=64 < 1/phi) this returned empty; the
+        ceil(1/phi) default restores the no-false-negative guarantee."""
+        import ray.data as rd
+
+        from gliner_ray.functions.sketch import heavy_hitters_exact
+
+        parts = 8
+        rows = []
+        for b in range(parts):
+            # 100 block-local values, 3 copies each (locally hotter) ...
+            rows += [f"blk{b}_loc{i}" for i in range(100) for _ in range(3)]
+            # ... plus 2 copies of the globally-heavy value per block
+            rows += ["global_hot"] * 2
+        t = pa.table({"v": pa.array(rows, pa.string())})
+        n = len(rows)
+        phi = 14 / n  # global_hot has 16 >= phi*n; locals have 3 each
+        ds = rd.from_arrow(t).repartition(parts)
+        out = heavy_hitters_exact(ds, "v", phi=phi).to_pandas()
+        got = dict(zip(out["value"], out["n_count"]))
+        assert got.get("global_hot") == 2 * parts
+
+    def test_heavy_hitters_exact_rejects_low_candidate_budget(self, ray_session):
+        import ray.data as rd
+
+        from gliner_ray.functions.sketch import heavy_hitters_exact
+
+        ds = rd.from_arrow(pa.table({"v": pa.array(["a", "b"], pa.string())}))
+        with pytest.raises(ValueError, match="candidates_per_block"):
+            heavy_hitters_exact(ds, "v", phi=0.001, candidates_per_block=64)
+
+    def test_heavy_hitters_exact_empty_string_and_nulls(self, ray_session):
+        """ADVICE-low regression: '' is a reportable value (no sentinel
+        collision) and nulls are excluded from n."""
+        import ray.data as rd
+
+        from gliner_ray.functions.sketch import heavy_hitters_exact
+
+        vals = [""] * 40 + ["x"] * 40 + [None] * 100 + [f"t{i}" for i in range(20)]
+        ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.string())})).repartition(3)
+        # n = 100 non-null; phi=0.3 keeps '' and 'x' (40 each)
+        out = heavy_hitters_exact(ds, "v", phi=0.3).to_pandas()
+        got = dict(zip(out["value"], out["n_count"]))
+        assert got == {"": 40, "x": 40}
+
 
 class TestHyperLogLog:
     def test_estimate_within_tolerance(self):

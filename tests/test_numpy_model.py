@@ -235,6 +235,26 @@ class TestCheckpoint:
         toks = [["one", "two", "three", "four"]]
         np.testing.assert_allclose(m.forward(toks)[0], m2.forward(toks)[0])
 
+    def test_legacy_checkpoint_defaults_to_chunk_tokenizer(self, tmp_path):
+        """ADVICE-medium regression: checkpoints written before the BPE
+        tokenizer existed have no "subword" key in config.json; loading
+        them must restore the "chunk" tokenizer they were saved with,
+        not the newer "bpe" default."""
+        import json
+        import os
+
+        m = NumpySpanModel(LABELS, hidden_size=32, max_width=4, seed=7)
+        d = m.save(str(tmp_path / "ckpt_legacy"))
+        cfg_path = os.path.join(d, "config.json")
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+        assert cfg["subword"] == m.subword  # new saves record it
+        del cfg["subword"]  # simulate a pre-BPE checkpoint
+        with open(cfg_path, "w") as f:
+            json.dump(cfg, f)
+        m2 = NumpySpanModel.load(d)
+        assert m2.subword == "chunk"
+
 
 class TestBiLstm:
     def test_rnn_changes_outputs_and_is_deterministic(self):

@@ -190,3 +190,29 @@ def test_above_cust_avg_distributed_path_matches(con):
     a, b = _norm(rdf), _norm(odf)
     assert len(a) == len(b)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_flag_price_corr_large_magnitude_stable(tmp_path, ray_session):
+    """ADVICE-low regression: the naive n·Sxy − Sx·Sy moment formula
+    cancels catastrophically when |mean| >> std. With prices shifted
+    to ~1e9 the pivoted implementation must still match numpy's
+    stable corrcoef to 5 dp (shift-invariance of CORR)."""
+    import numpy as np
+
+    from gliner_ray.queries import relational as rel
+
+    rng = np.random.RandomState(11)
+    n = 20_000
+    q = rng.randint(1, 50, size=n).astype(np.float64)
+    price = 1e9 + q * 3.0 + rng.normal(0, 5.0, size=n)  # corr ~ strong
+    flags = np.array(["A", "N", "R"])[rng.randint(0, 3, size=n)]
+    pd.DataFrame(
+        {"l_returnflag": flags, "l_extendedprice": price, "l_quantity": q}
+    ).to_parquet(tmp_path / "lineitem.parquet")
+
+    out = rel.q_flag_price_corr(str(tmp_path)).to_pandas()
+    got = dict(zip(out["l_returnflag"], out["corr_pq"]))
+    for f in "ANR":
+        m = flags == f
+        want = round(float(np.corrcoef(price[m], q[m])[0, 1]), 5)
+        assert got[f] == pytest.approx(want, abs=2e-5), (f, got[f], want)
