@@ -651,20 +651,28 @@ def _verify_pairs_adaptive(
     return verified
 
 
-def _clusters_table(
+# Driver-collect guard for the (doc_id, cluster_id) result: on a
+# dup-heavy corpus cluster membership is corpus-row-scale, so the
+# pa.Table convenience APIs refuse to collect past this many rows
+# (round-3 verdict item #2) — ask for the Dataset instead.
+CLUSTER_COLLECT_LIMIT = 5_000_000
+
+
+def _clusters_dataset(
     edges_ds: "ray.data.Dataset",
     cc_broadcast_limit: int | None = None,
     force_distributed: bool = False,
-) -> pa.Table:
-    """Verified edge Dataset → (doc_id, cluster_id) table, cluster_id
-    = min member id, one row per doc in a cluster of size ≥ 2.
+) -> "ray.data.Dataset":
+    """Verified edge Dataset → streaming (doc_id, cluster_id) Dataset,
+    cluster_id = min member id, one row per doc in a cluster of size
+    ≥ 2. Never materializes on the driver — on a dup-heavy 100-TB
+    corpus the membership table is corpus-row-scale.
 
     Routed through the GUARDED dual-path components engine
     (``functions/graph.connected_components``): under the edge-count
     guard the edges union-find on the driver; above it (a dup-heavy
     corpus can have O(corpus) edges) they min-label-propagate fully
-    distributed — round-2 verdict item #3. The (node, component)
-    result is output-sized either way."""
+    distributed — round-2 verdict item #3."""
     from .graph import CC_BROADCAST_LIMIT, connected_components
 
     comp = connected_components(
@@ -676,17 +684,47 @@ def _clusters_table(
         ),
         force_distributed=force_distributed,
     )
-    df = comp.to_pandas()
-    if len(df) == 0:  # fully-empty datasets can drop column names
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["node"].cast(pa.int64(), safe=False),
+                "cluster_id": t["component"].cast(pa.int64(), safe=False),
+            }
+        )
+
+    return comp.map_batches(rename, batch_format="pyarrow")
+
+
+def _clusters_table(
+    edges_ds: "ray.data.Dataset",
+    cc_broadcast_limit: int | None = None,
+    force_distributed: bool = False,
+    collect_limit: int = CLUSTER_COLLECT_LIMIT,
+) -> pa.Table:
+    """:func:`_clusters_dataset` collected to a ``pa.Table`` (sorted by
+    doc_id) UNDER A ROW-COUNT GUARD — raises past ``collect_limit``
+    instead of OOMing the driver; stream the Dataset variant then."""
+    comp = _clusters_dataset(
+        edges_ds, cc_broadcast_limit, force_distributed
+    ).materialize()  # object-store-resident; count() is then metadata
+    n = comp.count()
+    if n == 0:  # fully-empty datasets can drop column names
         return pa.table(
             {"doc_id": pa.array([], pa.int64()),
              "cluster_id": pa.array([], pa.int64())}
         )
-    df = df.sort_values("node", ignore_index=True)
+    if n > collect_limit:
+        raise ValueError(
+            f"near-dup cluster table has {n} rows, past the driver-"
+            f"collect guard ({collect_limit}); call with"
+            f" as_dataset=True and stream the result instead."
+        )
+    df = comp.to_pandas().sort_values("doc_id", ignore_index=True)
     return pa.table(
         {
-            "doc_id": pa.array(df["node"].to_numpy(), pa.int64()),
-            "cluster_id": pa.array(df["component"].to_numpy(), pa.int64()),
+            "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+            "cluster_id": pa.array(df["cluster_id"].to_numpy(), pa.int64()),
         }
     )
 
@@ -700,16 +738,22 @@ def minhash_dedup(
     pair_broadcast_limit: int = 50_000,
     cc_broadcast_limit: int | None = None,
     force_distributed_cc: bool = False,
-) -> pa.Table:
+    as_dataset: bool = False,
+) -> "pa.Table | ray.data.Dataset":
     """Full near-dup pipeline. Returns (doc_id, cluster_id) for docs in
     a near-dup cluster of size ≥ 2 (cluster_id = min member id).
 
     Verification is adaptive — see :func:`_verify_pairs_adaptive`;
     cluster formation is the guarded dual-path components engine — see
-    :func:`_clusters_table`.
+    :func:`_clusters_dataset`. ``as_dataset=True`` streams the
+    membership table (the 100-TB path — on a dup-heavy corpus it is
+    corpus-row-scale); the default ``pa.Table`` collect is guarded by
+    ``CLUSTER_COLLECT_LIMIT``.
     """
     pairs_ds = minhash_candidate_pairs(ds, num_perm, bands, ngram, distinct=False)
     edges = _verify_pairs_adaptive(ds, pairs_ds, threshold, ngram, pair_broadcast_limit)
+    if as_dataset:
+        return _clusters_dataset(edges, cc_broadcast_limit, force_distributed_cc)
     return _clusters_table(edges, cc_broadcast_limit, force_distributed_cc)
 
 
@@ -778,7 +822,8 @@ def ngram_jaccard_dups(
     pair_broadcast_limit: int = 50_000,
     cc_broadcast_limit: int | None = None,
     force_distributed_cc: bool = False,
-) -> pa.Table:
+    as_dataset: bool = False,
+) -> "pa.Table | ray.data.Dataset":
     """Exact n-gram Jaccard near-dup clustering with anchor-gram
     blocking (no probabilistic sketch in the verify step).
 
@@ -786,8 +831,10 @@ def ngram_jaccard_dups(
     coarse int-partition bucket grouping as MinHash (anchor hash ≡ LSH
     bucket key, so ``_grouped_bucket_pairs`` is reused verbatim) →
     adaptive distributed Jaccard verification → guarded dual-path
-    cluster formation (:func:`_clusters_table`). Returns
-    (doc_id, cluster_id) rows for clusters of size ≥ 2.
+    cluster formation (:func:`_clusters_dataset`). Returns
+    (doc_id, cluster_id) rows for clusters of size ≥ 2;
+    ``as_dataset=True`` streams them (guarded collect otherwise, see
+    :func:`minhash_dedup`).
     """
     kwargs = {"ngram": ngram, "sample_mod": sample_mod}
     index = ds.map_batches(
@@ -797,6 +844,8 @@ def ngram_jaccard_dups(
     )
     pairs_ds = _grouped_bucket_pairs(index)
     edges = _verify_pairs_adaptive(ds, pairs_ds, threshold, ngram, pair_broadcast_limit)
+    if as_dataset:
+        return _clusters_dataset(edges, cc_broadcast_limit, force_distributed_cc)
     return _clusters_table(edges, cc_broadcast_limit, force_distributed_cc)
 
 

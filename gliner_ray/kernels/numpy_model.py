@@ -928,6 +928,33 @@ class NumpySpanModel:
                 obj.load_weights(arrays, f"{nm}.")
         return model
 
+    @classmethod
+    def from_safetensors(
+        cls,
+        path: str,
+        labels: list[str],
+        strict: bool = False,
+        **config,
+    ) -> tuple["NumpySpanModel", dict[str, list[str]]]:
+        """Build a model from a REFERENCE-format ``model.safetensors``
+        checkpoint (``GLiNER.save_pretrained`` output,
+        ``gliner/model.py:741-744``) with no torch/safetensors deps —
+        pure-numpy header+tensor parse and name mapping
+        (:mod:`~gliner_ray.kernels.safetensors_io`). Returns
+        ``(model, report)`` where report lists loaded / skipped /
+        missing keys; ``strict=True`` raises on any gap
+        (``gliner/model.py:876`` semantics)."""
+        import os
+
+        from .safetensors_io import load_reference_state, read_safetensors
+
+        if os.path.isdir(path):
+            path = os.path.join(path, "model.safetensors")
+        tensors, _meta = read_safetensors(path)
+        model = cls(labels, **config)
+        report = load_reference_state(model, tensors, strict=strict)
+        return model, report
+
     # ------------------------------------------------------ encoder-lite
     def _positions(self, T: int) -> np.ndarray:
         if self._pos_cache is None or self._pos_cache.shape[0] < T:

@@ -534,22 +534,26 @@ def kg_mentions_numpy(sf_dir: str):
     mentions = extract_mentions(
         read_files(corpus_dir, cfg), cfg, scorer_cls=NumpyGlinerScorer, fused=False
     )
-    out = mentions.select_columns(
+    # Returned as the streaming Dataset — no driver collect/sort
+    # (round-3 watch item; the driver's rows-only check and the pytest
+    # oracles don't depend on row order).
+    return mentions.select_columns(
         ["doc_sha256", "start", "end", "tok_start", "tok_end", "text", "label", "score"]
-    ).to_pandas()
-    return out.sort_values(
-        ["doc_sha256", "start", "end", "label"], kind="mergesort"
-    ).reset_index(drop=True)
+    )
 
 
 def kg_mentions_gen(sf_dir: str):
-    """Decoder-mode mention extraction over the synthetic corpus — the
-    ``GLiNER.run`` decoder-mode e2e analog (``gliner/model.py:405-413``):
-    numpy forward → span selection → trie-constrained greedy label
-    generation → sel_idx-aligned decode, emitting the SAME mentions
-    schema as the prompt-mode extractor plus ``gen_label`` (rows-only;
-    pytest pins span-set parity vs prompt-mode decode and gen_label
-    membership in the allowed label set)."""
+    """Decoder-mode mention extraction over the SAME synthesized
+    ``files`` corpus every other ``kg_*`` entry reads (shared
+    ``/tmp/gliner_ray_scratch/{tag}/files`` dir, input_hint shape) —
+    the ``GLiNER.run`` decoder-mode e2e analog
+    (``gliner/model.py:405-413``): numpy forward → span selection →
+    trie-constrained greedy label generation → sel_idx-aligned decode,
+    emitting the SAME mentions schema as the prompt-mode extractor
+    plus ``gen_label`` (rows-only; pytest pins span-set parity vs
+    prompt-mode decode and gen_label membership in the allowed label
+    set). Returns the streaming Dataset — no driver collect/sort
+    (round-3 watch item #4)."""
     from ..config import DEFAULT_CONFIG
     from ..corpus import write_corpus
     from ..pipelines.kg import read_files
@@ -558,7 +562,7 @@ def kg_mentions_gen(sf_dir: str):
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     corpus_dir = f"/tmp/gliner_ray_scratch/{tag}/files"
     write_corpus(corpus_dir, n_files=120, n_repos=15, seed=42)
-    mentions = read_files(corpus_dir, DEFAULT_CONFIG).map_batches(
+    return read_files(corpus_dir, DEFAULT_CONFIG).map_batches(
         GenMentionExtractor,
         fn_constructor_kwargs={
             "labels": ["function", "class", "library"],
@@ -568,10 +572,6 @@ def kg_mentions_gen(sf_dir: str):
         batch_size=32,
         concurrency=(1, 8),
     )
-    out = mentions.to_pandas()
-    return out.sort_values(
-        ["doc_sha256", "start", "end", "label"], kind="mergesort"
-    ).reset_index(drop=True)
 
 
 def media_features(sf_dir: str):

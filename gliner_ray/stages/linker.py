@@ -31,6 +31,7 @@ from __future__ import annotations
 from typing import TYPE_CHECKING
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import PipelineConfig
 from ..kernels.linking import link_variant_edges
@@ -190,8 +191,12 @@ def entity_map_distributed(
             .map_batches(
                 lambda t: pa.table(
                     {"c": pa.array(
-                        [sum(1 for a, b in zip(t["label"].to_pylist(),
-                                               t["old_label"].to_pylist()) if a != b)],
+                        [pc.sum(
+                            pc.cast(
+                                pc.not_equal(t["label"], t["old_label"]),
+                                pa.int64(),
+                            )
+                        ).as_py() or 0],
                         pa.int64())}
                 ),
                 batch_format="pyarrow",

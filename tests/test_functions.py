@@ -173,6 +173,43 @@ class TestMinHash:
         clusters = {r["doc_id"]: r["cluster_id"] for r in fast}
         assert clusters.get(1) == clusters.get(2) == clusters.get(4) == 1
 
+    def test_as_dataset_streams_and_matches_table(self):
+        """round-3 verdict item #2: the membership table is corpus-row-
+        scale on a dup-heavy corpus, so as_dataset=True must return a
+        streaming Dataset (no driver collect) identical in content to
+        the guarded table path — including through the forced
+        distributed components engine."""
+        import ray.data as rd
+
+        near = BASE.replace("winter", "spring")
+        rows = [(1, BASE), (2, near), (3, "other text entirely unrelated to anything"),
+                (4, BASE)]
+        table = fdedup.minhash_dedup(
+            _docs_ds(rows), threshold=0.7, force_distributed_cc=True
+        ).to_pylist()
+        streamed = fdedup.minhash_dedup(
+            _docs_ds(rows), threshold=0.7, force_distributed_cc=True,
+            as_dataset=True,
+        )
+        assert isinstance(streamed, rd.Dataset)
+        got = sorted(streamed.take_all(), key=lambda r: r["doc_id"])
+        assert got == table
+
+    def test_collect_guard_raises_past_limit(self):
+        """_clusters_table refuses a driver collect past collect_limit
+        instead of OOMing — callers must stream via as_dataset=True."""
+        import pytest as _pytest
+        import ray.data as rd
+
+        edges = rd.from_arrow(
+            pa.table({"id_a": pa.array([1, 3], pa.int64()),
+                      "id_b": pa.array([2, 4], pa.int64())})
+        )
+        with _pytest.raises(ValueError, match="as_dataset=True"):
+            fdedup._clusters_table(edges, collect_limit=1)
+        ok = fdedup._clusters_table(edges, collect_limit=10)
+        assert ok.num_rows == 4
+
 
 class TestNgramJaccard:
     def test_finds_planted_cluster_exact(self):
