@@ -260,6 +260,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_redact": co.PII_REDACT_SQL,
         "doc_repetition": co.REPETITION_SQL,
         "doc_decontam": co.DECONTAM_SQL,
+        "doc_fingerprint": co.FINGERPRINT_SQL,
+        "doc_packing": co.PACKING_SQL,
         "doc_split_counts": co.SPLIT_COUNTS_SQL,
         "doc_stratified_sample": co.STRATIFIED_SAMPLE_SQL,
         "doc_temperature_mixture": co.TEMPERATURE_MIXTURE_SQL,

@@ -159,10 +159,19 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
-    """Same job at two parallelism levels in fresh processes."""
-    results = {}
-    for n in (lo, hi):
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32,
+                repeats: int | None = None) -> dict:
+    """Same job at two parallelism levels in fresh processes.
+
+    Arms are INTERLEAVED (lo, hi, lo, hi, ...) and the reported
+    efficiency is the MEDIAN of the per-pair ratios (round-3 verdict
+    item #7): the sandbox VM sees background-load windows that can
+    sink a single arm by 15-30%; interleaving bounds how many pairs
+    one window can touch and the median discards it."""
+    if repeats is None:
+        repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+
+    def one_arm(n: int) -> dict:
         # default scaling corpus = 6.4M files: on a 45-second job the
         # fixed stage-2 tail (~6 s) caps the ratio at ~0.7; at 6.4M
         # files (~2/8-minute runs, the realistic regime) it amortizes
@@ -179,21 +188,37 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
             check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
-        results[n] = json.loads(out.strip().splitlines()[-1])
-    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
-    fps_lo, fps_hi = results[lo]["files_per_sec"], results[hi]["files_per_sec"]
-    eff = (t_lo / t_hi) / (hi / lo)
+        return json.loads(out.strip().splitlines()[-1])
+
+    pairs: list[tuple[dict, dict]] = []
+    for _ in range(max(1, repeats)):
+        r_lo = one_arm(lo)
+        r_hi = one_arm(hi)
+        pairs.append((r_lo, r_hi))
+    effs = sorted(
+        (p_lo["value"] / p_hi["value"]) / (hi / lo) for p_lo, p_hi in pairs
+    )
+    n = len(effs)
+    median_eff = (
+        effs[n // 2] if n % 2 else (effs[n // 2 - 1] + effs[n // 2]) / 2.0
+    )
+    t_lo = min(p[0]["value"] for p in pairs)
+    t_hi = min(p[1]["value"] for p in pairs)
     return {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": round(median_eff, 3),
         "unit": "ratio",
         "cpus_lo": lo,
         "cpus_hi": hi,
+        "repeats": len(pairs),
+        "per_pair_eff": [round(e, 3) for e in effs],
         f"sec_{lo}": t_lo,
         f"sec_{hi}": t_hi,
-        f"files_per_sec_{lo}": fps_lo,
-        f"files_per_sec_{hi}": fps_hi,
-        "sf": results[lo]["sf"],
+        f"sec_{lo}_runs": [p[0]["value"] for p in pairs],
+        f"sec_{hi}_runs": [p[1]["value"] for p in pairs],
+        f"files_per_sec_{lo}": max(p[0]["files_per_sec"] for p in pairs),
+        f"files_per_sec_{hi}": max(p[1]["files_per_sec"] for p in pairs),
+        "sf": pairs[0][0]["sf"],
     }
 
 

@@ -124,27 +124,49 @@ def sha256_fingerprint_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"doc_id": batch["doc_id"], "sha256": pa.array(shas, pa.string())})
 
 
+# Winnowing fingerprint constants: polynomial base, its modular
+# inverse mod 2^64 (257 is odd → invertible), shared VERBATIM with the
+# DuckDB oracle (corpus_ops.FINGERPRINT_SQL).
+FP_BASE = 257
+FP_BASE_INV = 18374966859414961921  # pow(257, -1, 2**64)
+
+
 def rolling_fingerprint_batch(batch: pa.Table, window: int = 32, keep: int = 8) -> pa.Table:
     """Winnowing-style document fingerprint: polynomial rolling hash
-    over char windows, keep the ``keep`` smallest hashes (a robust
-    near-dup sketch; Schleimer et al. winnowing, public algorithm)."""
+    over codepoint windows, keep the ``keep`` smallest DISTINCT hashes
+    (a robust near-dup sketch; Schleimer et al. winnowing, public
+    algorithm).
+
+    O(n) and fully vectorized via the prefix-sum identity
+    ``h_i = B^i · (S_i − S_{i−w}) mod 2^64`` with
+    ``S_i = Σ_{k≤i} c_k · B^{−k}`` — uint64 wraparound IS the modulus,
+    and 257 is odd so ``B^{−1}`` exists (same content-defined-hash
+    idiom as ``substring_dups``). Codepoint-based (not UTF-8 bytes) so
+    a SQL twin using ``ord(substr(...))`` reproduces every value
+    exactly. Docs shorter than the window hash whole
+    (``w = min(window, n)``); empty docs emit an empty list."""
+    B = np.uint64(FP_BASE)
+    texts = batch["text"].to_pylist()
+    maxn = max((len(t) for t in texts), default=0)
+    # shared power tables: pows[k] = B^k, ipows[k] = B^{-k} (mod 2^64)
+    pows = np.ones(maxn + 1, np.uint64)
+    ipows = np.ones(maxn + 1, np.uint64)
+    if maxn:
+        np.cumprod(np.full(maxn, B, np.uint64), out=pows[1:])
+        np.cumprod(np.full(maxn, np.uint64(FP_BASE_INV), np.uint64), out=ipows[1:])
     out = []
-    B, M = 257, (1 << 61) - 1
-    for t in batch["text"].to_pylist():
-        data = t.encode("utf-8", "ignore")
-        if len(data) < window:
-            hs = {int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")}
-        else:
-            h = 0
-            pw = pow(B, window - 1, M)
-            hs = set()
-            for i, c in enumerate(data):
-                if i >= window:
-                    h = (h - data[i - window] * pw) % M
-                h = (h * B + c) % M
-                if i >= window - 1:
-                    hs.add(h)
-        out.append(sorted(hs)[:keep])
+    for t in texts:
+        cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        n = len(cp)
+        if n == 0:
+            out.append([])
+            continue
+        w = min(window, n)
+        S = np.cumsum(cp * ipows[:n], dtype=np.uint64)
+        idx = np.arange(w - 1, n)
+        prev = np.where(idx >= w, S[np.maximum(idx - w, 0)], np.uint64(0))
+        h = pows[idx] * (S[idx] - prev)
+        out.append(np.unique(h)[:keep].tolist())
     return pa.table(
         {"doc_id": batch["doc_id"], "fingerprint": pa.array(out, pa.list_(pa.uint64()))}
     )

@@ -190,10 +190,85 @@ FROM r
 
 
 def doc_fingerprint(sf_dir: str):
-    """Winnowing rolling-hash fingerprints (rows-only)."""
+    """Winnowing rolling-hash fingerprints, exploded to one
+    (doc_id, fp) row per kept hash — exact DuckDB oracle
+    (round-3 verdict item #8): the rolling hash is a codepoint
+    polynomial mod 2^64 the SQL reproduces with UHUGEINT arithmetic
+    and the inlined modular inverse of the base."""
+    import pyarrow as pa_
+    import pyarrow.compute as pc_
+
+    def explode(t: pa_.Table) -> pa_.Table:
+        fp = ftext.rolling_fingerprint_batch(t)
+        lens = pc_.list_value_length(fp["fingerprint"]).to_numpy(
+            zero_copy_only=False
+        )
+        ids = fp["doc_id"].to_numpy(zero_copy_only=False).repeat(lens)
+        flat = pc_.list_flatten(fp["fingerprint"])
+        return pa_.table(
+            {"doc_id": pa_.array(ids, pa_.int64()),
+             "fp": flat.combine_chunks() if hasattr(flat, "combine_chunks") else flat}
+        )
+
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        ftext.rolling_fingerprint_batch, batch_format="pyarrow"
+        explode, batch_format="pyarrow"
     )
+
+
+# The fingerprint rolling hash in SQL: with B = 257 and BINV its
+# inverse mod 2^64 (functions/text.FP_BASE{,_INV}), the window hash at
+# end position i is h_i = B^i · (S_i − S_{i−w}) mod 2^64 where
+# S_i = Σ_{k≤i} c_k·B^{−k} (prefix sum) and w = least(32, n).
+# UHUGEINT (unsigned int128) carries the products — two uint64 factors
+# need the full 128 bits — and an explicit % 2^64 is the uint64
+# wraparound; only the final value is cast down to UBIGINT.
+FINGERPRINT_SQL = f"""
+WITH RECURSIVE pw(k, p, ip) AS (
+  SELECT 0, CAST(1 AS UHUGEINT), CAST(1 AS UHUGEINT)
+  UNION ALL
+  SELECT k + 1,
+         (p * {ftext.FP_BASE}) % CAST('18446744073709551616' AS UHUGEINT),
+         (ip * CAST('{ftext.FP_BASE_INV}' AS UHUGEINT))
+             % CAST('18446744073709551616' AS UHUGEINT)
+  FROM pw
+  WHERE k < (SELECT COALESCE(MAX(LENGTH(text)), 0) FROM documents)
+),
+chars AS (
+  SELECT doc_id, LENGTH(text) AS n,
+         UNNEST(RANGE(LENGTH(text))) AS i,
+         UNNEST([CAST(ORD(SUBSTR(text, CAST(j AS INT) + 1, 1)) AS UHUGEINT)
+                 FOR j IN RANGE(LENGTH(text))]) AS c
+  FROM documents
+),
+pref AS (
+  -- each term is reduced mod 2^64 first so the running SUM stays
+  -- under 553·2^64 < 2^74 and can ride signed HUGEINT (SUM(UHUGEINT)
+  -- degrades to DOUBLE in DuckDB 1.0, destroying the low bits)
+  SELECT ch.doc_id, ch.n, ch.i,
+         CAST(SUM(CAST((ch.c * pw.ip)
+                       % CAST('18446744073709551616' AS UHUGEINT)
+                       AS HUGEINT))
+              OVER (PARTITION BY ch.doc_id ORDER BY ch.i) AS UHUGEINT)
+             % CAST('18446744073709551616' AS UHUGEINT) AS s
+  FROM chars ch JOIN pw ON pw.k = ch.i
+),
+hashes AS (
+  SELECT cur.doc_id,
+         (pw.p * ((cur.s + CAST('18446744073709551616' AS UHUGEINT)
+                   - COALESCE(prv.s, 0))
+                  % CAST('18446744073709551616' AS UHUGEINT)))
+             % CAST('18446744073709551616' AS UHUGEINT) AS h
+  FROM pref cur
+  JOIN pw ON pw.k = cur.i
+  LEFT JOIN pref prv
+    ON prv.doc_id = cur.doc_id AND prv.i = cur.i - LEAST(32, cur.n)
+  WHERE cur.i >= LEAST(32, cur.n) - 1
+),
+dedup AS (SELECT DISTINCT doc_id, h FROM hashes)
+SELECT doc_id, CAST(h AS UBIGINT) AS fp
+FROM dedup
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) <= 8
+"""
 
 
 def doc_pii_redact(sf_dir: str):
@@ -292,14 +367,68 @@ FROM tok t LEFT JOIN hits h USING (doc_id)
 
 
 def doc_packing(sf_dir: str):
-    """Greedy fixed-budget sequence packing over the documents table
-    (rows-only; pytest asserts the packing invariants + determinism
-    across partition layouts)."""
+    """Greedy fixed-budget sequence packing over the documents table —
+    exact DuckDB oracle (round-3 verdict item #8): within each
+    ``doc_id % 16`` partition the greedy pack over doc_id-ordered rows
+    is deterministic, so a recursive CTE replays the exact
+    (seq, pos, oversize) assignment; pytest additionally asserts the
+    packing invariants + determinism across partition layouts."""
     from ..functions import packing as fpack
 
     return fpack.pack_sequences(
         _docs(sf_dir, ["doc_id", "text"]), budget=512
     )
+
+
+# Replays pack_sequences' per-partition greedy loop (packing.py
+# pack_part) as a recursive CTE: state after row r is (k = current bin
+# counter, fill, p = next slot); parts advance in lockstep because the
+# recursive join keys on (part, r). Budget 512, 16 partitions, token
+# count = the WORD_RE twin from TOKEN_COUNT_SQL.
+PACKING_SQL = r"""
+WITH RECURSIVE ranked AS (
+  SELECT doc_id,
+         CAST(coalesce(array_length(regexp_extract_all(text, '\w+(?:[-_]\w+)*|\S')), 0) AS BIGINT)
+             AS n_tokens,
+         doc_id % 16 AS part,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS r
+  FROM documents
+), pack AS (
+  SELECT part, r, doc_id, n_tokens,
+         0 AS seq, 0 AS pos,
+         CASE WHEN n_tokens > 512 THEN 1 ELSE 0 END AS oversize,
+         CASE WHEN n_tokens > 512 THEN 1 ELSE 0 END AS k,
+         CASE WHEN n_tokens > 512 THEN 0 ELSE n_tokens END AS fill,
+         CASE WHEN n_tokens > 512 THEN 0 ELSE 1 END AS p
+  FROM ranked WHERE r = 1
+  UNION ALL
+  SELECT t.part, t.r, t.doc_id, t.n_tokens,
+         CASE WHEN t.n_tokens > 512
+                THEN s.k + (CASE WHEN s.fill > 0 THEN 1 ELSE 0 END)
+              WHEN s.fill + t.n_tokens > 512 THEN s.k + 1
+              ELSE s.k END AS seq,
+         CASE WHEN t.n_tokens > 512 THEN 0
+              WHEN s.fill + t.n_tokens > 512 THEN 0
+              ELSE s.p END AS pos,
+         CASE WHEN t.n_tokens > 512 THEN 1 ELSE 0 END AS oversize,
+         CASE WHEN t.n_tokens > 512
+                THEN s.k + (CASE WHEN s.fill > 0 THEN 1 ELSE 0 END) + 1
+              WHEN s.fill + t.n_tokens > 512 THEN s.k + 1
+              ELSE s.k END AS k,
+         CASE WHEN t.n_tokens > 512 THEN 0
+              WHEN s.fill + t.n_tokens > 512 THEN t.n_tokens
+              ELSE s.fill + t.n_tokens END AS fill,
+         CASE WHEN t.n_tokens > 512 THEN 0
+              WHEN s.fill + t.n_tokens > 512 THEN 1
+              ELSE s.p + 1 END AS p
+  FROM ranked t JOIN pack s ON s.part = t.part AND t.r = s.r + 1
+)
+SELECT doc_id, n_tokens,
+       CAST(part AS VARCHAR) || ':' || CAST(seq AS VARCHAR) AS seq_id,
+       CAST(pos AS BIGINT) AS pos,
+       CAST(oversize AS BIGINT) AS oversize
+FROM pack
+"""
 
 
 # ------------------------------------------------------------- dedup
