@@ -43,10 +43,73 @@ def tokenize_with_offsets_cjk(text: str) -> tuple[list[str], list[int], list[int
     return tokens, starts, ends
 
 
+# ---------------------------------------------------------------------
+# Deterministic lexicon segmenter (forward maximum matching) — the
+# classic dictionary-based CJK word segmentation baseline, and the
+# dependency-free analog of the reference's jieba splitter for Chinese
+# (``tokenizer.py:24-266``): greedy longest lexicon match at each CJK
+# position, single-char fallback, whitespace-splitter semantics for
+# everything non-CJK. The lexicon ships as a fixture (common Mandarin
+# vocabulary, public knowledge) — a real deployment would load a full
+# dictionary the same way, once per actor.
+ZH_LEXICON = frozenset({
+    "中国", "北京", "上海", "大学", "学生", "老师", "我们", "他们",
+    "你们", "今天", "明天", "昨天", "时间", "工作", "学习", "研究",
+    "计算机", "数据", "处理", "系统", "模型", "语言", "自然语言",
+    "机器学习", "深度学习", "人工智能", "科学", "技术", "发展",
+    "经济", "社会", "世界", "问题", "方法", "知识", "图谱",
+    "知识图谱", "数据处理", "分布式",
+})
+
+_CJK_CHAR_RE = re.compile(rf"[{_CJK}]")
+
+
+def tokenize_with_offsets_maxmatch(
+    text: str,
+    lexicon: frozenset[str] = ZH_LEXICON,
+    max_word_len: int | None = None,
+) -> tuple[list[str], list[int], list[int]]:
+    """Forward-maximum-matching segmentation: at each CJK position take
+    the LONGEST lexicon word starting there (so 自然语言 beats 语言),
+    else a single char; non-CJK spans keep whitespace-splitter
+    semantics. Deterministic, offset-exact, O(n · max_word_len)."""
+    if max_word_len is None:
+        max_word_len = max(map(len, lexicon), default=1)
+    tokens: list[str] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    i, n = 0, len(text)
+    while i < n:
+        m = CJK_WORD_RE.match(text, i)
+        if m is None:  # whitespace
+            i += 1
+            continue
+        tok = m.group()
+        if len(tok) == 1 and _CJK_CHAR_RE.match(tok):
+            best = 1
+            for length in range(min(max_word_len, n - i), 1, -1):
+                if text[i : i + length] in lexicon:
+                    best = length
+                    break
+            tok = text[i : i + best]
+            tokens.append(tok)
+            starts.append(i)
+            ends.append(i + best)
+            i += best
+        else:
+            tokens.append(tok)
+            starts.append(m.start())
+            ends.append(m.end())
+            i = m.end()
+    return tokens, starts, ends
+
+
 #: lang code → splitter type, the per-language dispatch the reference
-#: does via its splitter registry (``tokenizer.py:269-296``)
+#: does via its splitter registry (``tokenizer.py:269-296``). Chinese
+#: routes through the lexicon maxmatch segmenter (the jieba role);
+#: ja/ko keep char-class segmentation (the mecab-less fallback).
 LANG_SPLITTERS = {
-    "zh": "cjk",
+    "zh": "maxmatch_zh",
     "ja": "cjk",
     "ko": "cjk",
 }
@@ -195,6 +258,8 @@ class WordsSplitter:
             self._call = tokenize_with_offsets
         elif splitter_type == "cjk":
             self._call = tokenize_with_offsets_cjk
+        elif splitter_type == "maxmatch_zh":
+            self._call = tokenize_with_offsets_maxmatch
         elif splitter_type in self.GATED:
             dep = self.GATED[splitter_type]
             try:
@@ -233,7 +298,8 @@ class LangRoutedTokenizer:
         self.text_col = text_col
         self.lang_col = lang_col
         self.splitters = {
-            name: WordsSplitter(name) for name in ("whitespace", "cjk")
+            name: WordsSplitter(name)
+            for name in ("whitespace", "cjk", "maxmatch_zh")
         }
 
     def __call__(self, batch):

@@ -75,8 +75,9 @@ def doc_tokens_routed(sf_dir: str):
 
 TOKENS_ROUTED_SQL = r"""
 SELECT doc_id,
-       CASE WHEN lower(substr(lang, 1, 2)) IN ('zh', 'ja', 'ko')
-            THEN 'cjk' ELSE 'whitespace' END AS splitter,
+       CASE WHEN lower(substr(lang, 1, 2)) = 'zh' THEN 'maxmatch_zh'
+            WHEN lower(substr(lang, 1, 2)) IN ('ja', 'ko') THEN 'cjk'
+            ELSE 'whitespace' END AS splitter,
        CAST(coalesce(array_length(regexp_extract_all(text, '\w+(?:[-_]\w+)*|\S')), 0) AS BIGINT)
            AS n_tokens
 FROM documents

@@ -68,10 +68,10 @@ class TestCjkSplitter:
     def test_route_for_lang(self):
         from gliner_ray.kernels.tokenize import route_for_lang
 
-        assert route_for_lang("zh") == "cjk"
+        assert route_for_lang("zh") == "maxmatch_zh"
         assert route_for_lang("ja") == "cjk"
         assert route_for_lang("ko") == "cjk"
-        assert route_for_lang("zh-CN") == "cjk"
+        assert route_for_lang("zh-CN") == "maxmatch_zh"
         assert route_for_lang("en") == "whitespace"
         assert route_for_lang(None) == "whitespace"
 
@@ -105,10 +105,10 @@ class TestCjkSplitter:
             .sort_index()
         )
         assert out.loc[0, "splitter"] == "whitespace"
-        assert out.loc[1, "splitter"] == "cjk"
-        assert list(out.loc[1, "tokens"]) == ["深", "度", "学", "習" , "模", "型"] or list(
-            out.loc[1, "tokens"]
-        ) == ["深", "度", "学", "习", "模", "型"]
+        # zh routes through the lexicon maxmatch segmenter: 深度学习
+        # and 模型 are lexicon words, so they stay whole
+        assert out.loc[1, "splitter"] == "maxmatch_zh"
+        assert list(out.loc[1, "tokens"]) == ["深度学习", "模型"]
         assert out.loc[2, "splitter"] == "cjk"
         assert out.loc[3, "splitter"] == "whitespace"
         assert list(out.loc[3, "tokens"]) == ["schnelle", "braune", "Füchse"]
@@ -116,6 +116,74 @@ class TestCjkSplitter:
             text = row["text"]
             for t, s, e in zip(row["tokens"], row["tok_start"], row["tok_end"]):
                 assert text[s:e] == t
+
+    def test_maxmatch_longest_wins_and_offsets(self):
+        """Forward maximum matching: the longest lexicon entry at each
+        position wins (自然语言 over 语言, 机器学习 over 学习), unknown
+        chars fall back to single-char tokens, offsets slice back."""
+        from gliner_ray.kernels.tokenize import tokenize_with_offsets_maxmatch
+
+        text = "自然语言处理和机器学习"
+        toks, starts, ends = tokenize_with_offsets_maxmatch(text)
+        assert toks == ["自然语言", "处理", "和", "机器学习"]
+        for t, s, e in zip(toks, starts, ends):
+            assert text[s:e] == t
+
+    def test_maxmatch_mixed_latin_and_symbols(self):
+        from gliner_ray.kernels.tokenize import tokenize_with_offsets_maxmatch
+
+        text = "用 python 做数据处理!"
+        toks, _, _ = tokenize_with_offsets_maxmatch(text)
+        assert toks == ["用", "python", "做", "数据处理", "!"]
+
+    def test_maxmatch_matches_sequential_oracle(self):
+        """Segmentation equals a brute-force sequential maxmatch over a
+        random CJK/latin soup (the path-independence pin)."""
+        import random
+
+        from gliner_ray.kernels.tokenize import (
+            ZH_LEXICON,
+            tokenize_with_offsets_maxmatch,
+        )
+
+        rng = random.Random(7)
+        vocab = sorted(ZH_LEXICON) + list("天地人上下左右") + ["abc", "x1"]
+        text = "".join(
+            rng.choice(vocab) + (" " if rng.random() < 0.3 else "")
+            for _ in range(60)
+        )
+        toks, starts, ends = tokenize_with_offsets_maxmatch(text)
+        # brute-force oracle: same greedy rule, written independently
+        maxlen = max(map(len, ZH_LEXICON))
+        want = []
+        i = 0
+        import re as _re
+
+        from gliner_ray.kernels.tokenize import CJK_WORD_RE, _CJK_CHAR_RE
+
+        while i < len(text):
+            if text[i].isspace():
+                i += 1
+                continue
+            if _CJK_CHAR_RE.match(text[i]):
+                for ln in range(min(maxlen, len(text) - i), 0, -1):
+                    if ln == 1 or text[i:i + ln] in ZH_LEXICON:
+                        want.append(text[i:i + ln])
+                        i += ln
+                        break
+            else:
+                m = CJK_WORD_RE.match(text, i)
+                want.append(m.group())
+                i = m.end()
+        assert toks == want
+        for t, s, e in zip(toks, starts, ends):
+            assert text[s:e] == t
+
+    def test_words_splitter_registry_maxmatch(self):
+        from gliner_ray.kernels.tokenize import WordsSplitter
+
+        triples = list(WordsSplitter("maxmatch_zh")("知识图谱 graph"))
+        assert [t for t, _, _ in triples] == ["知识图谱", "graph"]
 
 
 class TestOverlapPredicates:
