@@ -367,6 +367,44 @@ def load_reference_state(
     return {"loaded": loaded, "skipped": skipped, "missing": missing}
 
 
+def infer_architecture(tensors: dict[str, np.ndarray]) -> dict:
+    """Best-effort architecture params from a reference state dict —
+    the role ``gliner_config.json`` plays for ``from_pretrained``
+    (``gliner/model.py:820-830``) when only the weights are present.
+
+    Returns ``hidden_size`` (from the prompt projection), ``has_rnn``,
+    and ``span_mode`` where the key/shape signature is unambiguous
+    (``None`` for the weight-free conv poolings, which share one
+    ``project.1`` signature)."""
+    out: dict = {}
+    pw = tensors.get("prompt_rep_layer.0.weight")
+    if pw is not None:
+        out["hidden_size"] = int(pw.shape[1])
+    out["has_rnn"] = "rnn.lstm.weight_ih_l0" in tensors
+    p = _SPAN_PREFIX
+    h = out.get("hidden_size")
+    if f"{p}project_first.0.weight" in tensors:
+        out["span_mode"] = "markerV1"
+    elif f"{p}project_start.0.weight" in tensors:
+        # markerV0 projects D→4D (create_projection_layer); marker D→2D
+        rows = tensors[f"{p}project_start.0.weight"].shape[0]
+        out["span_mode"] = (
+            "markerV0" if h is None or rows == 4 * h else "marker"
+        )
+    elif f"{p}mlp.weight" in tensors:
+        out["span_mode"] = "mlp"
+    elif f"{p}query_seg" in tensors:
+        qrows = tensors[f"{p}query_seg"].shape[0]
+        out["span_mode"] = "cat" if qrows == 128 and qrows != h else "query"
+    elif f"{p}convs.0.conv.weight" in tensors:
+        out["span_mode"] = "conv_conv"
+    elif f"{p}conv_weigth" in tensors:
+        out["span_mode"] = "conv_share"
+    elif f"{p}project.1.weight" in tensors:
+        out["span_mode"] = None  # conv_max/mean/sum — weight-free, ambiguous
+    return out
+
+
 def export_reference_state(model) -> dict[str, np.ndarray]:
     """Inverse of :func:`load_reference_state`: dump the numpy modules
     UNDER REFERENCE KEY NAMES (torch layouts, Linear weights

@@ -107,8 +107,41 @@ class NumpyGlinerScorer:
         self._np = np
         if model_dir is not None:
             # checkpoint source: every actor loads the same weights
-            # (the from_pretrained analog, model.py:768-919)
-            self.model = NumpySpanModel.load(model_dir)
+            # (the from_pretrained analog, model.py:768-919). A
+            # REFERENCE-format dir (model.safetensors, the
+            # save_pretrained layout) loads through the pure-numpy
+            # safetensors parser with architecture params inferred
+            # from the weight signature; the engine's own npz layout
+            # keeps its config.json round-trip.
+            import os as _os
+
+            st_path = (
+                model_dir
+                if model_dir.endswith(".safetensors")
+                else _os.path.join(model_dir, "model.safetensors")
+            )
+            if _os.path.exists(st_path) and not _os.path.exists(
+                _os.path.join(model_dir, "model.npz")
+            ):
+                from ..kernels.safetensors_io import (
+                    infer_architecture,
+                    read_safetensors,
+                )
+
+                tensors, _meta = read_safetensors(st_path)
+                arch = infer_architecture(tensors)
+                self.model, _report = NumpySpanModel.from_safetensors(
+                    st_path,
+                    labels=list(cfg.labels),
+                    hidden_size=arch.get("hidden_size", hidden_size),
+                    max_width=cfg.max_width,
+                    seed=seed,
+                    span_mode=arch.get("span_mode") or span_mode,
+                    encoder=encoder,
+                    has_rnn=arch.get("has_rnn", False),
+                )
+            else:
+                self.model = NumpySpanModel.load(model_dir)
         else:
             self.model = NumpySpanModel(
                 labels=list(cfg.labels),

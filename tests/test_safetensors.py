@@ -249,3 +249,56 @@ class TestFromSafetensors:
         np.testing.assert_allclose(
             src.forward(toks)[0], dst.forward(toks)[0], rtol=1e-5, atol=1e-6
         )
+
+
+class TestInferArchitecture:
+    @pytest.mark.parametrize("mode,expect", [
+        ("markerV0", "markerV0"), ("markerV1", "markerV1"),
+        ("marker", "marker"), ("mlp", "mlp"), ("cat", "cat"),
+        ("query", "query"), ("conv_conv", "conv_conv"),
+        ("conv_share", "conv_share"), ("conv_max", None),
+    ])
+    def test_span_mode_signature(self, mode, expect):
+        from gliner_ray.kernels.safetensors_io import infer_architecture
+
+        m = NumpySpanModel(LABELS, hidden_size=32, max_width=4, seed=7,
+                           span_mode=mode)
+        arch = infer_architecture(export_reference_state(m))
+        assert arch["hidden_size"] == 32
+        assert arch["has_rnn"] is False
+        assert arch["span_mode"] == expect
+
+    def test_rnn_detected(self):
+        from gliner_ray.kernels.safetensors_io import infer_architecture
+
+        m = NumpySpanModel(LABELS, hidden_size=32, max_width=4, seed=7,
+                           has_rnn=True)
+        assert infer_architecture(export_reference_state(m))["has_rnn"]
+
+
+class TestScorerSafetensors:
+    def test_scorer_loads_reference_checkpoint(self, tmp_path):
+        """A reference-layout dir (model.safetensors only) drives
+        NumpyGlinerScorer: architecture inferred from the weight
+        signature, logits identical to the source model."""
+        from dataclasses import replace
+
+        from gliner_ray.config import DEFAULT_CONFIG
+        from gliner_ray.stages.scorer import NumpyGlinerScorer
+
+        cfg = replace(DEFAULT_CONFIG, max_width=4)
+        src = NumpyGlinerScorer(cfg, hidden_size=32, seed=1234)
+        d = tmp_path / "ref_ckpt"
+        d.mkdir()
+        write_safetensors(
+            str(d / "model.safetensors"),
+            export_reference_state(src.model),
+            {"format": "pt"},
+        )
+        dst = NumpyGlinerScorer(cfg, model_dir=str(d))
+        toks = [["import", "os", "sys"]]
+        np.testing.assert_allclose(
+            src.model.forward(toks, prompts_embedding=src.label_embeds)[0],
+            dst.model.forward(toks, prompts_embedding=dst.label_embeds)[0],
+            rtol=1e-5, atol=1e-6,
+        )
