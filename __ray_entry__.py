@@ -164,6 +164,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_jaccard_dups": co.doc_ngram_jaccard_dups,
         "doc_simhash_dups": co.doc_simhash_dups,
         "emb_cosine_dups": co.emb_cosine_dups,
+        "emb_exact_pairs": co.emb_exact_pairs,
         "emb_semantic_dedup": co.emb_semantic_dedup,
         # similarity search / clustering
         "emb_ann_topk": co.emb_ann_topk,
@@ -275,4 +276,5 @@ def oracle_sql() -> dict[str, str]:
         "graph_components": go.GRAPH_COMPONENTS_SQL,
         "emb_ann_topk": co.ANN_TOPK_SQL,
         "emb_ivf_topk_full": co.ANN_TOPK_SQL,
+        "emb_exact_pairs": co.EXACT_PAIRS_SQL,
     }

@@ -222,3 +222,137 @@ class IVFIndex:
                 batch_format="pyarrow",
             )
         return brute_force_topk(subset, q, k, id_col, emb_col)
+
+
+# ------------------------------------------- exact similarity self-join
+
+
+def exact_cosine_pairs(
+    ds: "ray.data.Dataset",
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    rows_per_block: int = 65536,
+    broadcast_limit: int = 100_000,
+    force_distributed: bool = False,
+) -> pa.Table:
+    """EXACT cosine similarity self-join: every ``(id_a < id_b)`` pair
+    with ``cosine >= threshold``. The deterministic complement of the
+    LSH path (``dedup.embedding_near_dups``): LSH trades a recall
+    epsilon for near-linear cost; this op pays the inherent all-pairs
+    cost and misses nothing — it is the "verify" building block and
+    the right tool whenever n is bucket-sized.
+
+    Two guarded paths (repo idiom — broadcast when small, shuffle when
+    not):
+
+    - **broadcast** (``count <= broadcast_limit``): the normalized
+      matrix is ``ray.put`` ONCE and every ``map_batches`` task
+      matmuls its batch against it — the left side streams, nothing
+      corpus-sized crosses per batch.
+    - **block-pair** (the scale path): rows are hashed into ``B``
+      blocks of ~``rows_per_block``; a vectorized ``map_batches``
+      replicates each row once per pair-group it belongs to (keys
+      ``(min(b,j), max(b,j))`` for all ``j``), then ONE groupby brings
+      the two blocks of every pair together and a per-group matmul
+      emits qualifying pairs. Replication traffic is ``B x N`` rows —
+      the inherent lower bound for an exact all-pairs join — and each
+      group is 2 blocks, so worker memory is bounded by
+      ``2 * rows_per_block * dim * 8`` bytes regardless of N.
+
+    Output: ``pa.Table(id_a, id_b)`` int64, ``id_a < id_b``, sorted —
+    output-sized (the pair set), never corpus x corpus.
+    """
+    import ray
+
+    n = ds.count()
+    if n <= broadcast_limit and not force_distributed:
+        rows = ds.select_columns([id_col, emb_col]).take_all()  # guarded: n <= broadcast_limit
+        ids = np.asarray([r[id_col] for r in rows], dtype=np.int64)
+        mat = _normalize(
+            np.asarray([r[emb_col] for r in rows], dtype=np.float64)
+        )
+        ref = ray.put((ids, mat))
+
+        def scan(batch: pa.Table) -> pa.Table:
+            all_ids, all_mat = ray.get(ref)  # zero-copy from object store
+            mb = _normalize(_batch_matrix(batch, emb_col).astype(np.float64))
+            bids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            cos = mb @ all_mat.T
+            li, ri = np.nonzero(cos >= threshold)
+            a, b = bids[li], all_ids[ri]
+            keep = a < b  # each unordered pair exactly once
+            return pa.table(
+                {
+                    "id_a": pa.array(a[keep], pa.int64()),
+                    "id_b": pa.array(b[keep], pa.int64()),
+                }
+            )
+
+        parts = ds.map_batches(scan, batch_format="pyarrow").take_all()
+        out = sorted((r["id_a"], r["id_b"]) for r in parts)
+    else:
+        n_blocks = max(2, -(-n // rows_per_block))
+
+        def replicate(t: pa.Table) -> pa.Table:
+            m = _normalize(_batch_matrix(t, emb_col).astype(np.float64))
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            blk = (ids % np.int64(n_blocks)).astype(np.int64)
+            k = len(ids)
+            # row r joins pair-groups (min(blk,j), max(blk,j)) for all j
+            j = np.tile(np.arange(n_blocks, dtype=np.int64), k)
+            b = np.repeat(blk, n_blocks)
+            lo, hi = np.minimum(b, j), np.maximum(b, j)
+            return pa.table(
+                {
+                    "pair": lo * np.int64(n_blocks) + hi,
+                    "blk": b,
+                    "rid": np.repeat(ids, n_blocks),
+                    "embbin": pa.array(
+                        [row.tobytes() for row in np.repeat(m, n_blocks, axis=0)],
+                        pa.binary(),
+                    ),
+                }
+            )
+
+        def pair_matmul(g: pa.Table) -> pa.Table:
+            pair = g["pair"][0].as_py()
+            lo, hi = divmod(pair, n_blocks)
+            ids = g["rid"].to_numpy(zero_copy_only=False)
+            blk = g["blk"].to_numpy(zero_copy_only=False)
+            mat = np.stack(
+                [np.frombuffer(v, dtype=np.float64) for v in g["embbin"].to_pylist()]
+            )
+            if lo == hi:
+                cos = mat @ mat.T
+                li, ri = np.nonzero(cos >= threshold)
+                a, b = ids[li], ids[ri]
+                keep = a < b
+                a, b = a[keep], b[keep]
+            else:
+                # each row arrives once, on its own block's side
+                left = blk == lo
+                la, lm = ids[left], mat[left]
+                ra, rm = ids[~left], mat[~left]
+                cos = lm @ rm.T
+                li, ri = np.nonzero(cos >= threshold)
+                a, b = la[li], ra[ri]
+                a, b = np.minimum(a, b), np.maximum(a, b)
+            return pa.table(
+                {"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())}
+            )
+
+        parts = (
+            ds.select_columns([id_col, emb_col])
+            .map_batches(replicate, batch_format="pyarrow")
+            .groupby("pair")
+            .map_groups(pair_matmul, batch_format="pyarrow")
+            .take_all()  # output-sized: the qualifying pair set
+        )
+        out = sorted((r["id_a"], r["id_b"]) for r in parts)
+    return pa.table(
+        {
+            "id_a": pa.array([a for a, _ in out], pa.int64()),
+            "id_b": pa.array([b for _, b in out], pa.int64()),
+        }
+    )

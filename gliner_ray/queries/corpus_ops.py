@@ -464,6 +464,23 @@ def emb_cosine_dups(sf_dir: str):
     return fdedup.embedding_near_dups(_embs(sf_dir), threshold=0.99)
 
 
+def emb_exact_pairs(sf_dir: str):
+    """EXACT cosine-threshold self-join (no LSH epsilon): every
+    ``id_a < id_b`` pair with cosine >= 0.42 — the deterministic
+    verify-path complement of ``emb_cosine_dups``. Ids only: the
+    cosine float stays out of the hash compare."""
+    return fsim.exact_cosine_pairs(_embs(sf_dir), threshold=0.42)
+
+
+EXACT_PAIRS_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.42
+ORDER BY id_a, id_b
+"""
+
+
 # -------------------------------------------------------- similarity
 
 

@@ -331,6 +331,37 @@ class TestEmbeddingOps:
             (r["id_a"], r["id_b"]) for r in dist
         ]
 
+    def test_exact_cosine_pairs_matches_numpy_all_pairs(self):
+        """exact_cosine_pairs == the full O(n^2) numpy pair set, on both
+        the broadcast path and the block-pair distributed path (several
+        block sizes, including blocks smaller than the batch)."""
+        ds, mat = self._emb_ds()
+        normed = mat.astype(np.float64)
+        normed /= np.linalg.norm(normed, axis=1, keepdims=True)
+        cos = normed @ normed.T
+        thr = 0.4
+        expect = sorted(
+            (a, b)
+            for a in range(len(mat))
+            for b in range(a + 1, len(mat))
+            if cos[a, b] >= thr
+        )
+        assert expect, "fixture must produce at least one qualifying pair"
+        bc = fsim.exact_cosine_pairs(ds, threshold=thr)
+        assert list(zip(bc["id_a"].to_pylist(), bc["id_b"].to_pylist())) == expect
+        for rpb in (8, 17, 64):
+            dist = fsim.exact_cosine_pairs(
+                ds, threshold=thr, force_distributed=True, rows_per_block=rpb
+            )
+            assert list(
+                zip(dist["id_a"].to_pylist(), dist["id_b"].to_pylist())
+            ) == expect, f"rows_per_block={rpb}"
+
+    def test_exact_cosine_pairs_finds_planted(self):
+        ds, _ = self._emb_ds()
+        out = fsim.exact_cosine_pairs(ds, threshold=0.999)
+        assert (3, 7) in set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+
     def test_semantic_dedup_finds_planted_and_matches_lsh_exactness(self):
         """SemDeDup (kmeans-bucketed) must find the planted pair: a
         near-identical vector pair always lands in the same nearest-
