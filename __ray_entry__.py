@@ -137,6 +137,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "q_order_percent_rank": rel.q_order_percent_rank,
         "q_order_cume_dist": rel.q_order_cume_dist,
         "q_flag_price_corr": rel.q_flag_price_corr,
+        "q_flag_price_regr": rel.q_flag_price_regr,
         "q_priority_status_agg": rel.q_priority_status_agg,
         "q_active_keys_union": rel.q_active_keys_union,
         "q_price_mad": rel.q_price_mad,
@@ -247,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
         "q_order_percent_rank": rel.ORDER_PERCENT_RANK_SQL,
         "q_order_cume_dist": rel.ORDER_CUME_DIST_SQL,
         "q_flag_price_corr": rel.FLAG_PRICE_CORR_SQL,
+        "q_flag_price_regr": rel.FLAG_PRICE_REGR_SQL,
         "q_priority_status_agg": rel.PRIORITY_STATUS_AGG_SQL,
         "q_active_keys_union": rel.ACTIVE_KEYS_UNION_SQL,
         "q_price_mad": rel.PRICE_MAD_SQL,

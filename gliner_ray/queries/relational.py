@@ -3128,6 +3128,87 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_flag_price_regr(sf_dir: str):
+    """Simple linear regression y = a·x + b of l_extendedprice on
+    l_quantity per returnflag — the REGR_SLOPE / REGR_INTERCEPT
+    aggregate family, as ONE streaming pass of the same pivot-shifted
+    fixed-size moment partials as :func:`q_flag_price_corr` (slope and
+    covariance are shift-invariant; the intercept un-shifts through
+    the means). Slope is O(σy/σx) and the intercept O(μy), so 4 dp
+    rounding sits ~6 orders of magnitude above the float64 combine
+    noise on both engines."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    pf = pq.ParquetFile(f"{sf_dir}/lineitem.parquet")
+    head = pf.read_row_group(0, columns=["l_extendedprice", "l_quantity"])
+    py_ = float(np.mean(head["l_extendedprice"].to_numpy(zero_copy_only=False)))
+    px = float(np.mean(head["l_quantity"].to_numpy(zero_copy_only=False)))
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "f": t["l_returnflag"].to_pylist(),
+                "x": t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64) - px,
+                "y": t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64) - py_,
+            }
+        )
+        df["xx"] = df["x"] * df["x"]
+        df["xy"] = df["x"] * df["y"]
+        df["n"] = 1
+        g = df.groupby("f", sort=False, as_index=False)[
+            ["n", "x", "y", "xx", "xy"]
+        ].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("f")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("x", alias_name="sx"),
+            Sum("y", alias_name="sy"), Sum("xx", alias_name="sxx"),
+            Sum("xy", alias_name="sxy"),
+        )
+        .take_all()  # one row per returnflag — dimension-sized
+    )
+    rows = sorted(agg, key=lambda r: r["f"])
+    out_f, out_s, out_i = [], [], []
+    for r in rows:
+        n = float(r["n"])
+        cov = n * r["sxy"] - r["sx"] * r["sy"]
+        vx = n * r["sxx"] - r["sx"] * r["sx"]
+        if vx > 0:
+            slope = cov / vx
+            # un-shift: means in original coordinates
+            mx, my = r["sx"] / n + px, r["sy"] / n + py_
+            icept = my - slope * mx
+            out_s.append(round(float(slope), 4))
+            out_i.append(round(float(icept), 4))
+        else:
+            out_s.append(None)
+            out_i.append(None)
+        out_f.append(r["f"])
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out_f, pa.string()),
+            "slope": pa.array(out_s, pa.float64()),
+            "icept": pa.array(out_i, pa.float64()),
+        }
+    )
+
+
+FLAG_PRICE_REGR_SQL = """
+SELECT l_returnflag,
+       ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+       ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS icept
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ------------------------------------------------ ordered string_agg
 
 
