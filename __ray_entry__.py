@@ -276,6 +276,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_segment_dedup": co.SEGMENT_DEDUP_SQL,
         "q_user_item_degree": go.USER_ITEM_DEGREE_SQL,
         "graph_components": go.GRAPH_COMPONENTS_SQL,
+        "graph_pagerank": go.GRAPH_PAGERANK_SQL,
         "emb_ann_topk": co.ANN_TOPK_SQL,
         "emb_ivf_topk_full": co.ANN_TOPK_SQL,
         "emb_exact_pairs": co.EXACT_PAIRS_SQL,

@@ -2,11 +2,11 @@
 interaction graph (node 'u<user_id>' — node 'i<k>' for every event,
 ``k`` parsed from the ``props`` JSON).
 
-``q_user_item_degree`` and ``graph_components`` have exact DuckDB
-oracles (the latter a recursive-CTE transitive closure — exact but
-O(n²) in component size, fine at oracle scale; the Ray path is the
-production O(E·diameter) propagation). ``graph_pagerank`` is
-rows-only here; exact-parity vs the sequential oracle lives in pytest.
+All three queries have exact DuckDB oracles: ``graph_components`` via
+a recursive-CTE transitive closure (exact but O(n²) in component
+size, fine at oracle scale; the Ray path is the production
+O(E·diameter) propagation) and ``graph_pagerank`` via an unrolled
+fixed-iteration power-iteration SQL twin.
 """
 
 from __future__ import annotations
@@ -116,15 +116,76 @@ GROUP BY a
 
 def graph_pagerank(sf_dir: str):
     """PageRank over the interaction graph via the Pregel-style
-    partition-actor engine (rows-only; exact-parity pytest oracle in
-    tests/test_graph.py). Ranks are rounded to 12 decimals so the
-    output is hash-stable across partition layouts."""
+    partition-actor engine, now under an EXACT DuckDB oracle: both
+    sides run exactly ``n_iter=15`` damping-0.85 rounds (``tol=0`` —
+    no early stop, so the iteration counts can never diverge) of the
+    same formulation (dedup edges, 1/n init, (1-d)/n base, dangling
+    mass redistributed uniformly). The SQL twin unrolls the power
+    iteration as chained CTEs. Ranks round to 8 dp on both sides:
+    measured cross-engine float64 combine noise is ~1e-14, six orders
+    inside the rounding granularity. Exact-parity vs the sequential
+    formulation also lives in tests/test_graph.py."""
     import pyarrow.compute as pc
 
-    ranks = fgraph.pagerank(interaction_edges(sf_dir), n_parts=4, n_iter=30)
+    ranks = fgraph.pagerank(
+        interaction_edges(sf_dir), n_parts=4, n_iter=_PR_ITER, tol=0.0
+    )
     return ranks.map_batches(
         lambda t: pa.table(
-            {"node": t["node"], "rank": pc.round(t["rank"], ndigits=12)}
+            {"node": t["node"], "rank": pc.round(t["rank"], ndigits=8)}
         ),
         batch_format="pyarrow",
     )
+
+
+_PR_ITER = 15
+_PR_DAMP = 0.85
+
+
+def _pagerank_sql(n_iter: int = _PR_ITER, damping: float = _PR_DAMP) -> str:
+    """Unrolled power-iteration PageRank as one DuckDB query: r0 is
+    uniform, each r{k} CTE is one matvec round (contribution join +
+    dangling-mass scalar), mirroring ``pagerank_sequential`` exactly.
+    Every CTE is MATERIALIZED: each round references the previous one
+    twice, so DuckDB's default CTE inlining would expand the plan
+    2^n_iter-fold (observed as thousands of concurrent parquet scans
+    blowing the fd limit)."""
+    header = """
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src,
+                  'i' || json_extract_string(props, '$.k') AS dst
+  FROM events
+),
+nodes AS MATERIALIZED (
+  SELECT node FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+),
+meta AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS od FROM edges GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM meta) AS rank FROM nodes)"""
+    step = """,
+r{next} AS MATERIALIZED (
+  SELECT nd.node,
+         (1 - {d}) / (SELECT n FROM meta)
+         + {d} * (COALESCE(c.contrib, 0)
+                  + (SELECT COALESCE(SUM(r.rank), 0) FROM r{cur} r
+                     LEFT JOIN outdeg o ON r.node = o.src
+                     WHERE o.src IS NULL) / (SELECT n FROM meta)) AS rank
+  FROM nodes nd
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank / o.od) AS contrib
+    FROM edges e
+    JOIN r{cur} r ON e.src = r.node
+    JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst
+  ) c ON nd.node = c.node
+)"""
+    body = "".join(
+        step.format(cur=k, next=k + 1, d=damping) for k in range(n_iter)
+    )
+    return (
+        header + body
+        + f"\nSELECT node, ROUND(rank, 8) AS rank FROM r{n_iter}"
+    )
+
+
+GRAPH_PAGERANK_SQL = _pagerank_sql()
