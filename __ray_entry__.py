@@ -158,6 +158,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_packing": co.doc_packing,
         # dedup family
         "doc_exact_dedup": co.doc_exact_dedup,
+        "doc_curation": co.doc_curation,
         "doc_segment_dedup": co.doc_segment_dedup,
         "doc_substring_dups": co.doc_substring_dups,
         "doc_substring_rewrite": co.doc_substring_rewrite,
@@ -273,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_top_terms": co.TOP_TERMS_SQL,
         "doc_heavy_terms": co.HEAVY_TERMS_SQL,
         "doc_exact_dedup": co.EXACT_DEDUP_SQL,
+        "doc_curation": co.CURATION_SQL,
         "doc_segment_dedup": co.SEGMENT_DEDUP_SQL,
         "q_user_item_degree": go.USER_ITEM_DEGREE_SQL,
         "graph_components": go.GRAPH_COMPONENTS_SQL,

@@ -109,6 +109,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "q_events_hourly": rel.q_events_hourly,
         "doc_token_count": co.doc_token_count,
         "doc_exact_dedup": co.doc_exact_dedup,
+        "doc_curation": co.doc_curation,
         "doc_minhash_dedup": co.doc_minhash_dedup,
         "emb_ann_topk": co.emb_ann_topk,
         "q_asof_purchase_click": rel.q_asof_purchase_click,

@@ -442,6 +442,111 @@ def doc_exact_dedup(sf_dir: str):
 EXACT_DEDUP_SQL = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
 
 
+def doc_curation(sf_dir: str, quality_min: float = 0.8, parts: int = 64):
+    """End-to-end curation COMPOSITION as one streaming pipeline
+    (the C4/Gopher-style data-curation chain every LLM corpus build
+    runs): language filter (en) → quality-score filter (≥ 0.8) →
+    deterministic md5 Bernoulli sample (keep ≈ 25%) → exact dedup,
+    min-doc_id owner, carrying the quality score through. Exact
+    DuckDB oracle (CURATION_SQL composes the LANG_ID/QUALITY twins).
+
+    Scale shape: every row-reducing step (lang, quality, sample) runs
+    INSIDE one vectorized ``map_batches`` BEFORE the only shuffle, so
+    the dedup exchange sees just the curated survivors; the shuffle is
+    the ``exact_dedup`` int-key idiom ((digest[:8] % parts, 32-byte
+    digest, id, score) — never the text). Duplicate texts have
+    identical quality scores, so the per-group Min over both columns
+    is exact carry-through, not an approximation."""
+    import hashlib as _hl
+
+    import pandas as _pd
+    import pyarrow as pa_
+    import pyarrow.compute as pc_
+
+    def curate(t: pa_.Table) -> pa_.Table:
+        lang = ftext.lang_id_batch(t)
+        qual = ftext.quality_score_batch(t)
+        ids = t["doc_id"].to_pylist()
+        sampled = pa_.array(
+            [_hl.md5(f"cur:{i}".encode()).hexdigest()[0] < "4" for i in ids],
+            pa_.bool_(),
+        )
+        keep = pc_.and_(
+            pc_.and_(
+                pc_.equal(lang["lang_pred"], "en"),
+                pc_.greater_equal(qual["quality_score"], quality_min),
+            ),
+            sampled,
+        )
+        kept = pa_.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": t["text"],
+                "quality_score": qual["quality_score"],
+            }
+        ).filter(keep)
+        # dedup pre-shuffle combiner: digest the text, drop it, and
+        # combine to the per-batch min (id, score) per digest
+        texts = kept["text"].to_pylist()
+        digests = [_hl.sha256(x.encode("utf-8")).digest() for x in texts]
+        if digests:
+            hi = np.frombuffer(b"".join(d[:8] for d in digests), dtype=">u8")
+            part = (hi % np.uint64(parts)).astype(np.int64)
+        else:
+            part = np.array([], dtype=np.int64)
+        df = _pd.DataFrame(
+            {
+                "part": part,
+                "key": digests,
+                "doc_id": kept["doc_id"].to_numpy(zero_copy_only=False),
+                "quality_score": kept["quality_score"].to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        ).groupby(["part", "key"], sort=False, as_index=False)[
+            ["doc_id", "quality_score"]
+        ].min()
+        return pa_.table(
+            {
+                "part": pa_.array(df["part"].to_numpy(), pa_.int64()),
+                "key": pa_.array(df["key"].tolist(), pa_.binary()),
+                "doc_id": pa_.array(df["doc_id"].to_numpy(), pa_.int64()),
+                "quality_score": pa_.array(
+                    df["quality_score"].to_numpy(), pa_.float64()
+                ),
+            }
+        )
+
+    def per_part_min(g: _pd.DataFrame) -> _pd.DataFrame:
+        return g.groupby("key", sort=False, as_index=False)[
+            ["doc_id", "quality_score"]
+        ].min()[["doc_id", "quality_score"]]
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(curate, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_part_min, batch_format="pandas")
+    )
+
+
+def _curation_sql(quality_min: float = 0.8) -> str:
+    return f"""
+WITH l AS ({LANG_ID_SQL}), q AS ({QUALITY_SQL}),
+f AS (
+  SELECT d.doc_id, d.text, q.quality_score
+  FROM documents d JOIN l USING (doc_id) JOIN q USING (doc_id)
+  WHERE l.lang_pred = 'en' AND q.quality_score >= {quality_min}
+    AND substr(md5('cur:' || CAST(d.doc_id AS VARCHAR)), 1, 1) < '4'
+)
+SELECT MIN(doc_id) AS doc_id, MIN(quality_score) AS quality_score
+FROM f GROUP BY text
+"""
+
+
+CURATION_SQL = _curation_sql()
+
+
 def doc_minhash_dedup(sf_dir: str):
     """MinHash-LSH near-dup clusters (rows-only; pytest oracle on
     planted near-duplicates)."""

@@ -216,3 +216,66 @@ def test_flag_price_corr_large_magnitude_stable(tmp_path, ray_session):
         m = flags == f
         want = round(float(np.corrcoef(price[m], q[m])[0, 1]), 5)
         assert got[f] == pytest.approx(want, abs=2e-5), (f, got[f], want)
+
+
+class TestCurationPipeline:
+    """Planted-duplicate coverage for doc_curation: the sf tables have
+    no duplicate texts, so the dedup stage of the composition is a
+    pass-through there. Plant en/high-quality duplicates assigned to
+    ids on both sides of the md5 sample cut and check (a) exact oracle
+    parity on the planted table and (b) the min-id owner carries the
+    group's quality score."""
+
+    GOOD = (
+        "the quick brown fox jumps over the lazy dog and then the dog "
+        "sleeps in the warm sun while the fox runs back to the forest "
+        "and the birds sing in the trees as the day goes on and the "
+        "river flows past the old stone bridge where the children play "
+    ) * 2
+
+    @staticmethod
+    def _sampled(i: int) -> bool:
+        import hashlib
+
+        return hashlib.md5(f"cur:{i}".encode()).hexdigest()[0] < "4"
+
+    def test_planted_dups_oracle_parity(self, tmp_path, ray_session):
+        import hashlib  # noqa: F401
+
+        from gliner_ray.queries import corpus_ops as co
+
+        ids_in = [i for i in range(1, 200) if self._sampled(i)]
+        ids_out = [i for i in range(1, 200) if not self._sampled(i)]
+        # dup group: two sampled-in ids + one sampled-out id; plus a
+        # distinct sampled-in doc and a Spanish doc that must be cut
+        rows = [
+            (ids_in[0], self.GOOD),
+            (ids_in[1], self.GOOD),
+            (ids_out[0], self.GOOD),
+            (ids_in[2], self.GOOD + "and the night falls over the quiet town "),
+            (ids_in[3], "el rio pasa por el puente de la ciudad y los ninos "
+                        "juegan en la plaza mientras el sol brilla sobre las "
+                        "casas y las calles de la ciudad vieja junto al mar " * 2),
+        ]
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            tmp_path / "documents.parquet"
+        )
+
+        out = co.doc_curation(str(tmp_path)).to_pandas()
+        c = duckdb.connect()
+        c.sql(
+            f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+        )
+        odf = c.sql(co.CURATION_SQL).df()
+        a, b = _norm(out), _norm(odf)
+        assert list(a.columns) == list(b.columns)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+        # the dup group survives exactly once, owned by the min
+        # sampled-in id (the sampled-out dup never reaches dedup)
+        kept = set(out["doc_id"])
+        assert min(ids_in[0], ids_in[1]) in kept
+        assert max(ids_in[0], ids_in[1]) not in kept
+        assert ids_out[0] not in kept
+        assert ids_in[2] in kept          # distinct doc kept
+        assert ids_in[3] not in kept      # Spanish doc filtered
