@@ -107,7 +107,7 @@ def extract_mentions(
             # 256 files/batch ≈ 80 ms of kernel work: large enough to
             # amortize per-task dispatch (measured min-of-4 13.5 s vs
             # 17.0 s at 64), small enough for smooth pool balancing
-            batch_size=256,
+            batch_size=cfg.scorer_batch_size,
             concurrency=concurrency,
             num_cpus=1,
         )

@@ -53,6 +53,12 @@ class FusedExtractor:
         if scorer_cls is None or scorer_cls.__name__ == "DeterministicScorer":
             self.kernel = DeterministicScorerKernel(cfg.vocab, cfg.labels)
             self._scorer_stage = None
+            # variants() is pure and mention surface forms repeat
+            # heavily across a corpus (the distinct set is
+            # vocabulary-scale, not mention-scale) — memoize per actor.
+            # Bounded so a long-lived worker can't grow it unboundedly
+            # (same guard as tokenize._WordHasher).
+            self._variants_cache: dict[str, list[str]] = {}
         else:
             # non-default scorer backend: fall back to composing the
             # modular stages so the custom batch contract is honored
@@ -66,7 +72,7 @@ class FusedExtractor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self._scorer_stage is not None:
             return self._decode(self._scorer_stage(self._chunk(batch)))
-        cfg, kernel = self.cfg, self.kernel
+        cfg, kernel, vcache = self.cfg, self.kernel, self._variants_cache
         cols: dict[str, list] = {name: [] for name in MENTION_SCHEMA.names}
 
         def emit(repo, path, commit, bucket, sha, start, end, ts, te, text, label, score, v0, v1):
@@ -117,7 +123,11 @@ class FusedExtractor:
                     ts = cs + s_rel
                     start, end = starts[ts], ends[te]
                     text = content[start:end]
-                    vs = variants(text)
+                    vs = vcache.get(text)
+                    if vs is None:
+                        if len(vcache) > 65536:
+                            vcache.clear()
+                        vs = vcache[text] = variants(text)
                     emit(repo, path, commit, bucket, sha, start, end, ts, te,
                          text, label, float(score),
                          vs[0] if vs else None, vs[1] if len(vs) > 1 else None)
