@@ -138,6 +138,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "q_order_cume_dist": rel.q_order_cume_dist,
         "q_flag_price_corr": rel.q_flag_price_corr,
         "q_flag_price_regr": rel.q_flag_price_regr,
+        "q_flag_price_skew_kurt": rel.q_flag_price_skew_kurt,
         "q_priority_status_agg": rel.q_priority_status_agg,
         "q_active_keys_union": rel.q_active_keys_union,
         "q_price_mad": rel.q_price_mad,
@@ -250,6 +251,7 @@ def oracle_sql() -> dict[str, str]:
         "q_order_cume_dist": rel.ORDER_CUME_DIST_SQL,
         "q_flag_price_corr": rel.FLAG_PRICE_CORR_SQL,
         "q_flag_price_regr": rel.FLAG_PRICE_REGR_SQL,
+        "q_flag_price_skew_kurt": rel.FLAG_PRICE_SKEW_KURT_SQL,
         "q_priority_status_agg": rel.PRIORITY_STATUS_AGG_SQL,
         "q_active_keys_union": rel.ACTIVE_KEYS_UNION_SQL,
         "q_price_mad": rel.PRICE_MAD_SQL,

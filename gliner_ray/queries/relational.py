@@ -3209,6 +3209,89 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_flag_price_skew_kurt(sf_dir: str):
+    """SKEWNESS / KURTOSIS (excess) of l_extendedprice per returnflag —
+    the 3rd/4th-moment aggregate family as ONE streaming pass of
+    pivot-shifted fixed-size partials (n, Σx', Σx'², Σx'³, Σx'⁴ per
+    flag per batch) and one dimension-sized groupby. Central moments
+    are shift-invariant, so a constant pivot near the mean (first
+    parquet row group, same trick as :func:`q_flag_price_corr`) keeps
+    the M3/M4 reconstruction O(σ³·n)/O(σ⁴·n) instead of O(μ³·n)/O(μ⁴·n)
+    — at prices ~1e4 the unshifted raw-moment form loses ~16 digits in
+    M4 and is unusable in float64. Estimators match DuckDB's
+    bias-adjusted sample forms (verified to ~1e-9 empirically):
+
+      skew = √(n(n−1))/(n−2) · g1,            g1 = (M3/n)/(M2/n)^1.5
+      kurt = (n−1)/((n−2)(n−3)) · ((n+1)·g2 + 6),  g2 = (M4/n)/(M2/n)² − 3
+
+    Both are scale-free O(1) values; 5 dp rounding sits far above the
+    float64 combine-order noise on either engine."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    pf = pq.ParquetFile(f"{sf_dir}/lineitem.parquet")
+    head = pf.read_row_group(0, columns=["l_extendedprice"])
+    px = float(np.mean(head["l_extendedprice"].to_numpy(zero_copy_only=False)))
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64) - px
+        df = pd.DataFrame({"f": t["l_returnflag"].to_pylist(), "x": x})
+        df["x2"] = x * x
+        df["x3"] = df["x2"] * x
+        df["x4"] = df["x2"] * df["x2"]
+        df["n"] = 1
+        g = df.groupby("f", sort=False, as_index=False)[
+            ["n", "x", "x2", "x3", "x4"]
+        ].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("f")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("x", alias_name="s1"),
+            Sum("x2", alias_name="s2"), Sum("x3", alias_name="s3"),
+            Sum("x4", alias_name="s4"),
+        )
+        .take_all()  # one row per returnflag — dimension-sized
+    )
+    out_f, out_s, out_k = [], [], []
+    for r in sorted(agg, key=lambda x: x["f"]):
+        n = float(r["n"])
+        m = r["s1"] / n  # mean of the SHIFTED values
+        M2 = r["s2"] - n * m * m
+        M3 = r["s3"] - 3 * m * r["s2"] + 2 * n * m**3
+        M4 = r["s4"] - 4 * m * r["s3"] + 6 * m * m * r["s2"] - 3 * n * m**4
+        if n > 3 and M2 > 0:
+            g1 = (M3 / n) / (M2 / n) ** 1.5
+            skew = g1 * np.sqrt(n * (n - 1)) / (n - 2)
+            g2 = (M4 / n) / (M2 / n) ** 2 - 3.0
+            kurt = ((n - 1) / ((n - 2) * (n - 3))) * ((n + 1) * g2 + 6)
+            out_s.append(round(float(skew), 5))
+            out_k.append(round(float(kurt), 5))
+        else:
+            out_s.append(None)
+            out_k.append(None)
+        out_f.append(r["f"])
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out_f, pa.string()),
+            "skew": pa.array(out_s, pa.float64()),
+            "kurt": pa.array(out_k, pa.float64()),
+        }
+    )
+
+
+FLAG_PRICE_SKEW_KURT_SQL = """
+SELECT l_returnflag,
+       ROUND(SKEWNESS(l_extendedprice), 5) AS skew,
+       ROUND(KURTOSIS(l_extendedprice), 5) AS kurt
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ------------------------------------------------ ordered string_agg
 
 
