@@ -139,6 +139,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "q_flag_price_corr": rel.q_flag_price_corr,
         "q_flag_price_regr": rel.q_flag_price_regr,
         "q_flag_price_skew_kurt": rel.q_flag_price_skew_kurt,
+        "q_hourly_click_purchase_full": rel.q_hourly_click_purchase_full,
         "q_priority_status_agg": rel.q_priority_status_agg,
         "q_active_keys_union": rel.q_active_keys_union,
         "q_price_mad": rel.q_price_mad,
@@ -252,6 +253,7 @@ def oracle_sql() -> dict[str, str]:
         "q_flag_price_corr": rel.FLAG_PRICE_CORR_SQL,
         "q_flag_price_regr": rel.FLAG_PRICE_REGR_SQL,
         "q_flag_price_skew_kurt": rel.FLAG_PRICE_SKEW_KURT_SQL,
+        "q_hourly_click_purchase_full": rel.HOURLY_CLICK_PURCHASE_FULL_SQL,
         "q_priority_status_agg": rel.PRIORITY_STATUS_AGG_SQL,
         "q_active_keys_union": rel.ACTIVE_KEYS_UNION_SQL,
         "q_price_mad": rel.PRICE_MAD_SQL,

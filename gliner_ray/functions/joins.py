@@ -35,14 +35,24 @@ def hash_join(
     num_partitions: int = 8,
     how: str = "inner",
 ) -> "ray.data.Dataset":
-    """Equi-join on int64 OR string keys (``how``: "inner" or "left" —
-    left-outer keeps unmatched left rows with nulls in right columns).
-    Output columns: all left columns + right columns except
+    """Equi-join on int64 OR string keys (``how``: "inner", "left",
+    "right" or "full" — the outer forms keep unmatched rows with nulls
+    on the other side; for "right"/"full" the key column ``left_on``
+    is coalesced from the key itself so it is non-null on right-only
+    rows). Output columns: all left columns + right columns except
     ``right_on`` (matching pyarrow's coalesce-keys join shape). String
     keys partition via ``pd.util.hash_array`` (deterministic fixed-key
     siphash — safe across worker processes, unlike Python ``hash``)."""
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    _PA_JOIN = {
+        "inner": "inner",
+        "left": "left outer",
+        "right": "right outer",
+        "full": "full outer",
+    }
+    if how not in _PA_JOIN:
+        raise ValueError(
+            f"how must be one of {sorted(_PA_JOIN)}, got {how!r}"
+        )
     ls, rs = left.schema(), right.schema()
     key_type = ls.types[ls.names.index(left_on)]
     str_key = pa.types.is_string(key_type) or pa.types.is_large_string(key_type)
@@ -107,12 +117,25 @@ def hash_join(
         side = group["__side"]
         lt = group.filter(pc.equal(side, 0)).select(["__key"] + l_names)
         rt = group.filter(pc.equal(side, 1)).select(["__key"] + r_names)
-        if lt.num_rows == 0 or (rt.num_rows == 0 and how == "inner"):
+        # provably-empty results short-circuit; the outer forms must
+        # still emit the non-empty side (pyarrow joins handle an empty
+        # other side, but skipping it avoids the kernel dispatch)
+        if (lt.num_rows == 0 and how in ("inner", "left")) or (
+            rt.num_rows == 0 and how in ("inner", "right")
+        ):
             return out_schema.empty_table()
         j = lt.combine_chunks().join(
-            rt.combine_chunks(), keys=["__key"],
-            join_type="inner" if how == "inner" else "left outer",
+            rt.combine_chunks(), keys=["__key"], join_type=_PA_JOIN[how]
         )
+        if how in ("right", "full"):
+            # right-only rows carry nulls in every left column incl.
+            # the key under its left name; restore it from the
+            # coalesced __key (full/right outer coalesce the join key)
+            i = j.column_names.index(left_on)
+            j = j.set_column(
+                i, left_on,
+                pc.coalesce(j[left_on], j["__key"].cast(key_type)),
+            )
         return j.select(out_schema.names).cast(out_schema)
 
     unioned = left.map_batches(

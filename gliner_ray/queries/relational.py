@@ -2465,6 +2465,60 @@ LEFT JOIN (
 """
 
 
+def q_hourly_click_purchase_full(sf_dir: str):
+    """FULL OUTER join (``functions/joins.hash_join(how="full")``):
+    per-hour click counts ⟗ per-hour purchase counts — hours with only
+    one event type survive with a null on the other side, and the join
+    key is coalesced so right-only hours still carry it. Both sides
+    pre-aggregate in-stream (combiner-style: the shuffle sees hour
+    partials, never the event rows), then the generic union-partition
+    full-outer join merges them — the same ONE-shuffle shape at any
+    scale."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.joins import hash_join
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def side(event_type: str, out: str):
+        def partial(t: pa.Table) -> pa.Table:
+            mask = pc.equal(t["event_type"], event_type)
+            hours = pc.strftime(
+                pc.floor_temporal(t.filter(mask)["ts"], unit="hour"),
+                format="%Y-%m-%d %H:00:00",
+            )
+            u, c = np.unique(hours.to_numpy(zero_copy_only=False), return_counts=True)
+            return pa.table(
+                {"hour": pa.array(u, pa.string()),
+                 out: pa.array(c.astype(np.int64), pa.int64())}
+            )
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("hour")
+            .aggregate(Sum(out, alias_name=out))
+        )
+
+    clicks = side("click", "clicks")
+    purchases = side("purchase", "purchases")
+    return hash_join(clicks, purchases, "hour", "hour", how="full")
+
+
+HOURLY_CLICK_PURCHASE_FULL_SQL = """
+WITH c AS (
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+           CAST(COUNT(*) AS BIGINT) AS clicks
+    FROM events WHERE event_type = 'click' GROUP BY 1
+), p AS (
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+           CAST(COUNT(*) AS BIGINT) AS purchases
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT COALESCE(c.hour, p.hour) AS hour, c.clicks, p.purchases
+FROM c FULL OUTER JOIN p ON c.hour = p.hour
+"""
+
+
 # ------------------------------------------------- JSON extraction
 
 

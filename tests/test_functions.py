@@ -659,7 +659,67 @@ class TestHashJoin:
         assert out["w"].tolist()[1:3] == [20, 30]
         assert pd.isna(out["w"][0]) and pd.isna(out["w"][3])
         with pytest.raises(ValueError):
+            hash_join(rd.from_arrow(left), rd.from_arrow(right), "k", "rk", how="cross")
+
+    def test_full_and_right_outer_coalesce_keys(self):
+        """full/right outer: unmatched rows survive from BOTH/right
+        sides and the key column is non-null on right-only rows
+        (coalesced back from the join key)."""
+        import pandas as pd
+        import ray.data as rd
+
+        from gliner_ray.functions.joins import hash_join
+
+        left = pa.table(
+            {
+                "k": pa.array([1, 2, 3], pa.int64()),
+                "v": pa.array(["a", "b", "c"], pa.string()),
+            }
+        )
+        right = pa.table(
+            {"rk": pa.array([2, 3, 4, 7], pa.int64()),
+             "w": pa.array([20, 30, 40, 70], pa.int64())}
+        )
+        out = (
             hash_join(rd.from_arrow(left), rd.from_arrow(right), "k", "rk", how="full")
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        # every key from both sides, exactly once; key never null
+        assert out["k"].tolist() == [1, 2, 3, 4, 7]
+        assert pd.isna(out["w"][0]) and out["w"].tolist()[1:] == [20, 30, 40, 70]
+        assert pd.isna(out["v"][3]) and pd.isna(out["v"][4])
+
+        out_r = (
+            hash_join(rd.from_arrow(left), rd.from_arrow(right), "k", "rk", how="right")
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        assert out_r["k"].tolist() == [2, 3, 4, 7]  # left-only k=1 dropped
+        assert out_r["v"].tolist()[:2] == ["b", "c"]
+        assert pd.isna(out_r["v"][2]) and pd.isna(out_r["v"][3])
+
+    def test_full_outer_string_keys(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from gliner_ray.functions.joins import hash_join
+
+        left = pa.table(
+            {"k": pa.array(["x", "y"], pa.string()),
+             "v": pa.array([1, 2], pa.int64())}
+        )
+        right = pa.table(
+            {"rk": pa.array(["y", "z"], pa.string()),
+             "w": pa.array([20, 30], pa.int64())}
+        )
+        out = (
+            hash_join(rd.from_arrow(left), rd.from_arrow(right), "k", "rk", how="full")
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        assert out["k"].tolist() == ["x", "y", "z"]
+        assert pd.isna(out["w"][0]) and pd.isna(out["v"][2])
 
 
 class TestAsofJoin:
