@@ -136,6 +136,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "q_order_ntile4": rel.q_order_ntile4,
         "q_order_percent_rank": rel.q_order_percent_rank,
         "q_order_cume_dist": rel.q_order_cume_dist,
+        "q_order_dense_rank": rel.q_order_dense_rank,
         "q_flag_price_corr": rel.q_flag_price_corr,
         "q_flag_price_regr": rel.q_flag_price_regr,
         "q_flag_price_skew_kurt": rel.q_flag_price_skew_kurt,
@@ -250,6 +251,7 @@ def oracle_sql() -> dict[str, str]:
         "q_order_ntile4": rel.ORDER_NTILE4_SQL,
         "q_order_percent_rank": rel.ORDER_PERCENT_RANK_SQL,
         "q_order_cume_dist": rel.ORDER_CUME_DIST_SQL,
+        "q_order_dense_rank": rel.ORDER_DENSE_RANK_SQL,
         "q_flag_price_corr": rel.FLAG_PRICE_CORR_SQL,
         "q_flag_price_regr": rel.FLAG_PRICE_REGR_SQL,
         "q_flag_price_skew_kurt": rel.FLAG_PRICE_SKEW_KURT_SQL,

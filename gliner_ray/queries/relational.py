@@ -3100,6 +3100,123 @@ FROM orders
 """
 
 
+def q_order_dense_rank(sf_dir: str, n_bins: int = 1024):
+    """DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY
+    price_cents) — ranks over a NON-unique key, so ties share a rank
+    and the next distinct value increments by exactly 1. The two-level
+    rank engine generalizes because range bins partition VALUE space:
+    a distinct value lives in exactly one bin, so per-bin distinct
+    counts are compositional and prefix-sum into per-bin DENSE
+    offsets (metadata-sized, like the row offsets in
+    :func:`_order_global_rank`):
+
+    1. one pass: per-priority (min, max) of cents — partial-sized;
+    2. one pass emits per-batch-DEDUPED (pb, cents) pairs; a tiny
+       groupby counts distinct cents per bin → driver prefix-sums
+       into dense offsets;
+    3. rows shuffle ONCE on (priority, bin); each group sorts by
+       cents locally: drank = offset + (local distinct index) + 1.
+
+    Skew note: all rows of ONE cents value land in one bin by
+    construction — inherent to dense ranking (the value is the group),
+    bounded by the hottest single price's multiplicity, not by a
+    range's width."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "prio": t["o_orderpriority"],
+                "cents": _floor_units(t["o_totalprice"], 100),
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+            }
+        )
+
+    enc_ds = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+    stats = enc_ds.groupby("prio").aggregate(
+        Min("cents", alias_name="lo"), Max("cents", alias_name="hi")
+    ).take_all()  # priorities are dimension-sized
+    prio_id = {r["prio"]: i for i, r in enumerate(sorted(stats, key=lambda r: r["prio"]))}
+    lo = {r["prio"]: r["lo"] for r in stats}
+    width = {r["prio"]: max((r["hi"] - r["lo"]) // n_bins + 1, 1) for r in stats}
+
+    def binned(t: pa.Table) -> pa.Table:
+        p = pd.Series(t["prio"].to_pylist())
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        pid = p.map(prio_id).to_numpy(np.int64)
+        b = (c - p.map(lo).to_numpy(np.int64)) // p.map(width).to_numpy(np.int64)
+        return pa.table(
+            {
+                "pb": pa.array(pid * n_bins + b, pa.int64()),
+                "cents": t["cents"],
+                "o_orderkey": t["o_orderkey"],
+            }
+        )
+
+    rows = enc_ds.map_batches(binned, batch_format="pyarrow")
+
+    # per-bin DISTINCT cents counts: dedup in-batch (combiner), then a
+    # metadata-sized exact distinct per pb over the deduped pairs
+    def uniq_pairs(t: pa.Table) -> pa.Table:
+        pb = t["pb"].to_numpy(zero_copy_only=False)
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        u = np.unique(np.stack([pb, c], axis=1), axis=0)
+        return pa.table(
+            {"pb": pa.array(u[:, 0], pa.int64()),
+             "cents": pa.array(u[:, 1], pa.int64())}
+        )
+
+    def nd_per_bin(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"pb": [int(g["pb"].iloc[0])], "nd": [int(g["cents"].nunique())]}
+        )
+
+    nd = {
+        r["pb"]: r["nd"]
+        for r in rows.map_batches(uniq_pairs, batch_format="pyarrow")
+        .groupby("pb").map_groups(nd_per_bin, batch_format="pandas")
+        .take_all()  # ≤ priorities × n_bins rows — metadata-sized
+    }
+    offsets: dict[int, int] = {}
+    for i in prio_id.values():
+        run = 0
+        for b in range(n_bins):
+            pb = i * n_bins + b
+            if pb in nd:
+                offsets[pb] = run
+                run += nd[pb]
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        pb = int(g["pb"].iloc[0])
+        c = g["cents"].to_numpy()
+        order = np.argsort(c, kind="stable")
+        dense = np.empty(len(g), np.int64)
+        sc = c[order]
+        dense[order] = np.cumsum(np.r_[0, (sc[1:] != sc[:-1]).astype(np.int64)])
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "drank": offsets[pb] + dense + 1,
+            }
+        )
+
+    return rows.groupby("pb").map_groups(assign, batch_format="pandas")
+
+
+ORDER_DENSE_RANK_SQL = """
+SELECT o_orderkey,
+       CAST(DENSE_RANK() OVER (
+            PARTITION BY o_orderpriority
+            ORDER BY CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+       ) AS BIGINT) AS drank
+FROM orders
+"""
+
+
 # ------------------------------------------------- correlation aggregate
 
 

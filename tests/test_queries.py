@@ -279,3 +279,16 @@ class TestCurationPipeline:
         assert ids_out[0] not in kept
         assert ids_in[2] in kept          # distinct doc kept
         assert ids_in[3] not in kept      # Spanish doc filtered
+
+
+def test_dense_rank_tiny_bins_matches_oracle(con):
+    """n_bins=4 forces multi-value bins and straddle-free value
+    partitioning — the distinct-count offsets must still compose into
+    the exact global DENSE_RANK."""
+    from gliner_ray.queries import relational as rel
+
+    res = rel.q_order_dense_rank(SF, n_bins=4).to_pandas()
+    odf = con.sql(__import__("__ray_entry__").oracle_sql()["q_order_dense_rank"]).df()
+    a = _norm(res)
+    b = _norm(odf)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
