@@ -192,6 +192,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_temperature_mixture": co.doc_temperature_mixture,
         "doc_source_mixture": co.doc_source_mixture,
         "doc_uniform_sample": co.doc_uniform_sample,
+        "doc_global_shuffle": co.doc_global_shuffle,
         "doc_top_terms": co.doc_top_terms,
         "doc_heavy_terms": co.doc_heavy_terms,
         # knowledge-graph construction (reference-parity ops)
@@ -277,6 +278,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_temperature_mixture": co.TEMPERATURE_MIXTURE_SQL,
         "doc_source_mixture": co.SOURCE_MIXTURE_SQL,
         "doc_uniform_sample": co.UNIFORM_SAMPLE_SQL,
+        "doc_global_shuffle": co.GLOBAL_SHUFFLE_SQL,
         "doc_top_terms": co.TOP_TERMS_SQL,
         "doc_heavy_terms": co.HEAVY_TERMS_SQL,
         "doc_exact_dedup": co.EXACT_DEDUP_SQL,

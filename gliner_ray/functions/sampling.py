@@ -245,3 +245,80 @@ def temperature_mixture_sample(
         .groupby(stratum_col)
         .map_groups(final, batch_format="pandas")
     )
+
+
+def global_shuffle_positions(
+    ds: "ray.data.Dataset",
+    key_col: str = "doc_id",
+    salt: str = "shuffle",
+    n_bins: int = 1024,
+) -> "ray.data.Dataset":
+    """Deterministic GLOBAL training-data shuffle: every row gets a
+    permutation position ``pos`` (1-based) equal to its rank in
+    ``ORDER BY md5(salt:key), key`` — the seeded shuffle a 100-TB
+    training run needs (stable under re-partitioning and resume,
+    unlike ``random_shuffle``), expressed WITHOUT a global sort:
+
+    1. the md5 keyspace is uniform by construction, so fixed-width
+       range bins over the first 60 hash bits are balanced — no
+       min/max pass and no skew (contrast the value-binned rank
+       engine in ``queries/relational``, which histograms first);
+    2. one streaming pass counts rows per bin (in-batch combiner →
+       metadata-sized groupby) and the driver prefix-sums bin
+       OFFSETS;
+    3. rows shuffle ONCE on their bin id; each bin sorts locally by
+       the FULL hash hex (then key): ``pos = offset + local index``.
+
+    The md5 is per-row Python ``hashlib`` (~1M rows/s/core) inside
+    ``map_batches`` — embarrassingly parallel, and the only kernel
+    that matches the SQL oracle bit-for-bit. Returns ``(key_col,
+    pos)``."""
+    import numpy as np
+    import ray.data  # noqa: F401  (typing only)
+    from ray.data.aggregate import Sum
+
+    width = (1 << 60) // n_bins
+
+    def hashed(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_pylist()
+        hx = [hashlib.md5(f"{salt}:{k}".encode()).hexdigest() for k in keys]
+        b = np.array([int(h[:15], 16) for h in hx], np.int64) // width
+        return pa.table(
+            {
+                "bin": pa.array(b, pa.int64()),
+                "h": pa.array(hx, pa.string()),
+                key_col: t[key_col],
+            }
+        )
+
+    rows = ds.map_batches(hashed, batch_format="pyarrow").materialize()
+
+    def bin_counts(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t["bin"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table(
+            {"bin": pa.array(u, pa.int64()),
+             "cnt": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    counts = {
+        r["bin"]: r["cnt"]
+        for r in rows.map_batches(bin_counts, batch_format="pyarrow")
+        .groupby("bin").aggregate(Sum("cnt", alias_name="cnt")).take_all()
+    }  # ≤ n_bins rows — metadata-sized
+    offsets: dict[int, int] = {}
+    run = 0
+    for b in sorted(counts):
+        offsets[b] = run
+        run += counts[b]
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["bin"].iloc[0])
+        g = g.sort_values(["h", key_col], kind="stable", ignore_index=True)
+        return pd.DataFrame(
+            {
+                key_col: g[key_col].to_numpy(),
+                "pos": offsets[b] + np.arange(1, len(g) + 1),
+            }
+        )
+
+    return rows.groupby("bin").map_groups(assign, batch_format="pandas")

@@ -1075,6 +1075,27 @@ LIMIT 25
 """
 
 
+def doc_global_shuffle(sf_dir: str):
+    """Deterministic global training-data shuffle: every doc gets its
+    1-based position in the seeded md5 permutation — the distributed
+    ORDER-BY-hash shuffle, done with balanced fixed-range hash bins +
+    ONE shuffle instead of a global sort (see
+    ``functions.sampling.global_shuffle_positions``). Reads ONLY
+    doc_id (column-pruned)."""
+    from ..functions.sampling import global_shuffle_positions
+
+    return global_shuffle_positions(_docs(sf_dir, ["doc_id"]), "doc_id")
+
+
+GLOBAL_SHUFFLE_SQL = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+            ORDER BY md5('shuffle:' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS pos
+FROM documents
+"""
+
+
 def doc_source_mixture(sf_dir: str):
     """Deterministic weighted data-mixture sampling (the LLM-corpus
     "mixture weights" op): each source keeps docs at its own rate via
