@@ -436,3 +436,216 @@ def lm_perplexity(
     byte sequences (the classic LM quality-filter signal)."""
     counts = char_bigram_model(ds, text_col)
     return ds.map_batches(perplexity_batch_fn(counts), batch_format="pyarrow")
+
+
+# ------------------------------------------------- BM25 full-text search
+
+
+def bm25_topk(
+    ds: "ray.data.Dataset",
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> pa.Table:
+    """Distributed BM25 top-k full-text search — the retrieval op a
+    corpus engine needs next to ANN: two streaming passes, no index
+    materialization, no shuffle at all.
+
+    1. corpus statistics: each batch emits ONE fixed-size partial row
+       (n_docs, docs-with-terms, total token count, df per query
+       term); the driver combines the metadata-sized partials into
+       N, avgdl and per-term Robertson idf
+       ``ln((N − df + 0.5)/(df + 0.5) + 1)``;
+    2. scoring: each batch scores its own docs (tf via the same
+       ``_TERM_RE`` tokenization the oracle SQL reproduces with
+       ``regexp_extract_all``) and keeps only its LOCAL top-k by the
+       final comparator; the driver merges ≤ k·n_batches candidate
+       rows.
+
+    Scores round to 5 dp on BOTH engines and the comparator is
+    (rounded score DESC, doc_id ASC) end-to-end — per-batch pruning
+    under the final comparator is exact, and rounded ties resolve
+    identically on both sides. At 100 TB both passes stream with
+    fixed-size outputs; the only driver state is ≤ k rows per batch."""
+    from collections import Counter
+
+    terms = sorted({t.lower() for t in query_terms})
+    Q = len(terms)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        n = nd = sl = 0
+        dfs = [0] * Q
+        for txt in t["text"].to_pylist():
+            toks = [w.lower() for w in _TERM_RE.findall(txt)]
+            n += 1
+            if toks:
+                nd += 1
+                sl += len(toks)
+            present = set(toks)
+            for i, q in enumerate(terms):
+                if q in present:
+                    dfs[i] += 1
+        cols: dict = {
+            "n": pa.array([n], pa.int64()),
+            "nd": pa.array([nd], pa.int64()),
+            "sl": pa.array([sl], pa.int64()),
+        }
+        for i in range(Q):
+            cols[f"df{i}"] = pa.array([dfs[i]], pa.int64())
+        return pa.table(cols)
+
+    parts = ds.map_batches(stats_partial, batch_format="pyarrow").take_all()
+    N = sum(r["n"] for r in parts)
+    nd = sum(r["nd"] for r in parts)
+    sl = sum(r["sl"] for r in parts)
+    if N == 0 or nd == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64())}
+        )
+    avgdl = sl / nd
+    idf = {
+        terms[i]: float(
+            np.log(
+                (N - sum(r[f"df{i}"] for r in parts) + 0.5)
+                / (sum(r[f"df{i}"] for r in parts) + 0.5)
+                + 1.0
+            )
+        )
+        for i in range(Q)
+    }
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        ids, scores = [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = [w.lower() for w in _TERM_RE.findall(txt)]
+            if not toks:
+                continue
+            dl = len(toks)
+            c = Counter(toks)
+            s = 0.0
+            for q in terms:
+                tf = c.get(q, 0)
+                if tf:
+                    s += idf[q] * tf * (k1 + 1.0) / (
+                        tf + k1 * (1.0 - b + b * dl / avgdl)
+                    )
+            if s > 0.0:
+                ids.append(did)
+                scores.append(round(s, 5))
+        top = sorted(zip(ids, scores), key=lambda r: (-r[1], r[0]))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in top], pa.int64()),
+                "score": pa.array([r[1] for r in top], pa.float64()),
+            }
+        )
+
+    cands = ds.map_batches(score_partial, batch_format="pyarrow").take_all()
+    final = sorted(cands, key=lambda r: (-r["score"], r["doc_id"]))[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in final], pa.int64()),
+            "score": pa.array([r["score"] for r in final], pa.float64()),
+        }
+    )
+
+
+# -------------------------------------------- PMI co-occurrence pairs
+
+
+def term_pmi_pairs(
+    ds: "ray.data.Dataset",
+    k: int = 20,
+    min_co: int = 50,
+    vocab_size: int = 256,
+) -> pa.Table:
+    """Top-``k`` term pairs by pointwise mutual information
+    ``ln(co_df·N / (df_a·df_b))`` over document-level presence — the
+    corpus-statistics op behind collocation mining and tokenizer/vocab
+    diagnostics.
+
+    Scale shape: per-doc pair generation is quadratic in distinct
+    terms, so the pair space is bounded FIRST to the ``vocab_size``
+    highest-df terms (vocabulary-sized broadcast set, the documented
+    partitioning assumption — exact whenever |vocab| ≤ vocab_size,
+    as in the synthetic corpus; beyond it, rare-tail terms are
+    excluded by construction). Then:
+
+    1. one pass: per-batch distinct-presence partials → vocab-sized
+       df table (driver-combined, broadcast);
+    2. one pass: per-batch pair Counters over the bounded vocab →
+       ≤ vocab_size²/2-row groupby — never a doc-scale shuffle;
+    3. PMI + top-k on the pair-bounded aggregate.
+    """
+    from collections import Counter
+    from itertools import combinations
+
+    from ray.data.aggregate import Sum
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        n = 0
+        for txt in t["text"].to_pylist():
+            n += 1
+            c.update({w.lower() for w in _TERM_RE.findall(txt)})
+        tbl = pa.table(
+            {
+                "term": pa.array(list(c.keys()) + [""], pa.string()),
+                "df": pa.array(list(c.values()) + [n], pa.int64()),
+                "is_n": pa.array([False] * len(c) + [True], pa.bool_()),
+            }
+        )
+        return tbl
+
+    agg = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby(["term", "is_n"])
+        .aggregate(Sum("df", alias_name="df"))
+        .take_all()  # vocabulary-sized (+1 sentinel row)
+    )
+    N = next(r["df"] for r in agg if r["is_n"])
+    df = {r["term"]: r["df"] for r in agg if not r["is_n"]}
+    vocab = set(
+        sorted(df, key=lambda t: (-df[t], t))[:vocab_size]
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for txt in t["text"].to_pylist():
+            present = sorted(
+                {w.lower() for w in _TERM_RE.findall(txt)} & vocab
+            )
+            c.update(combinations(present, 2))
+        return pa.table(
+            {
+                "a": pa.array([p[0] for p in c], pa.string()),
+                "b": pa.array([p[1] for p in c], pa.string()),
+                "co": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Sum("co", alias_name="co"))
+        .take_all()  # ≤ vocab_size²/2 rows — vocab-bounded, not doc-scale
+    )
+    scored = [
+        (
+            round(float(np.log(r["co"] * N / (df[r["a"]] * df[r["b"]]))), 5),
+            r["a"],
+            r["b"],
+        )
+        for r in pairs
+        if r["co"] >= min_co
+    ]
+    top = sorted(scored, key=lambda x: (-x[0], x[1], x[2]))[:k]
+    return pa.table(
+        {
+            "a": pa.array([t[1] for t in top], pa.string()),
+            "b": pa.array([t[2] for t in top], pa.string()),
+            "pmi": pa.array([t[0] for t in top], pa.float64()),
+        }
+    )

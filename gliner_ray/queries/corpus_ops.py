@@ -1075,6 +1075,81 @@ LIMIT 25
 """
 
 
+def doc_bm25_topk(sf_dir: str):
+    """BM25 top-10 full-text search for ``hash join vector`` over the
+    documents corpus — two fixed-size-partial streaming passes, no
+    shuffle (see ``functions.text.bm25_topk``)."""
+    from ..functions.text import bm25_topk
+
+    return bm25_topk(
+        _docs(sf_dir, ["doc_id", "text"]), ["hash", "join", "vector"], k=10
+    )
+
+
+BM25_TOPK_SQL = """
+WITH words AS (
+  SELECT doc_id, lower(w) AS term
+  FROM documents, unnest(regexp_extract_all(text, '[A-Za-z][A-Za-z]+')) AS t(w)
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM words GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n,
+         (SELECT AVG(dl) FROM dl) AS avgdl
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM words
+  WHERE term IN ('hash', 'join', 'vector') GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+), scores AS (
+  SELECT tf.doc_id,
+         SUM(LN((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * (1.2 + 1.0)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS s
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(s, 5) AS score FROM scores
+ORDER BY ROUND(s, 5) DESC, doc_id
+LIMIT 10
+"""
+
+
+def doc_term_pmi(sf_dir: str):
+    """Top-20 PMI term pairs (document-level co-occurrence) with
+    co-df ≥ 50 — vocab-bounded pair combiner, never a doc-scale
+    shuffle (see ``functions.text.term_pmi_pairs``)."""
+    from ..functions.text import term_pmi_pairs
+
+    return term_pmi_pairs(_docs(sf_dir, ["doc_id", "text"]), k=20, min_co=50)
+
+
+TERM_PMI_SQL = """
+WITH pres AS (
+  SELECT DISTINCT doc_id, lower(w) AS term
+  FROM documents, unnest(regexp_extract_all(text, '[A-Za-z][A-Za-z]+')) AS t(w)
+), df AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM pres GROUP BY term
+), n AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+), co AS (
+  SELECT p1.term AS a, p2.term AS b, CAST(COUNT(*) AS DOUBLE) AS co
+  FROM pres p1 JOIN pres p2 ON p1.doc_id = p2.doc_id AND p1.term < p2.term
+  GROUP BY 1, 2
+)
+SELECT a, b, ROUND(LN(co.co * n.n / (d1.df * d2.df)), 5) AS pmi
+FROM co
+JOIN df d1 ON d1.term = co.a
+JOIN df d2 ON d2.term = co.b
+CROSS JOIN n
+WHERE co.co >= 50
+ORDER BY pmi DESC, a, b
+LIMIT 20
+"""
+
+
 def doc_global_shuffle(sf_dir: str):
     """Deterministic global training-data shuffle: every doc gets its
     1-based position in the seeded md5 permutation — the distributed
