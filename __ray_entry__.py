@@ -145,6 +145,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "q_active_keys_union": rel.q_active_keys_union,
         "q_price_mad": rel.q_price_mad,
         "q_user_first_last_event": rel.q_user_first_last_event,
+        "q_user_funnel": rel.q_user_funnel,
         "q_orders_above_cust_avg": rel.q_orders_above_cust_avg,
         # text analysis
         "doc_token_count": co.doc_token_count,
@@ -263,6 +264,7 @@ def oracle_sql() -> dict[str, str]:
         "q_active_keys_union": rel.ACTIVE_KEYS_UNION_SQL,
         "q_price_mad": rel.PRICE_MAD_SQL,
         "q_user_first_last_event": rel.USER_FIRST_LAST_SQL,
+        "q_user_funnel": rel.USER_FUNNEL_SQL,
         "q_orders_above_cust_avg": rel.ORDERS_ABOVE_CUST_AVG_SQL,
         "doc_token_count": co.TOKEN_COUNT_SQL,
         "doc_tokens_routed": co.TOKENS_ROUTED_SQL,

@@ -2810,6 +2810,83 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def q_user_funnel(sf_dir: str):
+    """Ordered-sequence funnel (view → click → purchase): per user,
+    stage 1 = any view, stage 2 = a click STRICTLY AFTER the first
+    view, stage 3 = a purchase strictly after that click — the
+    event-sequence-matching window op behind conversion analytics.
+    Same ``user_id % P`` partition discipline as the other user
+    windows; inside a part the three stage anchors are three
+    vectorized groupby-mins + merges (no per-user Python loop), each
+    conditioned on the previous anchor."""
+    P = 16
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "event_type": t["event_type"],
+                "part": pa.array(u % P, pa.int64()),
+            }
+        )
+
+    def funnel(df: pd.DataFrame) -> pd.DataFrame:
+        t1 = (
+            df[df["event_type"] == "view"].groupby("user_id")["ts"].min()
+        ).rename("t1")
+        d = df.merge(t1, left_on="user_id", right_index=True, how="left")
+        t2 = (
+            d[(d["event_type"] == "click") & (d["ts"] > d["t1"])]
+            .groupby("user_id")["ts"].min()
+        ).rename("t2")
+        d = d.merge(t2, left_on="user_id", right_index=True, how="left")
+        t3 = (
+            d[(d["event_type"] == "purchase") & (d["ts"] > d["t2"])]
+            .groupby("user_id")["ts"].min()
+        )
+        users = np.sort(df["user_id"].unique())
+        stage = (
+            pd.Series(users).isin(t1.index).to_numpy(np.int64)
+            + pd.Series(users).isin(t2.index).to_numpy(np.int64)
+            + pd.Series(users).isin(t3.index).to_numpy(np.int64)
+        )
+        return pd.DataFrame({"user_id": users, "stage": stage})
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+        .map_batches(add_part, batch_format="pyarrow", batch_size=131072)
+        .groupby("part")
+        .map_groups(funnel, batch_format="pandas")
+    )
+
+
+USER_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+)
+SELECT u.user_id,
+       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                 WHEN c.user_id IS NOT NULL THEN 2
+                 WHEN v.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v ON u.user_id = v.user_id
+LEFT JOIN c ON u.user_id = c.user_id
+LEFT JOIN p ON u.user_id = p.user_id
+"""
+
+
 # ------------------------------------- correlated scalar subquery
 
 
