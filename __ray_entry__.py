@@ -181,6 +181,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "q_user_item_degree": go.q_user_item_degree,
         "graph_components": go.graph_components,
         "graph_pagerank": go.graph_pagerank,
+        "graph_cf_pairs": go.graph_cf_pairs,
         # multimodal plumbing
         "media_features": co.media_features,
         "media_near_dups": co.media_near_dups,
@@ -293,6 +294,7 @@ def oracle_sql() -> dict[str, str]:
         "q_user_item_degree": go.USER_ITEM_DEGREE_SQL,
         "graph_components": go.GRAPH_COMPONENTS_SQL,
         "graph_pagerank": go.GRAPH_PAGERANK_SQL,
+        "graph_cf_pairs": go.GRAPH_CF_PAIRS_SQL,
         "emb_ann_topk": co.ANN_TOPK_SQL,
         "emb_ivf_topk_full": co.ANN_TOPK_SQL,
         "emb_exact_pairs": co.EXACT_PAIRS_SQL,

@@ -189,3 +189,102 @@ r{next} AS MATERIALIZED (
 
 
 GRAPH_PAGERANK_SQL = _pagerank_sql()
+
+
+def graph_cf_pairs(
+    sf_dir: str,
+    min_shared: int = 3,
+    k: int = 20,
+    max_item_degree: int = 10_000,
+):
+    """Co-engagement projection of the bipartite graph: top-``k``
+    user pairs by DISTINCT shared items — the collaborative-filtering
+    common-neighbors op. The pair space is quadratic in item degree,
+    so items with more than ``max_item_degree`` distinct users are
+    EXCLUDED up front (the standard stop-item rule; the SQL twin
+    applies the identical HAVING cap, so the bound is part of the
+    contract, not an approximation). Shuffle shape:
+
+    1. per-batch distinct (user, item) combiner → ONE item-keyed
+       shuffle; each item group dedups users globally and emits its
+       ``C(d,2)`` pairs (d ≤ max_item_degree by the cap);
+    2. pair-keyed groupby sums shared-item counts (the documented
+       Σd² cost — bounded by the cap, salted-hot-key-free);
+    3. ``min_shared`` filter + per-block partial top-k, driver-merged
+       (every pair lives in exactly one block after the groupby).
+    """
+    from itertools import combinations
+
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": t["user_id"].to_pandas(),
+                "item": [str(json.loads(p)["k"]) for p in t["props"].to_pylist()],
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_item(g: pd.DataFrame) -> pd.DataFrame:
+        users = np.unique(g["user_id"].to_numpy())
+        if len(users) < 2 or len(users) > max_item_degree:
+            return pd.DataFrame({"ua": [], "ub": [], "shared": []}).astype(
+                {"ua": "int64", "ub": "int64", "shared": "int64"}
+            )
+        pairs = list(combinations(users.tolist(), 2))
+        return pd.DataFrame(
+            {
+                "ua": [p[0] for p in pairs],
+                "ub": [p[1] for p in pairs],
+                "shared": 1,
+            }
+        ).astype({"ua": "int64", "ub": "int64", "shared": "int64"})
+
+    counts = (
+        _events(sf_dir, ["user_id", "props"])
+        .map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby("item")
+        .map_groups(per_item, batch_format="pandas")
+        .groupby(["ua", "ub"])
+        .aggregate(Sum("shared", alias_name="shared"))
+    )
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["shared"] >= min_shared]
+        df = df.sort_values(
+            ["shared", "ua", "ub"], ascending=[False, True, True]
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cands = counts.map_batches(block_topk, batch_format="pyarrow").take_all()
+    top = sorted(cands, key=lambda r: (-r["shared"], r["ua"], r["ub"]))[:k]
+    return pa.table(
+        {
+            "ua": pa.array([r["ua"] for r in top], pa.int64()),
+            "ub": pa.array([r["ub"] for r in top], pa.int64()),
+            "shared": pa.array([r["shared"] for r in top], pa.int64()),
+        }
+    )
+
+
+GRAPH_CF_PAIRS_SQL = """
+WITH ui AS (
+  SELECT DISTINCT user_id, json_extract_string(props, '$.k') AS item
+  FROM events
+), keep AS (
+  SELECT item FROM ui GROUP BY item HAVING COUNT(*) BETWEEN 2 AND 10000
+), pairs AS (
+  SELECT a.user_id AS ua, b.user_id AS ub, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM ui a
+  JOIN ui b ON a.item = b.item AND a.user_id < b.user_id
+  JOIN keep ON keep.item = a.item
+  GROUP BY 1, 2
+)
+SELECT ua, ub, shared FROM pairs WHERE shared >= 3
+ORDER BY shared DESC, ua, ub
+LIMIT 20
+"""
