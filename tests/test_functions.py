@@ -1363,3 +1363,73 @@ class TestLmPerplexity:
         out = lm_perplexity(_docs_ds([(0, "x"), (1, "ab")])).to_pandas()
         assert math.isnan(out.loc[out.doc_id == 0, "perplexity"].item())
         assert out.loc[out.doc_id == 1, "perplexity"].item() > 0
+
+
+class TestGlobalShuffle:
+    def test_positions_are_exact_permutation(self, ray_session):
+        import ray.data as rd
+
+        from gliner_ray.functions.sampling import global_shuffle_positions
+
+        ids = list(range(1, 501))
+        ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+        out = global_shuffle_positions(ds, "doc_id", n_bins=16).to_pandas()
+        assert sorted(out["pos"]) == list(range(1, 501))
+        assert sorted(out["doc_id"]) == ids
+
+    def test_deterministic_and_layout_invariant(self, ray_session):
+        import ray.data as rd
+
+        from gliner_ray.functions.sampling import global_shuffle_positions
+
+        ids = pa.table({"doc_id": pa.array(range(100), pa.int64())})
+        a = (
+            global_shuffle_positions(rd.from_arrow(ids), "doc_id")
+            .to_pandas().sort_values("doc_id", ignore_index=True)
+        )
+        b = (
+            global_shuffle_positions(
+                rd.from_arrow(ids).repartition(7), "doc_id"
+            )
+            .to_pandas().sort_values("doc_id", ignore_index=True)
+        )
+        assert a["pos"].tolist() == b["pos"].tolist()
+
+
+class TestBm25:
+    def test_empty_corpus(self, ray_session):
+        import ray.data as rd
+
+        from gliner_ray.functions.text import bm25_topk
+
+        ds = rd.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+        )
+        out = bm25_topk(ds, ["alpha"], k=5)
+        assert out.num_rows == 0
+
+    def test_tf_and_dl_ordering(self, ray_session):
+        """More query-term hits rank higher; at equal tf the shorter
+        doc wins (BM25 length normalization)."""
+        import ray.data as rd
+
+        from gliner_ray.functions.text import bm25_topk
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        "alpha alpha alpha beta",          # tf=3
+                        "alpha beta gamma delta",          # tf=1, dl=4
+                        "alpha beta gamma delta eps zeta", # tf=1, dl=6
+                        "no match here",                   # tf=0 -> absent
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        out = bm25_topk(rd.from_arrow(docs), ["alpha"], k=10).to_pylist()
+        assert [r["doc_id"] for r in out] == [1, 2, 3]
+        assert out[0]["score"] > out[1]["score"] > out[2]["score"]
