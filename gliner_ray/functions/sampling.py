@@ -322,3 +322,53 @@ def global_shuffle_positions(
         )
 
     return rows.groupby("bin").map_groups(assign, batch_format="pandas")
+
+
+def priority_sample(
+    ds: "ray.data.Dataset",
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "prio",
+) -> pa.Table:
+    """Weighted sampling WITHOUT replacement, proportional to
+    ``weight_col`` (Efraimidis–Spirakis A-ES): each row draws the
+    deterministic uniform ``u = md5-frac(salt:key)`` and keeps
+    priority ``u^(1/w)``; the global top-``k`` priorities are the
+    sample. The training-data op for length/token-weighted corpus
+    subsetting — deterministic, layout-invariant, resumable.
+
+    Scale shape: NO shuffle — each batch keeps its local top-k
+    (priority DESC, key ASC), the driver merges ≤ k·n_batches
+    fixed-size partials. The identical formula is SQL-expressible
+    for the oracle: ``POW(u, 1.0/w)`` with the same md5-frac."""
+    import numpy as np
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_pylist()
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        u = np.array(
+            [
+                int(hashlib.md5(f"{salt}:{x}".encode()).hexdigest()[:15], 16)
+                for x in keys
+            ],
+            np.float64,
+        ) / float(1 << 60)
+        prio = u ** (1.0 / np.maximum(w, 1e-12))
+        order = np.lexsort((np.asarray(keys), -prio))[:k]
+        return pa.table(
+            {
+                key_col: pa.array([keys[i] for i in order]),
+                weight_col: t[weight_col].take(pa.array(order, pa.int64())),
+                "prio": pa.array(prio[order], pa.float64()),
+            }
+        )
+
+    cands = ds.map_batches(local_topk, batch_format="pyarrow").take_all()
+    top = sorted(cands, key=lambda r: (-r["prio"], r[key_col]))[:k]
+    return pa.table(
+        {
+            key_col: pa.array([r[key_col] for r in top], pa.int64()),
+            weight_col: pa.array([r[weight_col] for r in top], pa.int64()),
+        }
+    )

@@ -1075,6 +1075,29 @@ LIMIT 25
 """
 
 
+def doc_priority_sample(sf_dir: str, k: int = 25):
+    """Weighted (length-proportional) sampling without replacement —
+    Efraimidis–Spirakis priorities ``u^(1/n_chars)`` with the
+    deterministic md5 uniform; top-25, shuffle-free (see
+    ``functions.sampling.priority_sample``)."""
+    from ..functions.sampling import priority_sample
+
+    return priority_sample(_docs(sf_dir, ["doc_id", "n_chars"]), "n_chars", k)
+
+
+PRIORITY_SAMPLE_SQL = """
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         POW(CAST(('0x' || SUBSTR(md5('prio:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) / 1152921504606846976.0,
+             1.0 / n_chars) AS prio
+  FROM documents
+)
+ORDER BY prio DESC, doc_id
+LIMIT 25
+"""
+
+
 def doc_bm25_topk(sf_dir: str):
     """BM25 top-10 full-text search for ``hash join vector`` over the
     documents corpus — two fixed-size-partial streaming passes, no
