@@ -198,6 +198,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25_topk": co.doc_bm25_topk,
         "doc_term_pmi": co.doc_term_pmi,
         "doc_priority_sample": co.doc_priority_sample,
+        "doc_corpus_report": co.doc_corpus_report,
         "doc_top_terms": co.doc_top_terms,
         "doc_heavy_terms": co.doc_heavy_terms,
         # knowledge-graph construction (reference-parity ops)
@@ -288,6 +289,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bm25_topk": co.BM25_TOPK_SQL,
         "doc_term_pmi": co.TERM_PMI_SQL,
         "doc_priority_sample": co.PRIORITY_SAMPLE_SQL,
+        "doc_corpus_report": co.CORPUS_REPORT_SQL,
         "doc_top_terms": co.TOP_TERMS_SQL,
         "doc_heavy_terms": co.HEAVY_TERMS_SQL,
         "doc_exact_dedup": co.EXACT_DEDUP_SQL,

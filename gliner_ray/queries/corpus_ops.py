@@ -1075,6 +1075,71 @@ LIMIT 25
 """
 
 
+def doc_corpus_report(sf_dir: str):
+    """One-row corpus data card — the composed summary a curation run
+    logs next to its output: doc count, char totals/mean, distinct
+    languages/sources, English fraction. ONE streaming pass of
+    fixed-size partials (each batch emits one row carrying counts,
+    sums and its batch-local distinct lang/source sets as list
+    columns — dimension-bounded), driver-combined. Column-pruned
+    read: text is never loaded."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        langs = sorted(set(t["lang"].to_pylist()))
+        sources = sorted(set(t["source"].to_pylist()))
+        en = int(pc.sum(pc.cast(pc.equal(t["lang"], "en"), pa.int64())).as_py() or 0)
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "sum_chars": pa.array(
+                    [pc.sum(t["n_chars"]).as_py() or 0], pa.int64()
+                ),
+                "n_en": pa.array([en], pa.int64()),
+                "langs": pa.array([langs], pa.list_(pa.string())),
+                "sources": pa.array([sources], pa.list_(pa.string())),
+            }
+        )
+
+    rows = (
+        _docs(sf_dir, ["lang", "source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()  # one fixed-size row per batch
+    )
+    n = sum(r["n"] for r in rows)
+    sum_chars = sum(r["sum_chars"] for r in rows)
+    n_en = sum(r["n_en"] for r in rows)
+    langs = set().union(*(r["langs"] for r in rows)) if rows else set()
+    sources = set().union(*(r["sources"] for r in rows)) if rows else set()
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "sum_chars": pa.array([sum_chars], pa.int64()),
+            "avg_chars": pa.array(
+                [round(sum_chars / n, 4) if n else None], pa.float64()
+            ),
+            "n_langs": pa.array([len(langs)], pa.int64()),
+            "n_sources": pa.array([len(sources)], pa.int64()),
+            "en_frac": pa.array(
+                [round(n_en / n, 5) if n else None], pa.float64()
+            ),
+        }
+    )
+
+
+CORPUS_REPORT_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       ROUND(SUM(n_chars) / COUNT(*), 4) AS avg_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       ROUND(SUM(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END) / COUNT(*), 5)
+           AS en_frac
+FROM documents
+"""
+
+
 def doc_priority_sample(sf_dir: str, k: int = 25):
     """Weighted (length-proportional) sampling without replacement —
     Efraimidis–Spirakis priorities ``u^(1/n_chars)`` with the
