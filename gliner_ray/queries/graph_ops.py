@@ -213,8 +213,6 @@ def graph_cf_pairs(
     3. ``min_shared`` filter + per-block partial top-k, driver-merged
        (every pair lives in exactly one block after the groupby).
     """
-    from itertools import combinations
-
     import numpy as np
     import pandas as pd
     from ray.data.aggregate import Sum
@@ -234,14 +232,16 @@ def graph_cf_pairs(
             return pd.DataFrame({"ua": [], "ub": [], "shared": []}).astype(
                 {"ua": "int64", "ub": "int64", "shared": "int64"}
             )
-        pairs = list(combinations(users.tolist(), 2))
+        # vectorized C(d,2) pair enumeration (users is sorted by
+        # np.unique, so iu < ju keeps ua < ub)
+        iu, ju = np.triu_indices(len(users), k=1)
         return pd.DataFrame(
             {
-                "ua": [p[0] for p in pairs],
-                "ub": [p[1] for p in pairs],
-                "shared": 1,
+                "ua": users[iu].astype(np.int64),
+                "ub": users[ju].astype(np.int64),
+                "shared": np.ones(len(iu), np.int64),
             }
-        ).astype({"ua": "int64", "ub": "int64", "shared": "int64"})
+        )
 
     counts = (
         _events(sf_dir, ["user_id", "props"])
