@@ -104,6 +104,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "q_priority_with_late_items": rel.q_priority_with_late_items,
         "q_customers_without_big_orders": rel.q_customers_without_big_orders,
         "q_customers_no_urgent_orders": rel.q_customers_no_urgent_orders,
+        "q_rich_idle_customers_by_nation": rel.q_rich_idle_customers_by_nation,
         "q_asof_purchase_click": rel.q_asof_purchase_click,
         "q_user_rolling_1h": rel.q_user_rolling_1h,
         "q_value_bands": rel.q_value_bands,
@@ -227,6 +228,7 @@ def oracle_sql() -> dict[str, str]:
         "q_priority_with_late_items": rel.PRIORITY_LATE_SQL,
         "q_customers_without_big_orders": rel.CUSTOMERS_NO_BIG_ORDERS_SQL,
         "q_customers_no_urgent_orders": rel.CUSTOMERS_NO_URGENT_SQL,
+        "q_rich_idle_customers_by_nation": rel.RICH_IDLE_BY_NATION_SQL,
         "q_asof_purchase_click": rel.ASOF_PURCHASE_CLICK_SQL,
         "q_user_rolling_1h": rel.USER_ROLLING_SQL,
         "q_value_bands": rel.VALUE_BANDS_SQL,

@@ -783,6 +783,116 @@ WHERE NOT EXISTS (
 """
 
 
+def q_rich_idle_customers_by_nation(sf_dir: str, num_partitions: int = 8):
+    """TPC-H q22 shape — global scalar subquery + anti join + group
+    aggregate composed: per nation, count and total balance of
+    customers whose balance beats the positive-balance average AND who
+    have no URGENT orders. Three scale-shaped stages sharing the plan:
+
+    1. global average: one fixed-size (sum_cents, n) partial pass over
+       customers; the comparison stays integer
+       (``cents·n > sum_cents`` — no float division on either engine);
+    2. eligible customers anti-join the DISTINCT order custkeys (the
+       per-batch ``pc.unique`` combiner shrinks the shuffle; both
+       sides move once, key-partitioned — same engine as
+       :func:`q_customers_no_urgent_orders`);
+    3. the survivors pre-aggregate per nation in-batch before a
+       dimension-sized groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.joins import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        cents = _floor_units(t["c_acctbal"], 100).to_numpy()
+        pos = cents[cents > 0]
+        return pa.table(
+            {"sc": pa.array([int(pos.sum())], pa.int64()),
+             "n": pa.array([len(pos)], pa.int64())}
+        )
+
+    parts = cust.map_batches(bal_partial, batch_format="pyarrow").take_all()
+    sc = sum(r["sc"] for r in parts)
+    n = sum(r["n"] for r in parts)
+
+    def eligible(t: pa.Table) -> pa.Table:
+        cents = _floor_units(t["c_acctbal"], 100)
+        keep = pc.greater(pc.multiply(cents, pa.scalar(n, pa.int64())),
+                          pa.scalar(sc, pa.int64()))
+        f = t.filter(keep)
+        return pa.table(
+            {
+                "c_custkey": f["c_custkey"],
+                "c_nationkey": f["c_nationkey"].cast(pa.int64()),
+                "cents": _floor_units(f["c_acctbal"], 100),
+            }
+        )
+
+    rich = cust.map_batches(eligible, batch_format="pyarrow")
+    has_orders = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .map_batches(
+            lambda t: pa.table(
+                {"o_custkey": pc.unique(
+                    t.filter(
+                        pc.equal(t["o_orderpriority"], "1-URGENT")
+                    )["o_custkey"]
+                )}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_o"))
+    )
+    joined = hash_join(
+        rich, has_orders, "c_custkey", "o_custkey",
+        num_partitions=num_partitions, how="left",
+    )
+
+    def nation_partial(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.is_null(t["n_o"]))
+        df = pd.DataFrame(
+            {"c_nationkey": f["c_nationkey"].to_numpy(zero_copy_only=False),
+             "cents": f["cents"].to_numpy(zero_copy_only=False)}
+        )
+        g = df.groupby("c_nationkey", as_index=False).agg(
+            n_cust=("cents", "size"), bal_cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        joined.map_batches(nation_partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(
+            Sum("n_cust", alias_name="n_cust"),
+            Sum("bal_cents", alias_name="bal_cents"),
+        )
+    )
+
+
+RICH_IDLE_BY_NATION_SQL = """
+WITH s AS (
+  SELECT CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sc,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer WHERE CAST(FLOOR(c_acctbal * 100) AS BIGINT) > 0
+), eligible AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer, s
+  WHERE CAST(FLOOR(c_acctbal * 100) AS BIGINT) * s.n > s.sc
+)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(cents) AS BIGINT) AS bal_cents
+FROM eligible e
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = e.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+GROUP BY c_nationkey
+"""
+
+
 # ------------------------------------------------------- as-of join
 
 
