@@ -272,3 +272,53 @@ class TestIncrementalAppend:
             )
 
         assert triples(out) == triples(out_cold)
+
+
+class TestMegaRepoSkew:
+    def test_one_repo_dominating_still_exact(self, tmp_path, ray_session):
+        """north_rule skew clause: a mega-repo holding ~80% of the
+        corpus lands in ONE sha1 bucket — extraction parallelism is
+        block-level (bucket-agnostic) and triple dedup keys on content,
+        so the build must stay exact, populate the other repos'
+        buckets, and resume bucket-by-bucket as usual."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = generate_files(n_files=250, n_repos=10, seed=5)
+        repos = t["repo"].to_pylist()
+        planted = [
+            "mega-repo" if i % 5 != 0 else r for i, r in enumerate(repos)
+        ]  # 80% of files in one repo
+        t2 = t.set_column(
+            t.schema.get_field_index("repo"), "repo",
+            pa.array(planted, pa.string()),
+        )
+        d = tmp_path / "files"
+        d.mkdir()
+        pq.write_table(t2, str(d / "part-0.parquet"))
+        out = str(tmp_path / "out")
+        s = build_kg(str(d), out)
+        assert s["n_triples"] > 0
+
+        import pyarrow.dataset as pads
+
+        dt = pads.dataset(
+            f"{out}/triples", format="parquet", partitioning="hive"
+        ).to_table().to_pylist()
+        ot = oracle_triples(t2)
+        prf = triple_prf(
+            [(x["subj"], x["pred"], x["obj"]) for x in ot],
+            [(x["subj"], x["pred"], x["obj"]) for x in dt],
+        )
+        assert prf["precision"] == 1.0 and prf["recall"] == 1.0
+
+        # the non-mega repos' buckets must be populated too (the mega
+        # repo did not absorb the layout)
+        buckets = {
+            x["bucket"] if "bucket" in x else None for x in dt
+        }
+        mention_dirs = [
+            p for p in __import__("os").listdir(f"{out}/mentions")
+            if p.startswith("bucket=")
+        ]
+        assert len(mention_dirs) >= 2, mention_dirs
