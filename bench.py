@@ -133,6 +133,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "doc_substring_dups": co.doc_substring_dups,
         "q_customer_order_counts": rel.q_customer_order_counts,
         "q_hours_intersect": rel.q_hours_intersect,
+        # round-4 ops
+        "doc_global_shuffle": co.doc_global_shuffle,
+        "doc_bm25_topk": co.doc_bm25_topk,
+        "q_order_dense_rank": rel.q_order_dense_rank,
+        "q_user_funnel": rel.q_user_funnel,
+        "q_hourly_click_purchase_full": rel.q_hourly_click_purchase_full,
+        "q_rich_idle_customers_by_nation": rel.q_rich_idle_customers_by_nation,
     }
     qtimes: dict[str, float] = {}
     if os.environ.get("GRAFT_BENCH_SKIP_QUERIES"):
