@@ -3298,11 +3298,17 @@ def q_order_dense_rank(sf_dir: str, n_bins: int = 1024):
     :func:`_order_global_rank`):
 
     1. one pass: per-priority (min, max) of cents — partial-sized;
-    2. one pass emits per-batch-DEDUPED (pb, cents) pairs; a tiny
-       groupby counts distinct cents per bin → driver prefix-sums
-       into dense offsets;
-    3. rows shuffle ONCE on (priority, bin); each group sorts by
-       cents locally: drank = offset + (local distinct index) + 1.
+    2. rows shuffle ONCE on (priority, bin); each group sorts by
+       cents locally and emits its LOCAL 0-based dense index plus the
+       group's distinct count ``nd`` (constant per group) — the
+       shuffled result is materialized;
+    3. a streaming metadata-sized scan collects the unique (pb, nd)
+       pairs, the driver prefix-sums them into per-bin dense offsets,
+       and a final cheap map_batches adds ``offsets[pb] + 1``.
+
+    One sort-shuffle total (the r3 version paid a second full
+    groupby().map_groups shuffle just to count distincts; folding the
+    count into the assignment group halves the wall time).
 
     Skew note: all rows of ONE cents value land in one bin by
     construction — inherent to dense ranking (the value is the group),
@@ -3346,28 +3352,51 @@ def q_order_dense_rank(sf_dir: str, n_bins: int = 1024):
 
     rows = enc_ds.map_batches(binned, batch_format="pyarrow")
 
-    # per-bin DISTINCT cents counts: dedup in-batch (combiner), then a
-    # metadata-sized exact distinct per pb over the deduped pairs
-    def uniq_pairs(t: pa.Table) -> pa.Table:
-        pb = t["pb"].to_numpy(zero_copy_only=False)
-        c = t["cents"].to_numpy(zero_copy_only=False)
-        u = np.unique(np.stack([pb, c], axis=1), axis=0)
-        return pa.table(
-            {"pb": pa.array(u[:, 0], pa.int64()),
-             "cents": pa.array(u[:, 1], pa.int64())}
+    # THE one shuffle: local dense index + per-group distinct count
+    def assign_local(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["cents"].to_numpy()
+        order = np.argsort(c, kind="stable")
+        dense = np.empty(len(g), np.int64)
+        sc = c[order]
+        steps = (sc[1:] != sc[:-1]).astype(np.int64)
+        dense[order] = np.cumsum(np.r_[0, steps])
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "pb": g["pb"].to_numpy(),
+                "ldense": dense,
+                "nd": np.int64(1) + steps.sum(),  # constant per group
+            }
         )
 
-    def nd_per_bin(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"pb": [int(g["pb"].iloc[0])], "nd": [int(g["cents"].nunique())]}
+    local = (
+        rows.groupby("pb")
+        .map_groups(assign_local, batch_format="pandas")
+        .materialize()  # reused twice below; spillable shuffle output
+    )
+
+    # metadata-sized scan: one (pb, nd) pair per group → driver
+    # prefix-sum into per-bin dense offsets (nd is constant per pb)
+    def pb_nd(t: pa.Table) -> pa.Table:
+        u = np.unique(
+            np.stack(
+                [
+                    t["pb"].to_numpy(zero_copy_only=False),
+                    t["nd"].to_numpy(zero_copy_only=False),
+                ],
+                axis=1,
+            ),
+            axis=0,
+        )
+        return pa.table(
+            {"pb": pa.array(u[:, 0], pa.int64()),
+             "nd": pa.array(u[:, 1], pa.int64())}
         )
 
     nd = {
         r["pb"]: r["nd"]
-        for r in rows.map_batches(uniq_pairs, batch_format="pyarrow")
-        .groupby("pb").map_groups(nd_per_bin, batch_format="pandas")
-        .take_all()  # ≤ priorities × n_bins rows — metadata-sized
-    }
+        for r in local.map_batches(pb_nd, batch_format="pyarrow").take_all()
+    }  # ≤ priorities × n_bins rows
     offsets: dict[int, int] = {}
     for i in prio_id.values():
         run = 0
@@ -3377,21 +3406,15 @@ def q_order_dense_rank(sf_dir: str, n_bins: int = 1024):
                 offsets[pb] = run
                 run += nd[pb]
 
-    def assign(g: pd.DataFrame) -> pd.DataFrame:
-        pb = int(g["pb"].iloc[0])
-        c = g["cents"].to_numpy()
-        order = np.argsort(c, kind="stable")
-        dense = np.empty(len(g), np.int64)
-        sc = c[order]
-        dense[order] = np.cumsum(np.r_[0, (sc[1:] != sc[:-1]).astype(np.int64)])
-        return pd.DataFrame(
-            {
-                "o_orderkey": g["o_orderkey"].to_numpy(),
-                "drank": offsets[pb] + dense + 1,
-            }
+    def add_offset(t: pa.Table) -> pa.Table:
+        pb = t["pb"].to_numpy(zero_copy_only=False)
+        off = pd.Series(pb).map(offsets).to_numpy(np.int64)
+        drank = off + t["ldense"].to_numpy(zero_copy_only=False) + 1
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"], "drank": pa.array(drank, pa.int64())}
         )
 
-    return rows.groupby("pb").map_groups(assign, batch_format="pandas")
+    return local.map_batches(add_offset, batch_format="pyarrow")
 
 
 ORDER_DENSE_RANK_SQL = """
