@@ -183,6 +183,12 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": go.graph_components,
         "graph_pagerank": go.graph_pagerank,
         "graph_cf_pairs": go.graph_cf_pairs,
+        "graph_triangles": go.graph_triangles,
+        # round-4 additions: q21 shape, retention, chunking, editdist
+        "q_suppliers_kept_waiting": rel.q_suppliers_kept_waiting,
+        "q_user_retention": rel.q_user_retention,
+        "doc_chunk_windows": co.doc_chunk_windows,
+        "doc_editdist_pairs": co.doc_editdist_pairs,
         # multimodal plumbing
         "media_features": co.media_features,
         "media_near_dups": co.media_near_dups,
@@ -301,6 +307,11 @@ def oracle_sql() -> dict[str, str]:
         "graph_components": go.GRAPH_COMPONENTS_SQL,
         "graph_pagerank": go.GRAPH_PAGERANK_SQL,
         "graph_cf_pairs": go.GRAPH_CF_PAIRS_SQL,
+        "graph_triangles": go.GRAPH_TRIANGLES_SQL,
+        "q_suppliers_kept_waiting": rel.SUPPLIERS_KEPT_WAITING_SQL,
+        "q_user_retention": rel.USER_RETENTION_SQL,
+        "doc_chunk_windows": co.DOC_CHUNK_WINDOWS_SQL,
+        "doc_editdist_pairs": co.DOC_EDITDIST_PAIRS_SQL,
         "emb_ann_topk": co.ANN_TOPK_SQL,
         "emb_ivf_topk_full": co.ANN_TOPK_SQL,
         "emb_exact_pairs": co.EXACT_PAIRS_SQL,

@@ -1691,3 +1691,104 @@ def substring_dedup_rewrite(
         )
 
     return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+# --------------------------------------- FastSS edit-distance-1 pairs
+
+
+def _within_edit1(a: str, b: str) -> bool:
+    """Exact edit-distance ≤ 1 check in O(len) (no DP table needed at
+    distance 1): equal length → at most one substitution; length gap
+    of one → two-pointer single-skip; anything else → False."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if abs(la - lb) != 1:
+        return False
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = j = 0
+    skipped = False
+    while i < la and j < lb:
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+        elif skipped:
+            return False
+        else:
+            skipped = True
+            j += 1
+    return True
+
+
+def editdist1_pairs(ds, col: str, n_parts: int = 64):
+    """All UNORDERED pairs of DISTINCT values of ``col`` within exact
+    Levenshtein distance 1 — the FastSS deletion-neighborhood
+    algorithm, fully distributed:
+
+    two strings are within one edit iff their deletion neighborhoods
+    intersect, where ``D(s) = {s} ∪ {s minus one char}``; so each
+    distinct value fans out to ``len+1`` variants, candidate pairs
+    are enumerated inside each variant bucket, and every candidate is
+    VERIFIED with the exact O(len) distance-1 check (hash collisions
+    between different variants therefore cannot create false pairs —
+    only extra candidates).
+
+    Shuffle shape: one ``col``-keyed groupby dedups values; variants
+    ship as int64 siphashes (never the variant strings); buckets
+    shuffle ONCE on ``hash % n_parts`` and each part processes its
+    buckets with a vectorized size filter (only multi-value buckets
+    enumerate pairs); pair dedup is a final pair-keyed groupby over
+    the (tiny) verified set."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    distinct = (
+        ds.map_batches(
+            lambda t: pa.table({col: pc.unique(t[col])}),
+            batch_format="pyarrow",
+        )
+        .groupby(col)
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def variants(t: pa.Table) -> pa.Table:
+        keys, hs = [], []
+        for k in t[col].to_pylist():
+            if k is None:
+                continue
+            vs = [k] + [k[:i] + k[i + 1:] for i in range(len(k))]
+            keys.extend([k] * len(vs))
+            hs.extend(vs)
+        vh = pd.util.hash_array(np.asarray(hs, dtype=object))
+        return pa.table(
+            {
+                "part": pa.array(vh.astype(np.int64) % n_parts, pa.int64()),
+                "vh": pa.array(vh.astype(np.int64), pa.int64()),
+                "key": pa.array(keys, pa.string()),
+            }
+        )
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["vh", "key"])
+        sizes = df.groupby("vh")["key"].transform("size")
+        multi = df[sizes > 1]
+        ka, kb = [], []
+        for _, g in multi.groupby("vh"):
+            ks = sorted(g["key"].unique())
+            for i in range(len(ks)):
+                for j in range(i + 1, len(ks)):
+                    if _within_edit1(ks[i], ks[j]):
+                        ka.append(ks[i])
+                        kb.append(ks[j])
+        return pd.DataFrame({"ka": ka, "kb": kb})
+
+    return (
+        distinct.map_batches(variants, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .groupby(["ka", "kb"])
+        .aggregate(Count(alias_name="_m"))
+        .select_columns(["ka", "kb"])
+    )

@@ -1476,3 +1476,85 @@ def doc_lm_perplexity(sf_dir: str):
     a second streaming pass — the LM quality-filter signal (rows-only,
     float scores; ordering + determinism pytest-pinned)."""
     return ftext.lm_perplexity(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def doc_chunk_windows(sf_dir: str, size: int = 160, stride: int = 120):
+    """Sliding-window chunking of every document (the RAG/embedding
+    prep op): fixed-``size`` character windows every ``stride`` chars,
+    last windows ragged. Pure streaming flat expansion inside
+    ``map_batches`` — no shuffle, no state; chunk boundaries are a
+    closed form of the doc length so the op is embarrassingly
+    parallel and resume-trivial."""
+    import pyarrow as pa
+
+    def chunks(t: pa.Table) -> pa.Table:
+        ids_out, idx_out, start_out, text_out = [], [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            txt = txt or ""
+            for ci, s in enumerate(range(0, len(txt), stride)):
+                ids_out.append(did)
+                idx_out.append(ci)
+                start_out.append(s)
+                text_out.append(txt[s:s + size])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "chunk_idx": pa.array(idx_out, pa.int64()),
+                "chunk_start": pa.array(start_out, pa.int64()),
+                "chunk": pa.array(text_out, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        chunks, batch_format="pyarrow"
+    )
+
+
+DOC_CHUNK_WINDOWS_SQL = """
+SELECT doc_id,
+       CAST(s / 120 AS BIGINT) AS chunk_idx,
+       CAST(s AS BIGINT) AS chunk_start,
+       substr(text, CAST(s + 1 AS INT), 160) AS chunk
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(0, length(text) - 1, 120)) AS s
+  FROM documents
+)
+"""
+
+
+def doc_editdist_pairs(sf_dir: str, prefix_len: int = 16):
+    """Near-duplicate document prefixes within exact edit distance 1:
+    keys are the lower-cased first ``prefix_len`` chars; pairs come
+    from the distributed FastSS deletion-neighborhood engine
+    (:func:`gliner_ray.functions.dedup.editdist1_pairs` — variants
+    ship as int64 hashes, candidates verified with the exact O(len)
+    distance-1 check)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc_
+
+    from ..functions.dedup import editdist1_pairs
+
+    def keyed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc_.utf8_lower(
+                    pc_.utf8_slice_codeunits(t["text"], 0, prefix_len)
+                )
+            }
+        )
+
+    keys = _docs(sf_dir, ["text"]).map_batches(keyed, batch_format="pyarrow")
+    return editdist1_pairs(keys, "key")
+
+
+DOC_EDITDIST_PAIRS_SQL = """
+WITH k AS (
+  SELECT DISTINCT lower(substr(text, 1, 16)) AS key FROM documents
+)
+SELECT a.key AS ka, b.key AS kb
+FROM k a JOIN k b
+  ON a.key < b.key
+ AND abs(length(a.key) - length(b.key)) <= 1
+ AND levenshtein(a.key, b.key) <= 1
+"""

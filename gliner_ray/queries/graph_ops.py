@@ -288,3 +288,194 @@ SELECT ua, ub, shared FROM pairs WHERE shared >= 3
 ORDER BY shared DESC, ua, ub
 LIMIT 20
 """
+
+
+def graph_triangles(sf_dir: str, deg_broadcast_limit: int = 4_000_000):
+    """Exact triangle count of the co-purchase part graph (parts are
+    adjacent iff some order contains both) — the standard clustering
+    primitive, as a degree-oriented wedge-close plan (node-iterator
+    with the out-degree bound of Chiba–Nishizeki orientation):
+
+    1. per-batch distinct (order, part) combiner → ONE order-keyed
+       shuffle; each order group emits its ``C(d,2)`` part pairs,
+       packed ``a·2^32 + b`` (a < b) into one int64 — the pair stream
+       is MATERIALIZED once and reused for degrees, orientation and
+       the close (duplicate pair instances across orders are fine
+       everywhere downstream: ``np.unique`` dedups neighbor lists,
+       ``Max`` dedups edge existence, so no distinct-edge shuffle is
+       ever paid);
+    2. orientation degrees come from endpoint histograms of the pair
+       stream (tiny node-keyed groupby of in-batch partials) —
+       co-occurrence-weighted rather than distinct-neighbor degrees,
+       which is still a deterministic TOTAL order on nodes (all
+       correctness needs) and an equally good hub bound in practice;
+       the node→degree map broadcasts (``ray.put`` once, read per
+       task) under ``deg_broadcast_limit`` — above it the orientation
+       falls back to node-id order, which changes only the wedge-
+       enumeration COST, never the count;
+    3. pairs orient low→high by (degree, id) — an acyclic total order,
+       so every triangle has exactly ONE node with two out-edges and
+       each wedge-close counts it exactly once; out-degree is bounded
+       by O(√E), so per-group pair enumeration cannot blow up on hubs;
+    4. per-src wedge pairs aggregate in-group and again per-batch
+       (combiner), then the close is ONE shuffle on a P-ary HASH part
+       of the pair key (a pair lives in exactly one part; never a
+       groupby on the raw pair key, whose millions of distinct groups
+       degenerate the aggregate) with a vectorized ``np.isin``
+       edge-membership test per part, and a global sum emits the
+       count — no driver-side edge set anywhere.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    SHIFT = np.int64(1) << np.int64(32)
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def op_distinct(t: pa.Table) -> pa.Table:
+        o = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if p.max(initial=0) >= int(SHIFT):
+            raise ValueError("partkey exceeds 2^32 pair-encode width")
+        u = np.unique(np.stack([o, p], axis=1), axis=0)
+        return pa.table(
+            {"o": pa.array(u[:, 0], pa.int64()), "p": pa.array(u[:, 1], pa.int64())}
+        )
+
+    def per_order(g: pd.DataFrame) -> pd.DataFrame:
+        parts = np.unique(g["p"].to_numpy())
+        if len(parts) < 2:
+            return pd.DataFrame({"e": np.empty(0, np.int64)})
+        iu, ju = np.triu_indices(len(parts), k=1)
+        return pd.DataFrame({"e": parts[iu] * SHIFT + parts[ju]})
+
+    pairs = (
+        li.map_batches(op_distinct, batch_format="pyarrow")
+        .groupby("o")
+        .map_groups(per_order, batch_format="pandas")
+        .materialize()  # reused: degrees, orientation, and the close
+    )
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        e = t["e"].to_numpy(zero_copy_only=False)
+        nodes = np.concatenate([e // int(SHIFT), e % int(SHIFT)])
+        u, c = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {"node": pa.array(u, pa.int64()),
+             "cnt": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    degs = (
+        pairs.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("cnt", alias_name="deg"))
+        .materialize()  # node-sized; counted AND read without re-running
+    )
+    if degs.count() <= deg_broadcast_limit:
+        deg_ref = ray.put({r["node"]: r["deg"] for r in degs.take_all()})
+    else:
+        deg_ref = None  # id-orientation: exact, just weaker hub bound
+
+    def orient(t: pa.Table) -> pa.Table:
+        e = t["e"].to_numpy(zero_copy_only=False)
+        a, b = e // int(SHIFT), e % int(SHIFT)
+        if deg_ref is not None:
+            dm = ray.get(deg_ref)
+            da = pd.Series(a).map(dm).to_numpy(np.int64)
+            db = pd.Series(b).map(dm).to_numpy(np.int64)
+            a_first = (da < db) | ((da == db) & (a < b))
+        else:
+            a_first = np.ones(len(a), bool)  # a < b by construction
+        return pa.table(
+            {
+                "src": pa.array(np.where(a_first, a, b), pa.int64()),
+                "dst": pa.array(np.where(a_first, b, a), pa.int64()),
+            }
+        )
+
+    def per_src(g: pd.DataFrame) -> pd.DataFrame:
+        nbrs = np.unique(g["dst"].to_numpy())
+        if len(nbrs) < 2:
+            return pd.DataFrame(
+                {"e": np.empty(0, np.int64), "w": np.empty(0, np.int64)}
+            )
+        iu, ju = np.triu_indices(len(nbrs), k=1)
+        # wedge endpoints re-packed in ID order to match the edge key
+        return pd.DataFrame(
+            {"e": nbrs[iu] * SHIFT + nbrs[ju], "w": np.ones(len(iu), np.int64)}
+        )
+
+    P = 64  # close-partition fanout: P groups, never millions
+
+    def wedge_part(t: pa.Table) -> pa.Table:
+        # per-batch (e → Σw) combiner + hash part ahead of the close
+        e = t["e"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(e, return_inverse=True)
+        return pa.table(
+            {
+                "part": pa.array(u % P, pa.int64()),
+                "e": pa.array(u, pa.int64()),
+                "w": pa.array(np.bincount(inv, weights=w).astype(np.int64), pa.int64()),
+                "ie": pa.array(np.zeros(len(u), np.int64), pa.int64()),
+            }
+        )
+
+    wedges = (
+        pairs.map_batches(orient, batch_format="pyarrow")
+        .groupby("src")
+        .map_groups(per_src, batch_format="pandas")
+        .map_batches(wedge_part, batch_format="pyarrow")
+    )
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        u = np.unique(t["e"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "part": pa.array(u % P, pa.int64()),
+                "e": pa.array(u, pa.int64()),
+                "w": pa.array(np.zeros(len(u), np.int64), pa.int64()),
+                "ie": pa.array(np.ones(len(u), np.int64), pa.int64()),
+            }
+        )
+
+    # close: ONE shuffle on a P-ary hash part (a pair key lives in
+    # exactly one part), vectorized np.isin edge-membership per part —
+    # NOT a groupby on the pair key itself, whose millions of distinct
+    # groups would degenerate the aggregate
+    def close_part(g: pd.DataFrame) -> pd.DataFrame:
+        ie = g["ie"].to_numpy() == 1
+        hit = np.isin(g["e"].to_numpy()[~ie], g["e"].to_numpy()[ie])
+        return pd.DataFrame(
+            {"tri": [int(g["w"].to_numpy()[~ie][hit].sum())]}
+        )
+
+    total = (
+        pairs.map_batches(tag_edge, batch_format="pyarrow")
+        .union(wedges)
+        .groupby("part")
+        .map_groups(close_part, batch_format="pandas")
+        .aggregate(Sum("tri", alias_name="n_triangles"))
+    )
+    return pa.table(
+        {"n_triangles": pa.array([int(total["n_triangles"])], pa.int64())}
+    )
+
+
+GRAPH_TRIANGLES_SQL = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), e AS (
+  SELECT DISTINCT a.p AS a, b.p AS b
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.a = e1.b
+JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+"""

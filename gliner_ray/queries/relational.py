@@ -20,7 +20,7 @@ is low.
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timedelta
 
 import numpy as np
 import pandas as pd
@@ -3715,4 +3715,200 @@ PRIORITY_STATUS_AGG_SQL = """
 SELECT o_orderpriority,
        string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
 FROM orders GROUP BY o_orderpriority
+"""
+
+
+# -------------------------------------- TPC-H q21 shape: waiting suppliers
+
+
+def q_suppliers_kept_waiting(
+    sf_dir: str, dim_broadcast_limit: int = DIM_BROADCAST_LIMIT
+):
+    """TPC-H q21 shape (suppliers who kept orders waiting): for
+    multi-supplier orders where EXACTLY ONE supplier shipped late
+    (> 30 days after the order date), count such orders per blamed
+    supplier; top 10 by count. The correlated EXISTS / NOT-EXISTS
+    pair of the reference SQL compiles into per-order aggregates:
+
+    1. lineitem ⋈ orders on orderkey (both fact-sized → the native
+       hash ``Dataset.join``, data-dependent partition count), the
+       late flag computed per batch right after the join;
+    2. a per-batch (orderkey, suppkey) → any-late combiner, then ONE
+       ``orderkey % P`` int-key shuffle; inside each part a VECTORIZED
+       pandas two-level groupby derives per-order supplier counts,
+       late-supplier counts and the blamed key — never a per-order
+       Python group (an orderkey-keyed map_groups would degenerate at
+       fact-table group counts);
+    3. blamed keys pre-aggregate per batch into a supplier-keyed tiny
+       groupby; names attach via the count-guarded supplier broadcast
+       (hash-join fallback above the guard); driver sorts 10 rows."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.joins import hash_join
+
+    P = 64
+    li_raw = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    joined = li_raw.join(
+        orders, join_type="inner", num_partitions=_join_parts(li_raw),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def late_partial(t: pa.Table) -> pa.Table:
+        late = pc.greater(
+            t["l_shipdate"],
+            pc.add(t["o_orderdate"], pa.scalar(timedelta(days=30))),
+        )
+        df = pd.DataFrame(
+            {
+                "ok": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                "sk": t["l_suppkey"].to_numpy(zero_copy_only=False),
+                "late": late.to_numpy(zero_copy_only=False),
+            }
+        )
+        agg = df.groupby(["ok", "sk"], as_index=False)["late"].max()
+        agg["part"] = agg["ok"] % P
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        # re-combine across batches, then per-order aggregates —
+        # all vectorized two-level groupbys
+        sup = df.groupby(["ok", "sk"], as_index=False)["late"].max()
+        per = sup.groupby("ok").agg(
+            ns=("sk", "size"),
+            nl=("late", "sum"),
+        )
+        blamed = sup[sup["late"]].groupby("ok")["sk"].max()
+        per = per[(per["ns"] >= 2) & (per["nl"] == 1)]
+        out = blamed.loc[per.index].value_counts()
+        return pd.DataFrame(
+            {"s_suppkey": out.index.to_numpy(np.int64),
+             "waiting": out.to_numpy(np.int64)}
+        )
+
+    counts = (
+        joined.map_batches(late_partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .groupby("s_suppkey")
+        .aggregate(Sum("waiting", alias_name="waiting"))
+    )
+
+    sup_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    if sup_ds.count() <= dim_broadcast_limit:
+        names = {
+            r["s_suppkey"]: r["s_name"] for r in sup_ds.take_all()
+        }
+
+        def attach(t: pa.Table) -> pa.Table:
+            sk = t["s_suppkey"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "s_name": pa.array(
+                        pd.Series(sk).map(names), pa.string()
+                    ),
+                    "waiting": t["waiting"],
+                }
+            )
+
+        named = counts.map_batches(attach, batch_format="pyarrow")
+    else:  # scale path: supplier side exceeds the broadcast guard
+        named = hash_join(
+            counts, sup_ds, "s_suppkey", "s_suppkey", num_partitions=8
+        ).select_columns(["s_name", "waiting"])
+
+    rows = named.take_all()  # ≤ supplier-count rows reach the driver
+    top = sorted(rows, key=lambda r: (-r["waiting"], r["s_name"]))[:10]
+    return pa.table(
+        {
+            "s_name": pa.array([r["s_name"] for r in top], pa.string()),
+            "waiting": pa.array([r["waiting"] for r in top], pa.int64()),
+        }
+    )
+
+
+SUPPLIERS_KEPT_WAITING_SQL = """
+WITH lo AS (
+  SELECT l_orderkey AS ok, l_suppkey AS sk,
+         (l_shipdate > o_orderdate + INTERVAL 30 DAY) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), per AS (
+  SELECT ok,
+         COUNT(DISTINCT sk) AS ns,
+         COUNT(DISTINCT CASE WHEN late THEN sk END) AS nl,
+         MAX(CASE WHEN late THEN sk END) AS lsk
+  FROM lo GROUP BY ok
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS waiting
+FROM per JOIN supplier ON s_suppkey = lsk
+WHERE ns >= 2 AND nl = 1
+GROUP BY s_name
+ORDER BY waiting DESC, s_name
+LIMIT 10
+"""
+
+
+# ------------------------------------------------- cohort retention
+
+
+def q_user_retention(sf_dir: str):
+    """Cohort retention matrix: users cohorted by the DATE of their
+    first event; for every (cohort_day, day_offset) the number of
+    cohort users active that day. Two-level shuffle shape:
+
+    1. per-batch distinct (user, day) combiner → ONE ``user % P``
+       int-key shuffle; each part derives every user's cohort (min
+       day) AND emits its (cohort, offset) visit rows — a user's rows
+       all live in one part, so the min is exact and no separate
+       cohort join or broadcast is needed;
+    2. per-batch (cohort, offset) histograms → a cohort-day-sized
+       groupby sums them (each user contributes at most once per
+       (cohort, offset) by the distinct combiner + part locality)."""
+    from ray.data.aggregate import Sum
+
+    P = 64
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def day_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "day": df["ts"].dt.floor("D"),
+            }
+        ).drop_duplicates(ignore_index=True)
+        out["part"] = out["user_id"] % P
+        return out
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "day"])
+        cohort = df.groupby("user_id")["day"].transform("min")
+        out = pd.DataFrame(
+            {
+                "cohort_day": cohort.dt.strftime("%Y-%m-%d"),
+                "day_offset": (df["day"] - cohort).dt.days.astype(np.int64),
+            }
+        )
+        agg = out.groupby(["cohort_day", "day_offset"], as_index=False).size()
+        return agg.rename(columns={"size": "n_users"})
+
+    return (
+        ev.map_batches(day_pairs, batch_format="pandas")
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+USER_RETENTION_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), c AS (
+  SELECT user_id, MIN(d) AS cohort FROM ud GROUP BY user_id
+)
+SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', c.cohort, ud.d) AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ud JOIN c ON ud.user_id = c.user_id
+GROUP BY 1, 2
 """

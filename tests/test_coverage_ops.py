@@ -133,3 +133,119 @@ class TestPipelineBuilder:
 
         with pytest.raises(KeyError):
             PipelineBuilder().stage("definitely-not-registered")
+
+
+# ---------------------------------------- round-4: editdist / chunks / tri
+
+
+class TestEditDist1:
+    def test_within_edit1_cases(self):
+        from gliner_ray.functions.dedup import _within_edit1
+
+        assert _within_edit1("abc", "abc")          # distance 0
+        assert _within_edit1("abc", "abd")          # substitution
+        assert _within_edit1("abc", "abxc")         # insertion
+        assert _within_edit1("abc", "ab")           # deletion
+        assert _within_edit1("", "a")
+        assert not _within_edit1("abc", "axd")      # two substitutions
+        assert not _within_edit1("abc", "abcde")    # gap 2
+        assert not _within_edit1("abc", "xabcy")
+
+    def test_planted_pairs_match_bruteforce(self, ray_session):
+        import itertools
+
+        import duckdb
+        import ray.data as rd
+
+        from gliner_ray.functions.dedup import editdist1_pairs
+
+        vals = [
+            "kitten", "sitten", "mitten", "kitte", "kittenx",
+            "banana", "bananna", "apple", "appl", "zzz",
+            "kitten",  # duplicate value must not duplicate pairs
+        ]
+        ds = rd.from_items([{"key": v} for v in vals])
+        got = editdist1_pairs(ds, "key").to_pandas()
+        got_pairs = set(zip(got["ka"], got["kb"]))
+
+        con = duckdb.connect()
+        uniq = sorted(set(vals))
+        want = {
+            (a, b)
+            for a, b in itertools.combinations(uniq, 2)
+            if con.sql(f"SELECT levenshtein('{a}','{b}')").fetchall()[0][0] <= 1
+        }
+        assert got_pairs == want and len(want) >= 4
+
+
+class TestChunkWindows:
+    def test_empty_and_short_docs(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from gliner_ray.queries.corpus_ops import doc_chunk_windows
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": pa.array(["", "short", "x" * 300], pa.string()),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        df = doc_chunk_windows(str(tmp_path)).to_pandas()
+        by_doc = df.groupby("doc_id").size().to_dict()
+        assert 1 not in by_doc          # empty text → no chunks
+        assert by_doc[2] == 1           # one ragged chunk
+        assert by_doc[3] == 3           # 300 chars / stride 120 → 3
+        row = df[(df["doc_id"] == 3) & (df["chunk_idx"] == 2)].iloc[0]
+        assert row["chunk_start"] == 240 and len(row["chunk"]) == 60
+
+
+class TestTriangles:
+    def test_planted_triangles(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from gliner_ray.queries.graph_ops import graph_triangles
+
+        # order 1 = clique {1,2,3}; order 2 adds edge {3,4}; order 3
+        # closes {2,3,4} via edge {2,4} → 2 triangles total
+        rows = [
+            (1, 1), (1, 2), (1, 3),
+            (2, 3), (2, 4),
+            (3, 2), (3, 4),
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                    "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+                }
+            ),
+            str(tmp_path / "lineitem.parquet"),
+        )
+        out = graph_triangles(str(tmp_path))
+        assert out["n_triangles"][0].as_py() == 2
+
+    def test_id_orientation_fallback_parity(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from gliner_ray.queries.graph_ops import graph_triangles
+
+        rng = np.random.default_rng(7)
+        ok = rng.integers(1, 60, 400)
+        pk = rng.integers(1, 25, 400)
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array(ok, pa.int64()),
+                    "l_partkey": pa.array(pk, pa.int64()),
+                }
+            ),
+            str(tmp_path / "lineitem.parquet"),
+        )
+        a = graph_triangles(str(tmp_path))["n_triangles"][0].as_py()
+        b = graph_triangles(str(tmp_path), deg_broadcast_limit=0)[
+            "n_triangles"
+        ][0].as_py()
+        assert a == b and a > 0
