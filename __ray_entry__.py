@@ -184,6 +184,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": go.graph_pagerank,
         "graph_cf_pairs": go.graph_cf_pairs,
         "graph_triangles": go.graph_triangles,
+        "graph_clustering_coeff": go.graph_clustering_coeff,
         # round-4 additions: q21 shape, retention, chunking, editdist
         "q_suppliers_kept_waiting": rel.q_suppliers_kept_waiting,
         "q_user_retention": rel.q_user_retention,
@@ -308,6 +309,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": go.GRAPH_PAGERANK_SQL,
         "graph_cf_pairs": go.GRAPH_CF_PAIRS_SQL,
         "graph_triangles": go.GRAPH_TRIANGLES_SQL,
+        "graph_clustering_coeff": go.GRAPH_CLUSTERING_COEFF_SQL,
         "q_suppliers_kept_waiting": rel.SUPPLIERS_KEPT_WAITING_SQL,
         "q_user_retention": rel.USER_RETENTION_SQL,
         "doc_chunk_windows": co.DOC_CHUNK_WINDOWS_SQL,

@@ -479,3 +479,250 @@ FROM e e1
 JOIN e e2 ON e2.a = e1.b
 JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
 """
+
+
+def graph_clustering_coeff(sf_dir: str, deg_broadcast_limit: int = 4_000_000):
+    """Per-node local clustering coefficient of the co-purchase part
+    graph: ``coeff(v) = 2·tri(v) / (deg(v)·(deg(v)−1))`` with TRUE
+    distinct-neighbor degrees. Same wedge-close engine as
+    :func:`graph_triangles`, with three differences forced by the
+    per-node output:
+
+    - the DISTINCT edge set is materialized once (a P-ary hash-part
+      shuffle with an ``np.unique`` dedup per part — never a groupby
+      on the raw pair key), because coefficients need exact degrees,
+      not the co-occurrence-weighted orientation proxy;
+    - wedge rows carry their apex ``src`` so each closed wedge can
+      credit ALL THREE corners (apex from the row, the other two
+      unpacked from the pair key) — node-count histograms per batch,
+      part-keyed sum;
+    - degrees and triangle counts meet in one node-keyed part shuffle
+      (union of tagged partials), where the coefficient is computed
+      vectorized; isolated-ish nodes (deg < 2) emit coeff 0.
+
+    Coefficients round to 8 dp (measured cross-engine float noise is
+    zero here — the ratio is of small exact integers — but rounding
+    pins the schema against future float churn)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    SHIFT = np.int64(1) << np.int64(32)
+    P = 64
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def op_distinct(t: pa.Table) -> pa.Table:
+        o = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if p.max(initial=0) >= int(SHIFT):
+            raise ValueError("partkey exceeds 2^32 pair-encode width")
+        u = np.unique(np.stack([o, p], axis=1), axis=0)
+        return pa.table(
+            {"o": pa.array(u[:, 0], pa.int64()), "p": pa.array(u[:, 1], pa.int64())}
+        )
+
+    def per_order(g: pd.DataFrame) -> pd.DataFrame:
+        parts = np.unique(g["p"].to_numpy())
+        if len(parts) < 2:
+            return pd.DataFrame({"e": np.empty(0, np.int64)})
+        iu, ju = np.triu_indices(len(parts), k=1)
+        return pd.DataFrame({"e": parts[iu] * SHIFT + parts[ju]})
+
+    def pair_part(t: pa.Table) -> pa.Table:
+        u = np.unique(t["e"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"part": pa.array(u % P, pa.int64()), "e": pa.array(u, pa.int64())}
+        )
+
+    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"e": np.unique(g["e"].to_numpy())})
+
+    edges = (
+        li.map_batches(op_distinct, batch_format="pyarrow")
+        .groupby("o")
+        .map_groups(per_order, batch_format="pandas")
+        .map_batches(pair_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dedup_part, batch_format="pandas")
+        .materialize()  # the DISTINCT edge set, reused three times
+    )
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        e = t["e"].to_numpy(zero_copy_only=False)
+        nodes = np.concatenate([e // int(SHIFT), e % int(SHIFT)])
+        u, c = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {
+                "part": pa.array(u % P, pa.int64()),
+                "node": pa.array(u, pa.int64()),
+                "deg": pa.array(c.astype(np.int64), pa.int64()),
+                "tri": pa.array(np.zeros(len(u), np.int64), pa.int64()),
+            }
+        )
+
+    deg_partials = edges.map_batches(deg_partial, batch_format="pyarrow")
+
+    def sum_node(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False)[["deg", "tri"]].sum()
+        return out
+
+    degs = (
+        deg_partials.groupby("part").map_groups(sum_node, batch_format="pandas")
+        .materialize()
+    )
+    if degs.count() <= deg_broadcast_limit:
+        deg_ref = ray.put(
+            dict(zip(degs.to_pandas()["node"], degs.to_pandas()["deg"]))
+        )
+    else:
+        deg_ref = None  # id-orientation: exact, just weaker hub bound
+
+    def orient(t: pa.Table) -> pa.Table:
+        e = t["e"].to_numpy(zero_copy_only=False)
+        a, b = e // int(SHIFT), e % int(SHIFT)
+        if deg_ref is not None:
+            dm = ray.get(deg_ref)
+            da = pd.Series(a).map(dm).to_numpy(np.int64)
+            db = pd.Series(b).map(dm).to_numpy(np.int64)
+            a_first = (da < db) | ((da == db) & (a < b))
+        else:
+            a_first = np.ones(len(a), bool)
+        return pa.table(
+            {
+                "src": pa.array(np.where(a_first, a, b), pa.int64()),
+                "dst": pa.array(np.where(a_first, b, a), pa.int64()),
+            }
+        )
+
+    def per_src(g: pd.DataFrame) -> pd.DataFrame:
+        src = int(g["src"].iloc[0])
+        nbrs = np.unique(g["dst"].to_numpy())
+        if len(nbrs) < 2:
+            return pd.DataFrame(
+                {"e": np.empty(0, np.int64), "src": np.empty(0, np.int64)}
+            )
+        iu, ju = np.triu_indices(len(nbrs), k=1)
+        return pd.DataFrame(
+            {
+                "e": nbrs[iu] * SHIFT + nbrs[ju],
+                "src": np.full(len(iu), src, np.int64),
+            }
+        )
+
+    def wedge_part(t: pa.Table) -> pa.Table:
+        e = t["e"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array(e % P, pa.int64()),
+                "e": pa.array(e, pa.int64()),
+                "src": t["src"],
+                "ie": pa.array(np.zeros(len(e), np.int64), pa.int64()),
+            }
+        )
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        e = t["e"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array(e % P, pa.int64()),
+                "e": pa.array(e, pa.int64()),
+                "src": pa.array(np.zeros(len(e), np.int64), pa.int64()),
+                "ie": pa.array(np.ones(len(e), np.int64), pa.int64()),
+            }
+        )
+
+    wedges = (
+        edges.map_batches(orient, batch_format="pyarrow")
+        .groupby("src")
+        .map_groups(per_src, batch_format="pandas")
+        .map_batches(wedge_part, batch_format="pyarrow")
+    )
+
+    def close_part(g: pd.DataFrame) -> pd.DataFrame:
+        ie = g["ie"].to_numpy() == 1
+        we = g["e"].to_numpy()[~ie]
+        hit = np.isin(we, g["e"].to_numpy()[ie])
+        apex = g["src"].to_numpy()[~ie][hit]
+        closed = we[hit]
+        corners = np.concatenate(
+            [apex, closed // int(SHIFT), closed % int(SHIFT)]
+        )
+        u, c = np.unique(corners, return_counts=True)
+        return pd.DataFrame(
+            {
+                "part": u % P,
+                "node": u,
+                "deg": np.zeros(len(u), np.int64),
+                "tri": c.astype(np.int64),
+            }
+        )
+
+    tri_partials = (
+        edges.map_batches(tag_edge, batch_format="pyarrow")
+        .union(wedges)
+        .groupby("part")
+        .map_groups(close_part, batch_format="pandas")
+    )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False)[["deg", "tri"]].sum()
+        d = out["deg"].to_numpy(np.float64)
+        t = out["tri"].to_numpy(np.float64)
+        denom = d * (d - 1.0)
+        coeff = np.where(denom > 0, 2.0 * t / np.maximum(denom, 1.0), 0.0)
+        return pd.DataFrame(
+            {
+                "node": out["node"],
+                "degree": out["deg"],
+                "n_tri": out["tri"],
+                "coeff": np.round(coeff, 8),
+            }
+        )
+
+    # deg partials re-derive their part key on the way into the merge
+    return (
+        deg_partials.union(
+            tri_partials.map_batches(
+                lambda t: t.select(["part", "node", "deg", "tri"]),
+                batch_format="pyarrow",
+            )
+        )
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+GRAPH_CLUSTERING_COEFF_SQL = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), e AS (
+  SELECT DISTINCT a.p AS a, b.p AS b
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+), deg AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT a AS n FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY n
+), tri AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+    SELECT e1.a AS n FROM e e1
+      JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    UNION ALL
+    SELECT e1.b FROM e e1
+      JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    UNION ALL
+    SELECT e2.b FROM e e1
+      JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+  ) GROUP BY n
+)
+SELECT deg.n AS node, deg.degree, COALESCE(tri.n_tri, 0) AS n_tri,
+       ROUND(CASE WHEN deg.degree >= 2
+                  THEN 2.0 * COALESCE(tri.n_tri, 0)
+                       / (deg.degree * (deg.degree - 1))
+                  ELSE 0.0 END, 8) AS coeff
+FROM deg LEFT JOIN tri ON tri.n = deg.n
+"""

@@ -249,3 +249,27 @@ class TestTriangles:
             "n_triangles"
         ][0].as_py()
         assert a == b and a > 0
+
+    def test_clustering_coeff_planted(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from gliner_ray.queries.graph_ops import graph_clustering_coeff
+
+        # triangle {1,2,3} + pendant 4 on node 3: coeff(1)=coeff(2)=1,
+        # coeff(3)=2*1/(3*2)=1/3, coeff(4)=0 (degree 1)
+        rows = [(1, 1), (1, 2), (1, 3), (2, 3), (2, 4)]
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                    "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+                }
+            ),
+            str(tmp_path / "lineitem.parquet"),
+        )
+        df = graph_clustering_coeff(str(tmp_path)).to_pandas()
+        got = dict(zip(df["node"], df["coeff"]))
+        assert got[1] == 1.0 and got[2] == 1.0
+        assert got[3] == round(1 / 3, 8) and got[4] == 0.0
+        degs = dict(zip(df["node"], df["degree"]))
+        assert degs == {1: 2, 2: 2, 3: 3, 4: 1}
