@@ -185,6 +185,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "graph_cf_pairs": go.graph_cf_pairs,
         "graph_triangles": go.graph_triangles,
         "graph_clustering_coeff": go.graph_clustering_coeff,
+        "graph_kcore": go.graph_kcore,
         # round-4 additions: q21 shape, retention, chunking, editdist
         "q_suppliers_kept_waiting": rel.q_suppliers_kept_waiting,
         "q_user_retention": rel.q_user_retention,

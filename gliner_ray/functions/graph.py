@@ -430,3 +430,164 @@ def pagerank_sequential(
             break
         rank = new_rank
     return {v: float(rank[idx[v]]) for v in nodes}
+
+
+def kcore(
+    edges_ds: "ray.data.Dataset",
+    k: int,
+    a: str = "a",
+    b: str = "b",
+    removal_broadcast_limit: int = 4_000_000,
+    max_rounds: int = 64,
+) -> "ray.data.Dataset":
+    """Nodes of the ``k``-core (the maximal subgraph where every node
+    has degree ≥ k), by distributed peeling — → Dataset(node, deg)
+    with each survivor's degree INSIDE the core.
+
+    Each round: (1) per-batch endpoint histograms → one node-part
+    shuffle sums true degrees; (2) nodes under ``k`` form the removal
+    set — metadata-per-round when the graph is near its core, and
+    broadcast via ``ray.put`` under ``removal_broadcast_limit``
+    (above it the round falls back to a part-keyed anti-filter:
+    removals hash-shuffle ONCE on the same ``node % P`` key as the
+    edge endpoints, so no driver collect is needed); (3) surviving
+    edges re-materialize. Terminates when a round removes nothing.
+
+    The peel count is bounded by the degeneracy ordering depth —
+    pathological chains peel one layer per round, so ``max_rounds``
+    guards with a ValueError rather than silently returning a
+    non-core."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    P = 64
+
+    def uniq_edges(t: pa.Table) -> pa.Table:
+        ea = t[a].to_numpy(zero_copy_only=False).astype(np.int64)
+        eb = t[b].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = np.minimum(ea, eb), np.maximum(ea, eb)
+        u = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        return pa.table(
+            {"a": pa.array(u[:, 0], pa.int64()), "b": pa.array(u[:, 1], pa.int64())}
+        )
+
+    live = edges_ds.map_batches(uniq_edges, batch_format="pyarrow").materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                t["a"].to_numpy(zero_copy_only=False),
+                t["b"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        u, c = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {
+                "part": pa.array(u % P, pa.int64()),
+                "node": pa.array(u, pa.int64()),
+                "deg": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def sum_part(g: "pd.DataFrame") -> "pd.DataFrame":
+        return g.groupby("node", as_index=False)[["deg"]].sum()
+
+    import pandas as pd
+    import ray.data as rd
+
+    empty = pa.table(
+        {"node": pa.array([], pa.int64()), "deg": pa.array([], pa.int64())}
+    )
+
+    for _ in range(max_rounds):
+        if live.count() == 0:
+            # everything peeled: empty core (note: Ray loses column
+            # names on a fully-empty Dataset's to_pandas; schema() is
+            # still correct)
+            return rd.from_arrow(empty)
+        degs = (
+            live.map_batches(deg_partial, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(sum_part, batch_format="pandas")
+            .materialize()
+        )
+        removals = degs.map_batches(
+            lambda t: t.filter(
+                pa.array(t["deg"].to_numpy(zero_copy_only=False) < k)
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        n_rm = removals.count()
+        if n_rm == 0:
+            return degs
+        if n_rm <= removal_broadcast_limit:
+            rm_ref = ray.put(
+                set(removals.to_pandas()["node"].tolist())
+            )
+
+            def keep_edges(t: pa.Table) -> pa.Table:
+                rm = ray.get(rm_ref)
+                ea = t["a"].to_numpy(zero_copy_only=False)
+                eb = t["b"].to_numpy(zero_copy_only=False)
+                mask = ~(
+                    pd.Series(ea).isin(rm).to_numpy()
+                    | pd.Series(eb).isin(rm).to_numpy()
+                )
+                return t.filter(pa.array(mask))
+
+            live = live.map_batches(
+                keep_edges, batch_format="pyarrow"
+            ).materialize()
+        else:  # scale path: anti-filter through the shared node-part key
+            def rm_rows(t: pa.Table) -> pa.Table:
+                n = t["node"].to_numpy(zero_copy_only=False)
+                return pa.table(
+                    {
+                        "part": pa.array(n % P, pa.int64()),
+                        "a": pa.array(n, pa.int64()),
+                        "b": pa.array(np.full(len(n), -1, np.int64), pa.int64()),
+                        "is_rm": pa.array(np.ones(len(n), np.int64), pa.int64()),
+                    }
+                )
+
+            def edge_rows(endpoint: str):
+                def f(t: pa.Table) -> pa.Table:
+                    n = t[endpoint].to_numpy(zero_copy_only=False)
+                    return pa.table(
+                        {
+                            "part": pa.array(n % P, pa.int64()),
+                            "a": t["a"],
+                            "b": t["b"],
+                            "is_rm": pa.array(
+                                np.zeros(t.num_rows, np.int64), pa.int64()
+                            ),
+                        }
+                    )
+
+                return f
+
+            def anti_on(ep: str):
+                def anti(g: pd.DataFrame) -> pd.DataFrame:
+                    rm = set(g.loc[g["is_rm"] == 1, "a"].tolist())
+                    e = g[g["is_rm"] == 0]
+                    key = e[ep].to_numpy()  # the endpoint that routed here
+                    return e.loc[
+                        ~pd.Series(key).isin(rm).to_numpy(), ["a", "b"]
+                    ]
+
+                return anti
+
+            # pass 1 filters on endpoint a's part, pass 2 on b's
+            for ep in ("a", "b"):
+                live = (
+                    removals.map_batches(rm_rows, batch_format="pyarrow")
+                    .union(
+                        live.map_batches(edge_rows(ep), batch_format="pyarrow")
+                    )
+                    .groupby("part")
+                    .map_groups(anti_on(ep), batch_format="pandas")
+                    .materialize()
+                )
+    raise ValueError(
+        f"kcore did not converge within {max_rounds} peel rounds"
+    )

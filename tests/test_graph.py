@@ -145,3 +145,82 @@ class TestHashJoinStringKeys:
         assert list(out["k"]) == ["y", "z"]
         assert list(out["lv"]) == [2, 3]
         assert list(out["rv"]) == [20, 30]
+
+
+def _peel_sequential(edges, k):
+    """Reference k-core peeler: repeated min-degree removal."""
+    edges = {tuple(sorted(e)) for e in edges}
+    while True:
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        rm = {n for n, d in deg.items() if d < k}
+        if not rm:
+            return deg
+        edges = {e for e in edges if e[0] not in rm and e[1] not in rm}
+
+
+class TestKCore:
+    def _run(self, edges, k, **kw):
+        import ray.data as rd
+
+        from gliner_ray.functions.graph import kcore
+
+        ds = rd.from_items([{"a": a, "b": b} for a, b in edges])
+        df = kcore(ds, k, **kw).to_pandas()
+        if df.empty:  # Ray drops column names on fully-empty datasets
+            return {}
+        return dict(zip(df["node"], df["deg"]))
+
+    def test_planted_core(self, ray_session):
+        # clique {1,2,3,4} (3-core) + tail 4-5-6 that peels away at k=2
+        edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+                 (4, 5), (5, 6)]
+        want = _peel_sequential(edges, 3)
+        got = self._run(edges, 3)
+        assert got == want == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_random_graph_matches_sequential(self, ray_session):
+        rng = np.random.default_rng(11)
+        edges = {
+            tuple(sorted((int(a), int(b))))
+            for a, b in rng.integers(0, 40, (300, 2))
+            if a != b
+        }
+        for k in (2, 3, 5):
+            assert self._run(sorted(edges), k) == _peel_sequential(edges, k)
+
+    def test_distributed_anti_filter_parity(self, ray_session):
+        rng = np.random.default_rng(13)
+        edges = {
+            tuple(sorted((int(a), int(b))))
+            for a, b in rng.integers(0, 30, (150, 2))
+            if a != b
+        }
+        want = _peel_sequential(edges, 3)
+        got = self._run(sorted(edges), 3, removal_broadcast_limit=0)
+        assert got == want
+
+    def test_empty_core(self, ray_session):
+        edges = [(1, 2), (2, 3)]  # a path has no 2-core
+        assert self._run(edges, 2) == {}
+
+    def test_copurchase_kcore_matches_sequential(self, ray_session):
+        import duckdb
+
+        from gliner_ray.queries.graph_ops import graph_kcore
+
+        con = duckdb.connect()
+        rows = con.sql("""
+          WITH op AS (SELECT DISTINCT l_orderkey o, l_partkey p
+                      FROM '/root/testdata/sf0.001/lineitem.parquet')
+          SELECT DISTINCT a.p, b.p FROM op a
+          JOIN op b ON a.o = b.o AND a.p < b.p""").fetchall()
+        edges = {tuple(r) for r in rows}
+        nodes = {n for e in edges for n in e}
+        k = max(2, int(np.ceil(0.7 * 2.0 * len(edges) / len(nodes))))
+        want = _peel_sequential(edges, k)
+        df = graph_kcore("/root/testdata/sf0.001").to_pandas()
+        got = dict(zip(df["node"], df["deg"])) if not df.empty else {}
+        assert got == want and len(got) > 0
