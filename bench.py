@@ -140,6 +140,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "q_user_funnel": rel.q_user_funnel,
         "q_hourly_click_purchase_full": rel.q_hourly_click_purchase_full,
         "q_rich_idle_customers_by_nation": rel.q_rich_idle_customers_by_nation,
+        "q_user_retention": rel.q_user_retention,
+        "doc_chunk_windows": co.doc_chunk_windows,
+        "doc_editdist_pairs": co.doc_editdist_pairs,
     }
     qtimes: dict[str, float] = {}
     if os.environ.get("GRAFT_BENCH_SKIP_QUERIES"):
