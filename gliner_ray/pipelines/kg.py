@@ -283,6 +283,12 @@ def _stage2_bucket_triples(
             if d.startswith("bucket=")
         }
     )
+    # LPT dispatch: largest mention partition first. ~n_buckets tasks
+    # over ~CPU workers is only ~2 waves at 32 CPUs, so a big bucket
+    # landing late strands the pool behind one straggler; descending-
+    # size order puts the long tasks in wave 1 and fills the tail with
+    # small ones (classic longest-processing-time schedule).
+    buckets.sort(key=lambda b: -_partition_bytes(mentions_dir, b))
     n_buckets = cfg.n_buckets
 
     def work(batch: pa.Table) -> pa.Table:
@@ -392,6 +398,11 @@ def _bucket_partials(mentions_dir: str) -> "ray.data.Dataset":
     buckets = sorted(
         d for d in os.listdir(mentions_dir) if d.startswith("bucket=")
     )
+    # LPT dispatch (see _stage2_bucket_triples): biggest dirs first so
+    # the ~2-wave schedule doesn't end on a straggler
+    buckets.sort(
+        key=lambda d: -_partition_bytes(mentions_dir, int(d.split("=")[1]))
+    )
 
     def work(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
@@ -473,6 +484,20 @@ def _count_dir(dir_path: str) -> int:
         ).count_rows()
     except Exception:
         return 0
+
+
+def _partition_bytes(dir_path: str, bucket: int) -> int:
+    """On-disk bytes of one ``bucket=K`` dir (file sizes only, no
+    footer reads) — the LPT task-ordering key for the ~n_buckets-task
+    stage-2 schedules. 0 for absent dirs (they sort last)."""
+    part_dir = os.path.join(dir_path, f"bucket={bucket}")
+    if not os.path.isdir(part_dir):
+        return 0
+    total = 0
+    for f in os.listdir(part_dir):
+        if f.endswith(".parquet"):
+            total += os.path.getsize(os.path.join(part_dir, f))
+    return total
 
 
 def _count_partition_rows(dir_path: str, bucket: int) -> int:
