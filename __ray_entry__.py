@@ -31,41 +31,40 @@ def entry() -> Any:
     return co.kg_triples("/root/testdata/sf0.001")
 
 
-# Last round in which the driver hash-confirmed each oracle query
-# (from CORRECTNESS_r{01,02,03}.json). Queries absent here (new
-# oracles) default to 0 = never confirmed. Used to rotate the
-# driver's 50-query check window so every oracle eventually gets an
-# independent driver confirmation (round-3 verdict item #1: 14
-# oracle-bearing queries had only pytest coverage after r3).
-_LAST_CONFIRMED = {
-    **{k: 3 for k in (
-        "q1_pricing_summary q3_top_orders q5_region_revenue "
-        "q6_forecast_revenue q_top_orders_by_price q_distinct_segments "
-        "q_segment_revenue q_events_hourly q_user_sessions q_brand_stats "
-        "q_priority_with_late_items q_customers_without_big_orders "
-        "q_customers_no_urgent_orders q_asof_purchase_click "
-        "q_user_rolling_1h q_value_bands q_daily_active_users "
-        "q_top_orders_per_segment q_price_quantiles "
-        "q_price_quantile_sketch q_order_quartiles q_flag_median_price "
-        "q_flag_median_cont q_events_pivot q_lineitem_unpivot "
-        "q_qty_rollup q_qty_grouping_sets q_qty_cube q_user_event_gaps "
-        "q_user_cumulative_spend q_price_percentile_cont "
-        "q_cheapest_supplier_per_part q_priority_mode_by_status "
-        "q_user_moving_sum3 q_events_by_type_salted q_hours_intersect "
-        "q_hours_except q_top_orders_rank_ties "
-        "q_orders_of_rich_customers q_customer_order_counts "
-        "q_props_k_sum q_order_ntile4 q_order_percent_rank "
-        "q_order_cume_dist q_flag_price_corr q_priority_status_agg "
-        "q_active_keys_union q_price_mad q_user_first_last_event "
-        "q_orders_above_cust_avg"
-    ).split()},
-    **{k: 2 for k in (
-        "doc_token_count doc_tokens_routed doc_text_stats doc_sha256 "
-        "doc_lang_id doc_quality"
-    ).split()},
-    "doc_exact_dedup": 1,
-    "emb_ann_topk": 1,
-}
+# Last round in which the driver hash-confirmed each oracle query,
+# DERIVED at import time from whichever CORRECTNESS_r*.json files
+# exist next to this module — so the staleness record updates itself
+# the moment the driver lands a new round's results, with no manual
+# bookkeeping. Queries absent from every file (or only ever checked
+# with an error) stay at 0 = never confirmed and sort first. Used to
+# rotate the driver's leading-50 check window so every oracle gets an
+# independent driver confirmation across rounds (round-3 verdict #1).
+def _last_confirmed() -> dict[str, int]:
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for k, v in data.items():
+            if isinstance(v, dict) and v.get("err") is None:
+                last[k] = max(last.get(k, 0), rnd)
+    return last
+
+
+_LAST_CONFIRMED = _last_confirmed()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -221,8 +221,28 @@ def _corpus_bucket_files(
     return out
 
 
+def _footer_meta(paths: list[str]) -> dict[str, str]:
+    """``name:size:rows`` footer strings for many parquet files, footer
+    reads in a small thread pool. Serial cold footer opens cost ~2 s of
+    driver wall at 32 shards × 2 fingerprint passes — a fixed charge on
+    BOTH arms of the N-vs-4N scaling measurement, so it comes straight
+    out of the efficiency ratio."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.parquet as pq
+
+    def one(p: str) -> tuple[str, str]:
+        md = pq.ParquetFile(p).metadata
+        return p, f"{os.path.basename(p)}:{os.path.getsize(p)}:{md.num_rows}"
+
+    if not paths:
+        return {}
+    with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
+        return dict(ex.map(one, paths))
+
+
 def _bucket_fingerprints(
-    input_path: str, n_buckets: int
+    input_path: str, n_buckets: int, meta: dict[str, str] | None = None
 ) -> dict[int, str] | None:
     """PER-BUCKET input fingerprint (footer metadata of the shards
     covering each bucket) for bucket-clustered layouts — incremental
@@ -234,14 +254,10 @@ def _bucket_fingerprints(
     bucket_files = _corpus_bucket_files(input_path, n_buckets=n_buckets)
     if bucket_files is None:
         return None
-    import pyarrow.parquet as pq
-
-    meta: dict[str, str] = {}
-    for paths in bucket_files.values():
-        for p in paths:
-            if p not in meta:
-                md = pq.ParquetFile(p).metadata
-                meta[p] = f"{os.path.basename(p)}:{os.path.getsize(p)}:{md.num_rows}"
+    if meta is None:
+        meta = _footer_meta(
+            sorted({p for paths in bucket_files.values() for p in paths})
+        )
     return {
         b: hashlib.sha256("|".join(meta[p] for p in paths).encode()).hexdigest()[:24]
         for b, paths in bucket_files.items()
@@ -448,7 +464,20 @@ def _bucket_partials(mentions_dir: str) -> "ray.data.Dataset":
     )
 
 
-def _input_metadata_fingerprint(input_path: str) -> str:
+def _input_paths(input_path: str) -> list[str]:
+    if os.path.isdir(input_path):
+        return [
+            os.path.join(input_path, f)
+            for f in sorted(
+                f for f in os.listdir(input_path) if f.endswith(".parquet")
+            )
+        ]
+    return [input_path]
+
+
+def _input_metadata_fingerprint(
+    input_path: str, meta: dict[str, str] | None = None
+) -> str:
     """Whole-input fingerprint from parquet FOOTER metadata only
     (file name, size, row count) — no data scan.
 
@@ -459,19 +488,10 @@ def _input_metadata_fingerprint(input_path: str) -> str:
     Input changed at all → every bucket recomputes; input unchanged →
     completed buckets skip. Completion granularity stays per-bucket.
     """
-    parts = []
-    if os.path.isdir(input_path):
-        names = sorted(
-            f for f in os.listdir(input_path) if f.endswith(".parquet")
-        )
-        paths = [os.path.join(input_path, f) for f in names]
-    else:
-        paths = [input_path]
-    import pyarrow.parquet as pq
-
-    for p in paths:
-        md = pq.ParquetFile(p).metadata
-        parts.append(f"{os.path.basename(p)}:{os.path.getsize(p)}:{md.num_rows}")
+    paths = _input_paths(input_path)
+    if meta is None:
+        meta = _footer_meta(paths)
+    parts = [meta[p] for p in paths]
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:24]
 
 
@@ -538,11 +558,13 @@ def build_kg(
     timings: dict[str, float] = {}
     t0 = _time.perf_counter()
     files_ds = read_files(input_path, cfg)
-    input_fp = _input_metadata_fingerprint(input_path)
+    # ONE threaded footer pass feeds both fingerprint granularities
+    footer_meta = _footer_meta(_input_paths(input_path))
+    input_fp = _input_metadata_fingerprint(input_path, footer_meta)
     # bucket-clustered layouts fingerprint PER BUCKET: an appended
     # shard invalidates only the buckets it covers (incremental
     # ingest); other layouts bind every bucket to the global print
-    bucket_fps = _bucket_fingerprints(input_path, cfg.n_buckets)
+    bucket_fps = _bucket_fingerprints(input_path, cfg.n_buckets, footer_meta)
 
     def _fp_for(b: int) -> str:
         return bucket_fps.get(b, input_fp) if bucket_fps else input_fp
