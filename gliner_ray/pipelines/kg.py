@@ -370,15 +370,30 @@ def _stage2_bucket_triples(
                  ("bucket", pa.int32()), ("score", pa.float64())]
             )
             if frames:
-                allt = (
-                    pd.concat(frames, ignore_index=True)
-                    .groupby(["subj", "pred", "obj", "repo"], as_index=False)
-                    .agg(score=("score", "max"))
+                # arrow-native dedup: group_by on the 4-string key with
+                # max(score) — no pandas round-trip of the ~1.5M-row
+                # per-bucket triple frame (measured faster and
+                # allocation-lighter than DataFrame.groupby here)
+                cat = pa.concat_tables(
+                    pa.Table.from_pandas(f, preserve_index=False).cast(
+                        pa.schema(
+                            [("subj", pa.string()), ("pred", pa.string()),
+                             ("obj", pa.string()), ("repo", pa.string()),
+                             ("score", pa.float64())]
+                        )
+                    )
+                    for f in frames
                 )
-                allt["bucket"] = np.int32(b)
-                table_out = pa.Table.from_pandas(
-                    allt, preserve_index=False
-                ).select(out_schema.names).cast(out_schema)
+                allt = (
+                    cat.group_by(["subj", "pred", "obj", "repo"])
+                    .aggregate([("score", "max")])
+                    .rename_columns(["subj", "pred", "obj", "repo", "score"])
+                )
+                allt = allt.append_column(
+                    "bucket",
+                    pa.array(np.full(allt.num_rows, b, np.int32), pa.int32()),
+                )
+                table_out = allt.select(out_schema.names).cast(out_schema)
             else:
                 # empty frame → explicit schema (a null-typed empty file
                 # would poison the dataset-wide unified schema)
@@ -557,7 +572,6 @@ def build_kg(
 
     timings: dict[str, float] = {}
     t0 = _time.perf_counter()
-    files_ds = read_files(input_path, cfg)
     # ONE threaded footer pass feeds both fingerprint granularities
     footer_meta = _footer_meta(_input_paths(input_path))
     input_fp = _input_metadata_fingerprint(input_path, footer_meta)

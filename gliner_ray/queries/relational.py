@@ -139,14 +139,17 @@ def _join_parts(*datasets, rows_per_part: int = 4_000_000, lo: int = 8, hi: int 
 
 def q3_top_orders(sf_dir: str, dim_broadcast_limit: int = DIM_BROADCAST_LIMIT):
     """TPC-H Q3 shape: guarded semi-join (customer segment filter) +
-    hash join lineitem⋈orders + groupby + top-k.
+    semi-join lineitem⋉orders + groupby + top-k.
 
-    customer is the small side → its qualifying key set is collected
-    once and the orders scan filters against it in-batch (broadcast
-    semi-join) — but only under a count guard; above the guard the
-    filter becomes a hash ``Dataset.join`` so nothing dimension-sized
-    reaches the driver. The two fact tables always use the
-    hash-partitioned ``Dataset.join``.
+    TWO-LEVEL guarded broadcast: customer's qualifying key set filters
+    the orders scan in-batch, and — when the surviving orderkey set is
+    itself under the guard — that set filters the lineitem scan
+    in-batch too, so the whole query runs with ZERO shuffles (both
+    semi-joins are stream filters; only the qualifying-orders
+    materialize, dimension-bounded, touches the object store). Either
+    level over the guard falls back to the hash-partitioned
+    ``Dataset.join``, so nothing dimension-sized reaches the driver at
+    corpus scale.
     """
     from ray.data.aggregate import Sum
 
@@ -165,6 +168,7 @@ def q3_top_orders(sf_dir: str, dim_broadcast_limit: int = DIM_BROADCAST_LIMIT):
         ),
         batch_format="pyarrow",
     )
+    okeys = None
     if building_ds.count() <= dim_broadcast_limit:
         keys = pa.array(building_ds.to_pandas()["c_custkey"].tolist(), pa.int64())
         orders = orders_base.map_batches(
@@ -172,7 +176,14 @@ def q3_top_orders(sf_dir: str, dim_broadcast_limit: int = DIM_BROADCAST_LIMIT):
                 ["o_orderkey"]
             ),
             batch_format="pyarrow",
-        )
+        ).materialize()
+        if orders.count() <= dim_broadcast_limit:
+            # second broadcast level: the qualifying orderkeys are
+            # dimension-bounded too → lineitem is stream-filtered
+            # below instead of hash-joined
+            okeys = pa.array(
+                orders.to_pandas()["o_orderkey"].tolist(), pa.int64()
+            )
     else:  # scale path: hash semi-join against the qualifying customers
         orders = orders_base.join(
             building_ds, join_type="inner",
@@ -203,10 +214,16 @@ def q3_top_orders(sf_dir: str, dim_broadcast_limit: int = DIM_BROADCAST_LIMIT):
         ),
         batch_format="pyarrow",
     )
-    joined = line.join(
-        orders, join_type="inner", num_partitions=_join_parts(line_raw),
-        on=("l_orderkey",), right_on=("o_orderkey",),
-    )
+    if okeys is not None:
+        joined = line.map_batches(
+            lambda t: t.filter(pc.is_in(t["l_orderkey"], value_set=okeys)),
+            batch_format="pyarrow",
+        )
+    else:
+        joined = line.join(
+            orders, join_type="inner", num_partitions=_join_parts(line_raw),
+            on=("l_orderkey",), right_on=("o_orderkey",),
+        )
     agg = joined.groupby("l_orderkey").aggregate(Sum("rev_e4", alias_name="revenue_e4"))
     top = agg.sort(["revenue_e4", "l_orderkey"], descending=[True, False]).limit(10)
     return top
