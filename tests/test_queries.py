@@ -108,6 +108,25 @@ def test_dim_join_fallback_matches_broadcast(name, con):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+def test_q3_mixed_guard_path_matches_oracle(con):
+    """q3's TWO-LEVEL broadcast guard, intermediate case: the customer
+    key set fits under the guard but the qualifying orderkey set does
+    not — customers broadcast-filter orders, lineitem goes through the
+    hash join. A limit of 500 sits between the ~300 BUILDING customers
+    and the ~thousands of qualifying orders at sf0.01."""
+    from gliner_ray.queries import relational as rel
+
+    n_cust = con.sql(
+        "SELECT count(*) FROM customer WHERE c_mktsegment='BUILDING'"
+    ).fetchone()[0]
+    limit = n_cust + 200
+    rdf = rel.q3_top_orders(SF, dim_broadcast_limit=limit).to_pandas()
+    odf = con.sql(E.oracle_sql()["q3_top_orders"]).df()
+    a, b = _norm(rdf), _norm(odf)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_quantile_sketch_dkw_accuracy(con):
     """The one-pass sample-sketch estimates must sit within the DKW
     rank band of the exact engine: for k=4096 the true rank of each
