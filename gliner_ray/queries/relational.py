@@ -20,6 +20,7 @@ is low.
 
 from __future__ import annotations
 
+import os
 from datetime import datetime, timedelta
 
 import numpy as np
@@ -1286,7 +1287,9 @@ def q_approx_users_hll(sf_dir: str):
 _QUANTILES = (0.25, 0.5, 0.75, 0.95)
 
 
-def _exact_int_quantiles(cents_ds, quantiles) -> list[int] | None:
+def _exact_int_quantiles(
+    cents_ds, quantiles, stats: tuple[int, int, int] | None = None
+) -> list[int] | None:
     """EXACT distributed quantiles of an integer ``cents`` column by
     iterative bin narrowing — no global sort, no shuffle, and nothing
     row-sized or distinct-value-sized ever reaches the driver.
@@ -1308,32 +1311,98 @@ def _exact_int_quantiles(cents_ds, quantiles) -> list[int] | None:
     return _exact_int_order_stats(
         cents_ds,
         lambda n: [max(int(np.ceil(q * n)), 1) - 1 for q in quantiles],
+        stats=stats,
     )
 
 
-def _exact_int_order_stats(cents_ds, make_ranks) -> list[int] | None:
+def _footer_int_stats(
+    sf_dir: str, table: str, col: str, scale: int
+) -> tuple[int, int, int] | None:
+    """(lo, hi, n) of ``floor(col·scale)`` from parquet FOOTER
+    statistics only — no scan. ``floor(x·scale)`` is monotone in x, so
+    the exact integer min/max follow from the column's double min/max;
+    n is the footer row count. Returns None (→ caller falls back to an
+    aggregate pass) unless every row group carries min/max stats and
+    records null_count == 0 — the stats of a column WITH nulls exclude
+    them from min/max but the rank math needs the exact non-null n."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet")).metadata
+    except OSError:
+        return None
+    lo = hi = None
+    n = 0
+    idx = None
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        if idx is None:
+            idx = next(
+                (
+                    i
+                    for i in range(g.num_columns)
+                    if g.column(i).path_in_schema == col
+                ),
+                None,
+            )
+            if idx is None:
+                return None
+        c = g.column(idx)
+        s = c.statistics
+        if (
+            s is None
+            or not s.has_min_max
+            or s.null_count is None
+            or s.null_count != 0
+        ):
+            return None
+        lo = s.min if lo is None else min(lo, s.min)
+        hi = s.max if hi is None else max(hi, s.max)
+        n += g.num_rows
+    if lo is None or n == 0:
+        return None
+    return (
+        int(np.floor(float(lo) * scale)),
+        int(np.floor(float(hi) * scale)),
+        n,
+    )
+
+
+def _exact_int_order_stats(
+    cents_ds, make_ranks, stats: tuple[int, int, int] | None = None
+) -> list[int] | None:
     """Core bin-narrowing engine: exact values at arbitrary 0-based
     sorted ranks of an integer ``cents`` column. ``make_ranks(n)``
     returns the target rank list once the count is known (lets callers
     express quantile_disc ranks, quantile_cont's floor/ceil rank pairs,
     or top-k thresholds uniformly). See :func:`_exact_int_quantiles`
-    for the pass structure and scale argument."""
+    for the pass structure and scale argument.
+
+    ``stats=(lo, hi, n)`` skips pass 0 entirely — callers whose cents
+    column is a monotone map of a raw parquet column get these for
+    free from footer statistics (:func:`_footer_int_stats`), cutting
+    the engine from 3 streaming scans to 2."""
     from ray.data.aggregate import Count, Max, Min
 
     NB = 4096
 
-    stats = cents_ds.aggregate(
-        Min("cents", alias_name="lo"),
-        Max("cents", alias_name="hi"),
-        Count(alias_name="n"),
-    )
-    n = int(stats["n"])
+    if stats is None:
+        agg = cents_ds.aggregate(
+            Min("cents", alias_name="lo"),
+            Max("cents", alias_name="hi"),
+            Count(alias_name="n"),
+        )
+        stats = (
+            int(agg["lo"]) if agg["n"] else 0,
+            int(agg["hi"]) if agg["n"] else 0,
+            int(agg["n"]),
+        )
+    glo, ghi, n = stats
     if n == 0:
         return None
     # per rank: current range, ranks below lo
     state = [
-        {"rank": int(r), "lo": int(stats["lo"]), "hi": int(stats["hi"]),
-         "below": 0}
+        {"rank": int(r), "lo": int(glo), "hi": int(ghi), "below": 0}
         for r in make_ranks(n)
     ]
     while any(s["hi"] > s["lo"] for s in state):
@@ -1379,7 +1448,11 @@ def q_price_quantiles(sf_dir: str):
         lambda t: pa.table({"cents": _floor_units(t["l_extendedprice"], 100)}),
         batch_format="pyarrow",
     )
-    vals = _exact_int_quantiles(cents_ds, _QUANTILES)
+    vals = _exact_int_quantiles(
+        cents_ds,
+        _QUANTILES,
+        stats=_footer_int_stats(sf_dir, "lineitem", "l_extendedprice", 100),
+    )
     if vals is None:
         return pd.DataFrame({"q": [], "cents": pd.array([], dtype="int64")})
     return pd.DataFrame(
@@ -1402,7 +1475,11 @@ def q_order_quartiles(sf_dir: str):
         lambda t: pa.table({"cents": _floor_units(t["o_totalprice"], 100)}),
         batch_format="pyarrow",
     )
-    bounds = _exact_int_quantiles(cents_ds, (0.25, 0.5, 0.75))
+    bounds = _exact_int_quantiles(
+        cents_ds,
+        (0.25, 0.5, 0.75),
+        stats=_footer_int_stats(sf_dir, "orders", "o_totalprice", 100),
+    )
     if bounds is None:
         return pd.DataFrame(
             {"quartile": pd.array([], dtype="int64"),
@@ -2003,7 +2080,11 @@ def q_price_percentile_cont(sf_dir: str):
             out.extend([int(np.floor(h)), int(np.ceil(h))])
         return out
 
-    vals = _exact_int_order_stats(cents_ds, ranks)
+    vals = _exact_int_order_stats(
+        cents_ds,
+        ranks,
+        stats=_footer_int_stats(sf_dir, "lineitem", "l_extendedprice", 100),
+    )
     if vals is None:
         return pd.DataFrame(
             {"p_x100": pd.array([], dtype="int64"),
@@ -2802,7 +2883,11 @@ def q_price_mad(sf_dir: str):
         lambda t: pa.table({"cents": _floor_units(t["l_extendedprice"], 100)}),
         batch_format="pyarrow",
     )
-    med = _exact_int_quantiles(cents_ds, (0.5,))
+    med = _exact_int_quantiles(
+        cents_ds,
+        (0.5,),
+        stats=_footer_int_stats(sf_dir, "lineitem", "l_extendedprice", 100),
+    )
     if med is None:
         return pd.DataFrame(
             {"median_cents": pd.array([], dtype="int64"),
