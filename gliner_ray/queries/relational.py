@@ -801,7 +801,11 @@ WHERE NOT EXISTS (
 """
 
 
-def q_rich_idle_customers_by_nation(sf_dir: str, num_partitions: int = 8):
+def q_rich_idle_customers_by_nation(
+    sf_dir: str,
+    num_partitions: int = 8,
+    dim_broadcast_limit: int = DIM_BROADCAST_LIMIT,
+):
     """TPC-H q22 shape — global scalar subquery + anti join + group
     aggregate composed: per nation, count and total balance of
     customers whose balance beats the positive-balance average AND who
@@ -810,10 +814,13 @@ def q_rich_idle_customers_by_nation(sf_dir: str, num_partitions: int = 8):
     1. global average: one fixed-size (sum_cents, n) partial pass over
        customers; the comparison stays integer
        (``cents·n > sum_cents`` — no float division on either engine);
-    2. eligible customers anti-join the DISTINCT order custkeys (the
-       per-batch ``pc.unique`` combiner shrinks the shuffle; both
-       sides move once, key-partitioned — same engine as
-       :func:`q_customers_no_urgent_orders`);
+    2. eligible customers drop those WITH urgent orders. The urgent
+       custkey set is dimension-bounded (≤ |customer|, known from
+       footer metadata), so under the guard it is collected once
+       (per-batch ``pc.unique`` partials, driver set-union) and the
+       anti join becomes an in-stream filter — zero shuffle. Over the
+       guard, the distributed anti join (both sides key-partitioned
+       once, same engine as :func:`q_customers_no_urgent_orders`);
     3. the survivors pre-aggregate per nation in-batch before a
        dimension-sized groupby."""
     from ray.data.aggregate import Count, Sum
@@ -848,25 +855,55 @@ def q_rich_idle_customers_by_nation(sf_dir: str, num_partitions: int = 8):
         )
 
     rich = cust.map_batches(eligible, batch_format="pyarrow")
-    has_orders = (
-        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
-        .map_batches(
-            lambda t: pa.table(
-                {"o_custkey": pc.unique(
-                    t.filter(
-                        pc.equal(t["o_orderpriority"], "1-URGENT")
-                    )["o_custkey"]
-                )}
+    urgent_partials = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"o_custkey": pc.unique(
+                t.filter(
+                    pc.equal(t["o_orderpriority"], "1-URGENT")
+                )["o_custkey"]
+            )}
+        ),
+        batch_format="pyarrow",
+    )
+    # guard on BOTH footer row counts (no scan): the broadcast set is
+    # bounded by the distinct custkeys (≤ |customer|) and the driver
+    # collect of per-batch unique partials is bounded by |orders|
+    # (cross-batch duplicates survive until the driver set-union)
+    if (
+        _read(sf_dir, "customer", ["c_custkey"]).count()
+        <= dim_broadcast_limit
+        and _read(sf_dir, "orders", ["o_custkey"]).count()
+        <= 4 * dim_broadcast_limit
+    ):
+        urgent_keys = pa.array(
+            sorted(
+                set(
+                    urgent_partials.to_pandas()["o_custkey"].tolist()
+                )
+            ),
+            pa.int64(),
+        )
+        joined = rich.map_batches(
+            lambda t: t.append_column(
+                "n_o",
+                pc.if_else(
+                    pc.is_in(t["c_custkey"], value_set=urgent_keys),
+                    pa.scalar(1, pa.int64()),
+                    pa.scalar(None, pa.int64()),
+                ),
             ),
             batch_format="pyarrow",
         )
-        .groupby("o_custkey")
-        .aggregate(Count(alias_name="n_o"))
-    )
-    joined = hash_join(
-        rich, has_orders, "c_custkey", "o_custkey",
-        num_partitions=num_partitions, how="left",
-    )
+    else:
+        has_orders = urgent_partials.groupby("o_custkey").aggregate(
+            Count(alias_name="n_o")
+        )
+        joined = hash_join(
+            rich, has_orders, "c_custkey", "o_custkey",
+            num_partitions=num_partitions, how="left",
+        )
 
     def nation_partial(t: pa.Table) -> pa.Table:
         f = t.filter(pc.is_null(t["n_o"]))
