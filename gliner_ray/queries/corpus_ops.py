@@ -644,6 +644,12 @@ def emb_kmeans(sf_dir: str):
     from ..functions import clustering as fc
 
     ds = _embs(sf_dir, ["vec_id", "embedding"])
+    # pin the table for the 5 Lloyd passes + assignment when it fits
+    # (row count from parquet metadata, no scan): re-reading parquet
+    # per iteration costs ~n_iter redundant decodes; above the guard
+    # the iterations stream from parquet as before
+    if ds.count() <= 5_000_000:
+        ds = ds.materialize()
     centroids = fc.kmeans(ds, n_clusters=8, n_iter=5, seed=0)
     return (
         fc.assign_clusters(ds, centroids)
