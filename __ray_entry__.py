@@ -310,6 +310,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_cf_pairs": go.GRAPH_CF_PAIRS_SQL,
         "graph_triangles": go.GRAPH_TRIANGLES_SQL,
         "graph_clustering_coeff": go.GRAPH_CLUSTERING_COEFF_SQL,
+        "graph_kcore": go.GRAPH_KCORE_SQL,
         "q_suppliers_kept_waiting": rel.SUPPLIERS_KEPT_WAITING_SQL,
         "q_user_retention": rel.USER_RETENTION_SQL,
         "doc_chunk_windows": co.DOC_CHUNK_WINDOWS_SQL,

@@ -191,6 +191,58 @@ r{next} AS MATERIALIZED (
 GRAPH_PAGERANK_SQL = _pagerank_sql()
 
 
+def _kcore_sql(n_rounds: int = 40) -> str:
+    """Unrolled k-core peel as one DuckDB query (same MATERIALIZED-CTE
+    unrolling as :func:`_pagerank_sql`): a0 is every co-purchase node,
+    each round keeps nodes whose degree WITHIN the previous survivor
+    set is ≥ k, where k replicates the engine's derived default
+    ``max(2, ceil(0.7 · 2E/N))`` with the identical double-precision
+    expression. Peeling is monotone and idempotent at the fixpoint, so
+    any ``n_rounds`` ≥ the true peel depth is exact — 40 is ~3× the
+    measured depth at sf0.01 (the engine's own max_rounds guard is
+    64). Final row set: (node, deg-inside-core), matching
+    :func:`graph_kcore`."""
+    header = """
+WITH op AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT l1.p AS a, l2.p AS b
+  FROM op l1 JOIN op l2 ON l1.o = l2.o AND l1.p < l2.p
+),
+sym AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM edges UNION ALL SELECT b, a FROM edges
+),
+kmeta AS MATERIALIZED (
+  SELECT GREATEST(2, CAST(CEIL(0.7 * 2.0 * (SELECT COUNT(*) FROM edges)
+                               / (SELECT COUNT(DISTINCT u) FROM sym))
+                          AS BIGINT)) AS kv
+),
+a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym)"""
+    step = """,
+a{next} AS MATERIALIZED (
+  SELECT e.u AS node
+  FROM sym e
+  JOIN a{cur} x ON x.node = e.u
+  JOIN a{cur} y ON y.node = e.v
+  GROUP BY e.u
+  HAVING COUNT(*) >= (SELECT kv FROM kmeta)
+)"""
+    body = "".join(step.format(cur=r, next=r + 1) for r in range(n_rounds))
+    return (
+        header + body
+        + f"""
+SELECT e.u AS node, COUNT(*) AS deg
+FROM sym e
+JOIN a{n_rounds} x ON x.node = e.u
+JOIN a{n_rounds} y ON y.node = e.v
+GROUP BY e.u"""
+    )
+
+
+GRAPH_KCORE_SQL = _kcore_sql()
+
+
 def graph_cf_pairs(
     sf_dir: str,
     min_shared: int = 3,

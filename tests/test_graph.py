@@ -224,3 +224,22 @@ class TestKCore:
         df = graph_kcore("/root/testdata/sf0.001").to_pandas()
         got = dict(zip(df["node"], df["deg"])) if not df.empty else {}
         assert got == want and len(got) > 0
+
+    def test_copurchase_kcore_matches_unrolled_sql_oracle(self, ray_session):
+        """The driver-facing DuckDB twin (GRAPH_KCORE_SQL, unrolled
+        peel with the k rule inlined) must equal the engine exactly —
+        node set AND in-core degrees."""
+        import duckdb
+
+        from gliner_ray.queries.graph_ops import GRAPH_KCORE_SQL, graph_kcore
+
+        sf = "/root/testdata/sf0.01"
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'"
+        )
+        odf = con.sql(GRAPH_KCORE_SQL).df()
+        want = dict(zip(odf["node"], odf["deg"]))
+        df = graph_kcore(sf).to_pandas()
+        got = dict(zip(df["node"], df["deg"])) if not df.empty else {}
+        assert got == want and len(got) > 0
