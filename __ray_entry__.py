@@ -190,6 +190,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "q_user_retention": rel.q_user_retention,
         "doc_chunk_windows": co.doc_chunk_windows,
         "doc_editdist_pairs": co.doc_editdist_pairs,
+        # round-4 additions: vocab build, event transitions, FK audit
+        "doc_vocab": co.doc_vocab,
+        "q_event_transitions": rel.q_event_transitions,
+        "q_fk_orphans": rel.q_fk_orphans,
         # multimodal plumbing
         "media_features": co.media_features,
         "media_near_dups": co.media_near_dups,
@@ -315,6 +319,9 @@ def oracle_sql() -> dict[str, str]:
         "q_user_retention": rel.USER_RETENTION_SQL,
         "doc_chunk_windows": co.DOC_CHUNK_WINDOWS_SQL,
         "doc_editdist_pairs": co.DOC_EDITDIST_PAIRS_SQL,
+        "doc_vocab": co.VOCAB_SQL,
+        "q_event_transitions": rel.EVENT_TRANSITIONS_SQL,
+        "q_fk_orphans": rel.FK_ORPHANS_SQL,
         "emb_ann_topk": co.ANN_TOPK_SQL,
         "emb_ivf_topk_full": co.ANN_TOPK_SQL,
         "emb_exact_pairs": co.EXACT_PAIRS_SQL,

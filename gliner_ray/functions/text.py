@@ -649,3 +649,122 @@ def term_pmi_pairs(
             "pmi": pa.array([t[0] for t in top], pa.float64()),
         }
     )
+
+
+def vocab_build(
+    ds: "ray.data.Dataset",
+    min_count: int = 5,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Corpus vocabulary with a frequency cutoff and dense global IDs —
+    the tokenizer-training precursor op: term → (vocab_id, cf, df),
+    cf = total corpus frequency, df = document frequency, vocab_id =
+    ``ROW_NUMBER() OVER (ORDER BY cf DESC, term ASC)`` (the reference
+    builds its label/token vocabularies driver-side when assembling
+    datasets; here the build is distributed end-to-end).
+
+    Two shuffles, both bounded by VOCABULARY size (Heaps' law —
+    sublinear in corpus rows), never by corpus size:
+
+    1. per-batch (term, cf, df) partials (documents are whole within a
+       batch, so the df partial is exact) shuffle on
+       ``crc32(term) % num_partitions``; per-part pandas sums produce
+       the vocabulary-sized table with the cutoff applied in-part
+       (HAVING cf >= min_count prunes the huge hapax tail BEFORE the
+       second shuffle).
+    2. ID assignment mirrors the dense-rank engine
+       (``queries/relational.py: q_order_dense_rank``): shuffle the
+       pruned vocabulary on cf; each cf-group sorts terms
+       lexicographically and emits its local 0-based index plus the
+       group size n (constant per group); a metadata-sized scan
+       collects the distinct (cf, n) pairs, the driver prefix-sums
+       them cf-descending into per-cf offsets, and a final cheap
+       map_batches adds ``offsets[cf] + lrank + 1``.
+
+    Skew note: the hottest cf group is the cutoff bucket (cf ==
+    min_count) — bounded by vocabulary size, not corpus rows.
+    """
+    import zlib
+
+    import pandas as pd
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = term_tf_batch(t).to_pandas()
+        agg = tb.groupby("term", as_index=False).agg(
+            cf=("tf", "sum"), df=("tf", "size")
+        )
+        agg["part"] = [
+            zlib.crc32(s.encode("utf-8")) % num_partitions
+            for s in agg["term"]
+        ]
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("term", as_index=False)[["cf", "df"]].sum()
+        return out[out["cf"] >= min_count]
+
+    vocab = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+    def assign_local(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("term", ignore_index=True)
+        g["lrank"] = np.arange(len(g), dtype=np.int64)
+        g["n"] = np.int64(len(g))
+        return g
+
+    local = (
+        vocab.groupby("cf")
+        .map_groups(assign_local, batch_format="pandas")
+        .materialize()  # vocabulary-sized; reused by the scan below
+    )
+
+    def cf_n(t: pa.Table) -> pa.Table:
+        u = np.unique(
+            np.stack(
+                [
+                    t["cf"].to_numpy(zero_copy_only=False),
+                    t["n"].to_numpy(zero_copy_only=False),
+                ],
+                axis=1,
+            ),
+            axis=0,
+        )
+        return pa.table(
+            {"cf": pa.array(u[:, 0], pa.int64()),
+             "n": pa.array(u[:, 1], pa.int64())}
+        )
+
+    pairs: dict[int, int] = {}
+    for b in local.map_batches(cf_n, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        pairs.update(zip(b["cf"].to_pylist(), b["n"].to_pylist()))
+    offsets: dict[int, int] = {}
+    cum = 0
+    for cf_val in sorted(pairs, reverse=True):
+        offsets[cf_val] = cum
+        cum += pairs[cf_val]
+    off_ref = ray.put(offsets)  # distinct-cf-sized, read once per task
+
+    def finish(t: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        base = pd.Series(t["cf"].to_numpy(zero_copy_only=False)).map(off)
+        vid = (
+            base.to_numpy(np.int64)
+            + t["lrank"].to_numpy(zero_copy_only=False)
+            + 1
+        )
+        return pa.table(
+            {
+                "term": t["term"],
+                "vocab_id": pa.array(vid, pa.int64()),
+                "cf": pa.array(t["cf"].to_numpy(zero_copy_only=False), pa.int64()),
+                "df": pa.array(t["df"].to_numpy(zero_copy_only=False), pa.int64()),
+            }
+        )
+
+    return local.map_batches(finish, batch_format="pyarrow")

@@ -1564,3 +1564,29 @@ FROM k a JOIN k b
  AND abs(length(a.key) - length(b.key)) <= 1
  AND levenshtein(a.key, b.key) <= 1
 """
+
+
+def doc_vocab(sf_dir: str, min_count: int = 5):
+    """Corpus vocabulary with a frequency cutoff and dense global IDs
+    (tokenizer-training precursor) — see ``functions.text.vocab_build``
+    for the two-vocabulary-sized-shuffle plan."""
+    return ftext.vocab_build(
+        _docs(sf_dir, ["doc_id", "text"]), min_count=min_count
+    )
+
+
+VOCAB_SQL = """
+WITH words AS (
+  SELECT doc_id, lower(w) AS term
+  FROM documents, unnest(regexp_extract_all(text, '[A-Za-z][A-Za-z]+')) AS t(w)
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term
+), v AS (
+  SELECT term, CAST(SUM(tf) AS BIGINT) AS cf, CAST(COUNT(*) AS BIGINT) AS df
+  FROM tf GROUP BY term HAVING SUM(tf) >= 5
+)
+SELECT term,
+       CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, term ASC) AS BIGINT) AS vocab_id,
+       cf, df
+FROM v
+"""

@@ -4074,3 +4074,215 @@ SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day,
 FROM ud JOIN c ON ud.user_id = c.user_id
 GROUP BY 1, 2
 """
+
+
+# ------------------------------------------- event-type transitions
+
+
+def q_event_transitions(sf_dir: str):
+    """Markov transition counts of ``event_type`` bigrams within each
+    user's time-ordered stream — the sequence-model-features shape of
+    the sessionization family.
+
+    ONE shuffle: events group by user; each group sorts locally by
+    (ts, event_id) (the deterministic total order the oracle uses) and
+    pre-aggregates its OWN bigram counts, so at most |types|² rows per
+    user leave the group. The global combine is then a tiny
+    (from_type, to_type) groupby over user-count-bounded partials —
+    never a corpus-sized second shuffle.
+
+    Skew note: per-user streams are user-session-sized; a single hot
+    user bounds one group, and the pre-aggregation means the combine
+    stage sees |users| × |types|² rows max regardless of stream length.
+    """
+    from ray.data.aggregate import Sum
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        et = g["event_type"].to_numpy()
+        if len(et) < 2:
+            return pd.DataFrame(
+                {"from_type": [], "to_type": [], "n": []}
+            ).astype({"from_type": str, "to_type": str, "n": np.int64})
+        out = (
+            pd.DataFrame({"from_type": et[:-1], "to_type": et[1:]})
+            .groupby(["from_type", "to_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return (
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+        .groupby("user_id")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+    SELECT event_type AS from_type,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS to_type
+    FROM events
+)
+WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+
+# --------------------------------------- referential-integrity audit
+
+
+def _orphan_counts(
+    fact_ds, fact_key: str, dim_ds, dim_key: str,
+    dim_broadcast_limit: int = DIM_BROADCAST_LIMIT,
+    num_partitions: int = 16,
+) -> tuple[int, int]:
+    """(fact_rows, orphans) for one foreign-key relationship.
+
+    Dimension keys under ``dim_broadcast_limit`` broadcast ONCE via
+    ``ray.put`` (sorted int64 array; ``np.isin`` per fact batch — the
+    fact side streams, emitting two int64 partials per batch). Past
+    the guard, both sides shuffle once on ``key % num_partitions`` and
+    each part anti-counts locally — the same union-partition idiom as
+    ``functions.joins.hash_join``, counts only (no payload movement).
+    """
+    import ray
+    import ray.data  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    if dim_ds.count() <= dim_broadcast_limit:
+        keys: set = set()
+        for b in dim_ds.iter_batches(batch_format="pyarrow"):
+            keys.update(b[dim_key].to_pylist())
+        key_arr = np.sort(np.fromiter(keys, np.int64, len(keys)))
+        key_ref = ray.put(key_arr)
+
+        def audit(t: pa.Table) -> pa.Table:
+            k = t[fact_key].to_numpy(zero_copy_only=False).astype(np.int64)
+            hit = np.isin(k, ray.get(key_ref))
+            return pa.table(
+                {
+                    "fact_rows": pa.array([len(k)], pa.int64()),
+                    "orphans": pa.array([int((~hit).sum())], pa.int64()),
+                }
+            )
+
+        partials = fact_ds.map_batches(audit, batch_format="pyarrow")
+        agg = partials.aggregate(
+            Sum("fact_rows", alias_name="fact_rows"),
+            Sum("orphans", alias_name="orphans"),
+        )
+        return int(agg["fact_rows"] or 0), int(agg["orphans"] or 0)
+
+    # distributed fallback: one co-shuffle on key % P, local anti-count
+    def tag(side: int, col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "k": pa.array(k, pa.int64()),
+                    "side": pa.array(
+                        np.full(len(k), side, np.int8), pa.int8()
+                    ),
+                    "part": pa.array(k % num_partitions, pa.int64()),
+                }
+            )
+
+        return fn
+
+    both = fact_ds.map_batches(tag(0, fact_key), batch_format="pyarrow").union(
+        dim_ds.map_batches(tag(1, dim_key), batch_format="pyarrow")
+    )
+
+    def anti_count(g: pd.DataFrame) -> pd.DataFrame:
+        fact = g.loc[g["side"] == 0, "k"].to_numpy()
+        dim = np.unique(g.loc[g["side"] == 1, "k"].to_numpy())
+        return pd.DataFrame(
+            {
+                "fact_rows": [np.int64(len(fact))],
+                "orphans": [np.int64((~np.isin(fact, dim)).sum())],
+            }
+        )
+
+    agg = (
+        both.groupby("part")
+        .map_groups(anti_count, batch_format="pandas")
+        .aggregate(
+            Sum("fact_rows", alias_name="fact_rows"),
+            Sum("orphans", alias_name="orphans"),
+        )
+    )
+    return int(agg["fact_rows"] or 0), int(agg["orphans"] or 0)
+
+
+def q_fk_orphans(sf_dir: str, dim_broadcast_limit: int = DIM_BROADCAST_LIMIT):
+    """Foreign-key orphan audit across the star schema — the
+    data-quality gate a 100-TB ingest runs before training-data jobs
+    trust a snapshot. One row per relationship: total fact rows and
+    rows whose key has no match in the referenced dimension.
+
+    Each relationship streams the fact side once (count partials only;
+    no payload columns leave the scan) against a count-guarded
+    broadcast of the dimension's key column — see
+    :func:`_orphan_counts` for the past-guard co-shuffle fallback.
+    """
+    rels = [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("events->customer", "events", "user_id", "customer", "c_custkey"),
+    ]
+    names, fact_rows, orphans = [], [], []
+    for rel, fact, fkey, dim, dkey in rels:
+        fr, orph = _orphan_counts(
+            _read(sf_dir, fact, [fkey]),
+            fkey,
+            _read(sf_dir, dim, [dkey]),
+            dkey,
+            dim_broadcast_limit=dim_broadcast_limit,
+        )
+        names.append(rel)
+        fact_rows.append(fr)
+        orphans.append(orph)
+    return pa.table(
+        {
+            "rel": pa.array(names, pa.string()),
+            "fact_rows": pa.array(fact_rows, pa.int64()),
+            "orphans": pa.array(orphans, pa.int64()),
+        }
+    )
+
+
+FK_ORPHANS_SQL = """
+SELECT 'lineitem->orders' AS rel,
+       (SELECT COUNT(*) FROM lineitem) AS fact_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+         WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS orphans
+UNION ALL
+SELECT 'lineitem->part',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+         WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+UNION ALL
+SELECT 'lineitem->supplier',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+         WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+UNION ALL
+SELECT 'orders->customer',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+UNION ALL
+SELECT 'events->customer',
+       (SELECT COUNT(*) FROM events),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+         WHERE user_id NOT IN (SELECT c_custkey FROM customer))
+"""

@@ -273,3 +273,69 @@ class TestTriangles:
         assert got[3] == round(1 / 3, 8) and got[4] == 0.0
         degs = dict(zip(df["node"], df["degree"]))
         assert degs == {1: 2, 2: 2, 3: 3, 4: 1}
+
+
+class TestFkOrphans:
+    """Referential-integrity audit: planted orphans detected on BOTH
+    the broadcast path and the past-guard co-shuffle fallback."""
+
+    def _write(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        # customer keys 1..10; orders reference 1..10 plus orphans
+        # 99 (x2) and 100 (x1) -> 3 orphan rows of 13
+        pq.write_table(
+            pa.table({"c_custkey": pa.array(range(1, 11), pa.int64())}),
+            str(tmp_path / "customer.parquet"),
+        )
+        keys = list(range(1, 11)) + [99, 99, 100]
+        pq.write_table(
+            pa.table({"o_custkey": pa.array(keys, pa.int64())}),
+            str(tmp_path / "orders.parquet"),
+        )
+
+    @pytest.mark.parametrize("limit", [10_000, 0])
+    def test_planted_orphans_both_paths(self, ray_session, tmp_path, limit):
+        from gliner_ray.queries.relational import _orphan_counts, _read
+
+        self._write(tmp_path)
+        fact_rows, orphans = _orphan_counts(
+            _read(str(tmp_path), "orders", ["o_custkey"]),
+            "o_custkey",
+            _read(str(tmp_path), "customer", ["c_custkey"]),
+            "c_custkey",
+            dim_broadcast_limit=limit,
+        )
+        assert (fact_rows, orphans) == (13, 3)
+
+
+class TestVocabBuild:
+    def test_ids_dense_and_ordered(self, ray_session):
+        import ray.data as rd
+
+        from gliner_ray.functions.text import vocab_build
+
+        # cf ties broken by term asc; cutoff drops the hapax
+        docs = [
+            "beta beta alpha zulu",
+            "beta alpha zulu",
+            "zulu once",
+        ]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs, pa.string()),
+                }
+            )
+        )
+        df = vocab_build(ds, min_count=2).to_pandas()
+        got = df.sort_values("vocab_id")[
+            ["term", "vocab_id", "cf", "df"]
+        ].values.tolist()
+        # beta cf=3; alpha cf=2 df=2; zulu cf=3 df=3; once cf=1 cut
+        assert got == [
+            ["beta", 1, 3, 2],
+            ["zulu", 2, 3, 3],
+            ["alpha", 3, 2, 2],
+        ]
