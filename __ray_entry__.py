@@ -194,6 +194,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_vocab": co.doc_vocab,
         "q_event_transitions": rel.q_event_transitions,
         "q_fk_orphans": rel.q_fk_orphans,
+        "doc_incremental_dedup": co.doc_incremental_dedup,
         # multimodal plumbing
         "media_features": co.media_features,
         "media_near_dups": co.media_near_dups,
@@ -322,6 +323,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_vocab": co.VOCAB_SQL,
         "q_event_transitions": rel.EVENT_TRANSITIONS_SQL,
         "q_fk_orphans": rel.FK_ORPHANS_SQL,
+        "doc_incremental_dedup": co.INCREMENTAL_DEDUP_SQL,
         "emb_ann_topk": co.ANN_TOPK_SQL,
         "emb_ivf_topk_full": co.ANN_TOPK_SQL,
         "emb_exact_pairs": co.EXACT_PAIRS_SQL,

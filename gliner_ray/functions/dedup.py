@@ -1792,3 +1792,122 @@ def editdist1_pairs(ds, col: str, n_parts: int = 64):
         .aggregate(Count(alias_name="_m"))
         .select_columns(["ka", "kb"])
     )
+
+
+# -------------------------------------------------- incremental dedup
+
+
+def incremental_dedup(
+    new_ds: "ray.data.Dataset",
+    snapshot_ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    parts: int = 64,
+    nbits: int = 1 << 23,
+) -> "ray.data.Dataset":
+    """Dedup an INCOMING shard against an already-ingested corpus
+    snapshot: keep the min-id row per distinct text among ``new_ds``
+    rows whose text does NOT appear in ``snapshot_ds``. Returns
+    (doc_id,) rows. The daily-ingest shape of :func:`exact_dedup` —
+    at 100 TB the snapshot is the huge side and must never shuffle
+    wholesale, so the asymmetry is the design:
+
+    1. new side (small): per-batch sha256 digests + min-id combiner →
+       ``(part, key, id)`` rows, the exact_dedup int-key idiom.
+    2. a Bloom filter over the NEW side's digest prefixes (~1 MiB,
+       built in one streaming pass over the small side) broadcasts to
+       the snapshot scan: snapshot digests that can't match any
+       incoming digest are dropped IN-STREAM — only possible overlaps
+       (false-positive-bounded, output-sized in practice) reach the
+       exchange, carrying ``(part, key)`` with per-batch dedup.
+    3. ONE shuffle co-locates both sides by digest-prefix int part;
+       each part drops new keys present on the snapshot side and emits
+       the min id per surviving key — exact, Bloom false positives
+       are resolved by the full 32-byte digest comparison here.
+    """
+    from .joins import BloomFilter, build_bloom
+
+    def new_keyed(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        digests = [hashlib.sha256(x.encode("utf-8")).digest() for x in texts]
+        if digests:
+            hi = np.frombuffer(b"".join(d[:8] for d in digests), dtype=">u8")
+            part = (hi % np.uint64(parts)).astype(np.int64)
+        else:
+            part = np.array([], dtype=np.int64)
+        df = pd.DataFrame(
+            {
+                "part": part,
+                "key": digests,
+                id_col: t[id_col].to_numpy(zero_copy_only=False),
+            }
+        )
+        df = df.groupby(["part", "key"], sort=False, as_index=False)[
+            [id_col]
+        ].min()
+        return pa.table(
+            {
+                "part": pa.array(df["part"].to_numpy(), pa.int64()),
+                "key": pa.array(df["key"].tolist(), pa.binary()),
+                id_col: pa.array(df[id_col].to_numpy(), pa.int64()),
+                "side": pa.array(
+                    np.zeros(len(df), dtype=np.int8), pa.int8()
+                ),
+            }
+        )
+
+    new_keys = new_ds.map_batches(
+        new_keyed, batch_format="pyarrow"
+    ).materialize()  # shard-sized (post-combine); reused for the bloom
+
+    def hi_int(t: pa.Table) -> pa.Table:
+        ks = t["key"].to_pylist()
+        hi = (
+            np.frombuffer(b"".join(k[:8] for k in ks), dtype=">u8")
+            if ks
+            else np.array([], dtype=">u8")
+        )
+        return pa.table(
+            {"hi": pa.array(hi.astype(np.uint64).astype(np.int64), pa.int64())}
+        )
+
+    bloom: BloomFilter = build_bloom(
+        new_keys.map_batches(hi_int, batch_format="pyarrow"), "hi", nbits=nbits
+    )
+
+    def snap_keyed(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        digests = [hashlib.sha256(x.encode("utf-8")).digest() for x in texts]
+        if digests:
+            hi = np.frombuffer(b"".join(d[:8] for d in digests), dtype=">u8")
+            keep = bloom.contains(hi.astype(np.uint64).astype(np.int64))
+        else:
+            hi = np.array([], dtype=">u8")
+            keep = np.array([], dtype=bool)
+        kept = [d for d, k in zip(digests, keep) if k]
+        part = (hi[keep] % np.uint64(parts)).astype(np.int64)
+        df = pd.DataFrame({"part": part, "key": kept}).drop_duplicates()
+        n = len(df)
+        return pa.table(
+            {
+                "part": pa.array(df["part"].to_numpy() if n else [], pa.int64()),
+                "key": pa.array(df["key"].tolist(), pa.binary()),
+                id_col: pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+                "side": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+            }
+        )
+
+    snap_keys = snapshot_ds.map_batches(snap_keyed, batch_format="pyarrow")
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        seen = set(g.loc[g["side"] == 1, "key"])
+        fresh = g[(g["side"] == 0) & ~g["key"].isin(seen)]
+        return fresh.groupby("key", sort=False, as_index=False)[[id_col]].min()[
+            [id_col]
+        ]
+
+    return (
+        new_keys.union(snap_keys)
+        .groupby("part")
+        .map_groups(per_part, batch_format="pandas")
+    )

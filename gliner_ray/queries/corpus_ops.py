@@ -1590,3 +1590,40 @@ SELECT term,
        cf, df
 FROM v
 """
+
+
+def doc_incremental_dedup(sf_dir: str):
+    """Incremental ingest dedup: treat sources ``src1*`` as today's
+    incoming shard and every other source as the already-ingested
+    snapshot; keep incoming docs whose text is new (vs the snapshot
+    AND within the shard, min doc_id wins) — see
+    ``functions.dedup.incremental_dedup`` for the Bloom-pruned
+    one-shuffle plan."""
+    import pyarrow.compute as pc_
+
+    from ..functions.dedup import incremental_dedup
+
+    docs = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    def split(incoming: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = pc_.starts_with(t["source"], "src1")
+            return t.filter(m if incoming else pc_.invert(m)).select(
+                ["doc_id", "text"]
+            )
+
+        return fn
+
+    return incremental_dedup(
+        docs.map_batches(split(True), batch_format="pyarrow"),
+        docs.map_batches(split(False), batch_format="pyarrow"),
+    )
+
+
+INCREMENTAL_DEDUP_SQL = """
+SELECT MIN(doc_id) AS doc_id
+FROM documents
+WHERE source LIKE 'src1%'
+  AND text NOT IN (SELECT text FROM documents WHERE source NOT LIKE 'src1%')
+GROUP BY text
+"""

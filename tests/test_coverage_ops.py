@@ -339,3 +339,58 @@ class TestVocabBuild:
             ["zulu", 2, 3, 3],
             ["alpha", 3, 2, 2],
         ]
+
+
+class TestIncrementalDedup:
+    def test_planted_overlap_and_inshard_dups(self, ray_session):
+        import ray.data as rd
+
+        from gliner_ray.functions.dedup import incremental_dedup
+
+        snapshot = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": pa.array(["aaa", "bbb", "ccc"], pa.string()),
+                }
+            )
+        )
+        # 10: dup of snapshot "aaa" -> dropped; 11/13: in-shard dup
+        # "new1" -> min id 11 kept; 12: fresh -> kept
+        new = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([13, 10, 11, 12], pa.int64()),
+                    "text": pa.array(
+                        ["new1", "aaa", "new1", "new2"], pa.string()
+                    ),
+                }
+            )
+        )
+        got = sorted(
+            incremental_dedup(new, snapshot).to_pandas()["doc_id"].tolist()
+        )
+        assert got == [11, 12]
+
+    def test_empty_new_shard(self, ray_session):
+        import ray.data as rd
+
+        from gliner_ray.functions.dedup import incremental_dedup
+
+        snapshot = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1], pa.int64()),
+                    "text": pa.array(["aaa"], pa.string()),
+                }
+            )
+        )
+        new = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                }
+            )
+        )
+        assert incremental_dedup(new, snapshot).count() == 0
