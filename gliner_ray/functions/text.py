@@ -722,7 +722,14 @@ def vocab_build(
         .materialize()  # vocabulary-sized; reused by the scan below
     )
 
+    _EMPTY_CFN = pa.table(
+        {"cf": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+    )
+
     def cf_n(t: pa.Table) -> pa.Table:
+        # zero-row pandas-shuffle blocks can arrive schema-less
+        if t.num_rows == 0 or "cf" not in t.column_names:
+            return _EMPTY_CFN
         u = np.unique(
             np.stack(
                 [
@@ -750,7 +757,22 @@ def vocab_build(
         cum += pairs[cf_val]
     off_ref = ray.put(offsets)  # distinct-cf-sized, read once per task
 
+    _EMPTY_OUT = pa.table(
+        {
+            "term": pa.array([], pa.string()),
+            "vocab_id": pa.array([], pa.int64()),
+            "cf": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+        }
+    )
+    if not pairs:  # cutoff killed everything — keep the schema
+        import ray.data as rd
+
+        return rd.from_arrow(_EMPTY_OUT)
+
     def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cf" not in t.column_names:
+            return _EMPTY_OUT
         off = ray.get(off_ref)
         base = pd.Series(t["cf"].to_numpy(zero_copy_only=False)).map(off)
         vid = (

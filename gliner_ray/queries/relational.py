@@ -4177,8 +4177,11 @@ def _orphan_counts(
         agg = partials.aggregate(
             Sum("fact_rows", alias_name="fact_rows"),
             Sum("orphans", alias_name="orphans"),
+        ) or {}
+        return (
+            int(agg.get("fact_rows") or 0),
+            int(agg.get("orphans") or 0),
         )
-        return int(agg["fact_rows"] or 0), int(agg["orphans"] or 0)
 
     # distributed fallback: one co-shuffle on key % P, local anti-count
     def tag(side: int, col: str):
@@ -4217,8 +4220,8 @@ def _orphan_counts(
             Sum("fact_rows", alias_name="fact_rows"),
             Sum("orphans", alias_name="orphans"),
         )
-    )
-    return int(agg["fact_rows"] or 0), int(agg["orphans"] or 0)
+    ) or {}
+    return int(agg.get("fact_rows") or 0), int(agg.get("orphans") or 0)
 
 
 def q_fk_orphans(sf_dir: str, dim_broadcast_limit: int = DIM_BROADCAST_LIMIT):

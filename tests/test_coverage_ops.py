@@ -394,3 +394,44 @@ class TestIncrementalDedup:
             )
         )
         assert incremental_dedup(new, snapshot).count() == 0
+
+
+class TestNewOpEmptyEdges:
+    def test_vocab_build_nothing_meets_cutoff(self, ray_session):
+        import ray.data as rd
+
+        from gliner_ray.functions.text import vocab_build
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1], pa.int64()),
+                    "text": pa.array(["solo words here", "all unique"], pa.string()),
+                }
+            )
+        )
+        out = vocab_build(ds, min_count=5)
+        # NB: Dataset.to_pandas() drops columns on 0-row datasets (Ray
+        # quirk) — the schema is the API-level guarantee
+        assert out.schema().names == ["term", "vocab_id", "cf", "df"]
+        assert out.count() == 0
+
+    def test_orphans_empty_fact(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from gliner_ray.queries.relational import _orphan_counts, _read
+
+        pq.write_table(
+            pa.table({"c_custkey": pa.array([1, 2], pa.int64())}),
+            str(tmp_path / "customer.parquet"),
+        )
+        pq.write_table(
+            pa.table({"o_custkey": pa.array([], pa.int64())}),
+            str(tmp_path / "orders.parquet"),
+        )
+        assert _orphan_counts(
+            _read(str(tmp_path), "orders", ["o_custkey"]),
+            "o_custkey",
+            _read(str(tmp_path), "customer", ["c_custkey"]),
+            "c_custkey",
+        ) == (0, 0)
