@@ -143,6 +143,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "q_user_retention": rel.q_user_retention,
         "doc_chunk_windows": co.doc_chunk_windows,
         "doc_editdist_pairs": co.doc_editdist_pairs,
+        "doc_vocab": co.doc_vocab,
+        "q_event_transitions": rel.q_event_transitions,
+        "q_fk_orphans": rel.q_fk_orphans,
+        "doc_incremental_dedup": co.doc_incremental_dedup,
     }
     qtimes: dict[str, float] = {}
     if os.environ.get("GRAFT_BENCH_SKIP_QUERIES"):
