@@ -4230,11 +4230,17 @@ def q_fk_orphans(sf_dir: str, dim_broadcast_limit: int = DIM_BROADCAST_LIMIT):
     trust a snapshot. One row per relationship: total fact rows and
     rows whose key has no match in the referenced dimension.
 
-    Each relationship streams the fact side once (count partials only;
-    no payload columns leave the scan) against a count-guarded
-    broadcast of the dimension's key column — see
-    :func:`_orphan_counts` for the past-guard co-shuffle fallback.
+    FUSED fact scans: every relationship sharing a fact table audits
+    in ONE streaming pass over that table (lineitem's three FKs = one
+    scan reading three key columns; the naive per-rel loop scanned it
+    three times), and each dimension's key set loads once no matter
+    how many relationships reference it (customer backs two). Count
+    partials only — no payload columns leave the scans. A dimension
+    past ``dim_broadcast_limit`` drops just ITS relationships to the
+    per-rel co-shuffle fallback (:func:`_orphan_counts`).
     """
+    import ray
+
     rels = [
         ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
         ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
@@ -4242,23 +4248,79 @@ def q_fk_orphans(sf_dir: str, dim_broadcast_limit: int = DIM_BROADCAST_LIMIT):
         ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
         ("events->customer", "events", "user_id", "customer", "c_custkey"),
     ]
-    names, fact_rows, orphans = [], [], []
-    for rel, fact, fkey, dim, dkey in rels:
-        fr, orph = _orphan_counts(
+
+    # one guarded key-set broadcast per DISTINCT dimension; the guard
+    # count comes from the parquet FOOTER (no Ray job) and the key
+    # column — dimension-sized by the guard — loads driver-side in one
+    # pyarrow read, same footer-stats idiom as the quantile engines
+    import pyarrow.dataset as pads
+
+    key_refs: dict[str, object] = {}
+    for dim, dkey in {(r[3], r[4]) for r in rels}:
+        dim_pads = pads.dataset(f"{sf_dir}/{dim}.parquet", format="parquet")
+        if dim_pads.count_rows() > dim_broadcast_limit:
+            continue  # its rels take the per-rel fallback below
+        keys = dim_pads.to_table(columns=[dkey])[dkey].to_numpy(
+            zero_copy_only=False
+        )
+        key_refs[dim] = ray.put(np.unique(keys.astype(np.int64)))
+
+    results: dict[str, tuple[int, int]] = {}
+    fused = [r for r in rels if r[3] in key_refs]
+    for fact in {r[1] for r in fused}:
+        fact_rels = [(r[0], r[2], r[3]) for r in fused if r[1] == fact]
+        fkeys = sorted({fk for _, fk, _ in fact_rels})
+        refs = {rel: key_refs[dim] for rel, _, dim in fact_rels}
+        audits = [(rel, fk) for rel, fk, _ in fact_rels]
+
+        def audit(t: pa.Table, audits=audits, refs=refs) -> pa.Table:
+            out_rel, out_orph = [], []
+            for rel, fk in audits:
+                k = t[fk].to_numpy(zero_copy_only=False).astype(np.int64)
+                out_rel.append(rel)
+                out_orph.append(int((~np.isin(k, ray.get(refs[rel]))).sum()))
+            return pa.table(
+                {
+                    "rel": pa.array(out_rel, pa.string()),
+                    "fact_rows": pa.array(
+                        np.full(len(audits), t.num_rows, np.int64), pa.int64()
+                    ),
+                    "orphans": pa.array(out_orph, pa.int64()),
+                }
+            )
+
+        # partials are blocks × ≤len(audits) tiny rows — a driver sum
+        # beats paying a shuffle job per fact table
+        partials = (
+            _read(sf_dir, fact, fkeys)
+            .map_batches(audit, batch_format="pyarrow")
+            .take_all()
+        )
+        for rel, _, _ in fact_rels:
+            results[rel] = (
+                sum(p["fact_rows"] for p in partials if p["rel"] == rel),
+                sum(p["orphans"] for p in partials if p["rel"] == rel),
+            )
+
+    for rel, fact, fkey, dim, dkey in rels:  # past-guard dims
+        if rel in results:
+            continue
+        results[rel] = _orphan_counts(
             _read(sf_dir, fact, [fkey]),
             fkey,
             _read(sf_dir, dim, [dkey]),
             dkey,
             dim_broadcast_limit=dim_broadcast_limit,
         )
-        names.append(rel)
-        fact_rows.append(fr)
-        orphans.append(orph)
+
+    names = [r[0] for r in rels]
     return pa.table(
         {
             "rel": pa.array(names, pa.string()),
-            "fact_rows": pa.array(fact_rows, pa.int64()),
-            "orphans": pa.array(orphans, pa.int64()),
+            "fact_rows": pa.array(
+                [results[n][0] for n in names], pa.int64()
+            ),
+            "orphans": pa.array([results[n][1] for n in names], pa.int64()),
         }
     )
 
