@@ -435,3 +435,87 @@ class TestNewOpEmptyEdges:
             _read(str(tmp_path), "customer", ["c_custkey"]),
             "c_custkey",
         ) == (0, 0)
+
+
+class TestNewOpRandomizedParity:
+    """Randomized-corpus parity for the late round-4 ops: heavy dup /
+    skewed-term corpora vs sequential reference semantics."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_vocab_build_random_corpus(self, ray_session, seed):
+        import ray.data as rd
+
+        from gliner_ray.functions.text import _TERM_RE, vocab_build
+
+        rng = np.random.default_rng(seed)
+        words = ["alpha", "beta", "gamma", "delta", "zz", "qq", "xray"]
+        docs = [
+            " ".join(rng.choice(words, size=rng.integers(1, 30)))
+            for _ in range(rng.integers(5, 40))
+        ]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs, pa.string()),
+                }
+            )
+        )
+        got = (
+            vocab_build(ds, min_count=3)
+            .to_pandas()
+            .sort_values("vocab_id", ignore_index=True)
+        )
+        # sequential reference
+        from collections import Counter
+
+        cf, df = Counter(), Counter()
+        for d in docs:
+            toks = [w.lower() for w in _TERM_RE.findall(d)]
+            cf.update(toks)
+            df.update(set(toks))
+        ref = sorted(
+            ((t, cf[t], df[t]) for t in cf if cf[t] >= 3),
+            key=lambda x: (-x[1], x[0]),
+        )
+        assert [
+            (r.term, r.cf, r.df, r.vocab_id) for r in got.itertuples()
+        ] == [(t, c, n, i + 1) for i, (t, c, n) in enumerate(ref)]
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_incremental_dedup_random(self, ray_session, seed):
+        import ray.data as rd
+
+        from gliner_ray.functions.dedup import incremental_dedup
+
+        rng = np.random.default_rng(100 + seed)
+        pool = [f"text-{i}" for i in range(12)]
+        snap_texts = list(rng.choice(pool, size=8))
+        new_texts = list(rng.choice(pool, size=20))
+        snap = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(snap_texts)), pa.int64()),
+                    "text": pa.array(snap_texts, pa.string()),
+                }
+            )
+        )
+        new = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        range(100, 100 + len(new_texts)), pa.int64()
+                    ),
+                    "text": pa.array(new_texts, pa.string()),
+                }
+            )
+        )
+        got = sorted(
+            incremental_dedup(new, snap).to_pandas()["doc_id"].tolist()
+        )
+        seen = set(snap_texts)
+        ref = {}
+        for i, t in enumerate(new_texts):
+            if t not in seen and t not in ref:
+                ref[t] = 100 + i
+        assert got == sorted(ref.values())
