@@ -195,6 +195,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "q_event_transitions": rel.q_event_transitions,
         "q_fk_orphans": rel.q_fk_orphans,
         "doc_incremental_dedup": co.doc_incremental_dedup,
+        "q_user_value_ema": rel.q_user_value_ema,
         # multimodal plumbing
         "media_features": co.media_features,
         "media_near_dups": co.media_near_dups,
@@ -324,6 +325,7 @@ def oracle_sql() -> dict[str, str]:
         "q_event_transitions": rel.EVENT_TRANSITIONS_SQL,
         "q_fk_orphans": rel.FK_ORPHANS_SQL,
         "doc_incremental_dedup": co.INCREMENTAL_DEDUP_SQL,
+        "q_user_value_ema": rel.USER_VALUE_EMA_SQL,
         "emb_ann_topk": co.ANN_TOPK_SQL,
         "emb_ivf_topk_full": co.ANN_TOPK_SQL,
         "emb_exact_pairs": co.EXACT_PAIRS_SQL,

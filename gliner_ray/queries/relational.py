@@ -4351,3 +4351,59 @@ SELECT 'events->customer',
        (SELECT CAST(COUNT(*) AS BIGINT) FROM events
          WHERE user_id NOT IN (SELECT c_custkey FROM customer))
 """
+
+
+# ------------------------------------------------- exponential decay
+
+
+def q_user_value_ema(sf_dir: str, alpha: float = 0.1):
+    """Final exponentially-weighted moving average of ``value`` per
+    user over the (ts, event_id) total order — the recurrence-shaped
+    member of the windowed-scan family (EMA_n = α·x_n + (1−α)·EMA_{n−1},
+    EMA_1 = x_1), the standard decayed-engagement feature.
+
+    ONE shuffle (group by user); each group evaluates the CLOSED FORM
+    vectorized instead of looping the recurrence:
+    EMA_N = (1−α)^{N−1}·x_1 + α·Σ_{i≥2} (1−α)^{N−i}·x_i.
+    Numerics: every weight is ≤ 1 and only ever UNDERFLOWS (old terms'
+    true contribution is below 1e-300 anyway) — never the exploding
+    w^{−i} rescaling trick. The oracle computes the identical closed
+    form with SQL POWER; both sides round to 5 dp to absorb
+    summation-order float drift.
+    """
+
+    def ema(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        x = g["value"].to_numpy(np.float64)
+        n = len(x)
+        w = 1.0 - alpha
+        p = w ** np.arange(n - 1, -1, -1)  # p[i] = w^(N-1-i)
+        coef = np.full(n, alpha)
+        coef[0] = 1.0
+        return pd.DataFrame(
+            {
+                "user_id": [np.int64(g["user_id"].iloc[0])],
+                "ema_value": [round(float(np.sum(p * coef * x)), 5)],
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+        .groupby("user_id")
+        .map_groups(ema, batch_format="pandas")
+    )
+
+
+USER_VALUE_EMA_SQL = """
+SELECT user_id,
+       ROUND(SUM(CASE WHEN rn = 1 THEN POWER(0.9, cnt - rn) * value
+                      ELSE 0.1 * POWER(0.9, cnt - rn) * value END), 5)
+           AS ema_value
+FROM (
+    SELECT user_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS cnt
+    FROM events
+)
+GROUP BY user_id
+"""
