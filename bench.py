@@ -147,6 +147,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "q_event_transitions": rel.q_event_transitions,
         "q_fk_orphans": rel.q_fk_orphans,
         "doc_incremental_dedup": co.doc_incremental_dedup,
+        "q_user_value_ema": rel.q_user_value_ema,
     }
     qtimes: dict[str, float] = {}
     if os.environ.get("GRAFT_BENCH_SKIP_QUERIES"):
