@@ -597,24 +597,53 @@ FROM events GROUP BY 1, 2
 
 
 def q_user_sessions(sf_dir: str, gap_minutes: int = 30):
-    """Session windowing: partition by user, sort by ts inside the
-    group, count gap-delimited sessions — ``groupby.map_groups`` with
-    pandas, the engine's streaming-window idiom (ray_guide
-    'Streaming-shaped workloads'). Ordering assumption: rows within a
-    user group are sorted in the group function, never globally.
-    """
+    """Session windowing: count gap-delimited sessions per user.
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values()
-        gaps = ts.diff() > pd.Timedelta(minutes=gap_minutes)
+    Users hash-partition on ``user_id % P`` (the
+    ``q_user_cumulative_spend`` idiom — a raw user-cardinality
+    ``groupby(user_id).map_groups`` degenerates Ray's aggregate at
+    millions of distinct users); each part sorts only its own rows by
+    (user_id, ts) and counts session starts with one vectorized pass:
+    a row starts a session iff it is its user's first row OR its gap
+    to the previous row exceeds the threshold. No global sort, one
+    shuffle on the bounded part key.
+    """
+    P = 16
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("part", pa.array(u % P, pa.int64()))
+
+    gap_ns = np.int64(gap_minutes) * 60 * 1_000_000_000
+
+    def sessions_part(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values(["user_id", "ts"], ignore_index=True)
+        uid = s["user_id"].to_numpy().astype(np.int64)
+        ts = s["ts"].to_numpy("datetime64[ns]").view(np.int64)
+        n = len(uid)
+        if n == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype=np.int64),
+                 "n_sessions": pd.Series([], dtype=np.int64)}
+            )
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = uid[1:] != uid[:-1]
+        starts = first.copy()
+        starts[1:] |= (ts[1:] - ts[:-1]) > gap_ns
+        bounds = np.flatnonzero(first)
         return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(gaps.sum()) + 1]}
+            {
+                "user_id": uid[bounds],
+                "n_sessions": np.add.reduceat(starts.astype(np.int64), bounds),
+            }
         )
 
     return (
         _read(sf_dir, "events", ["user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+        .map_batches(add_part, batch_format="pyarrow", batch_size=131072)
+        .groupby("part")
+        .map_groups(sessions_part, batch_format="pandas")
     )
 
 
@@ -4362,42 +4391,70 @@ def q_user_value_ema(sf_dir: str, alpha: float = 0.1):
     member of the windowed-scan family (EMA_n = α·x_n + (1−α)·EMA_{n−1},
     EMA_1 = x_1), the standard decayed-engagement feature.
 
-    ONE shuffle (group by user); each group evaluates the CLOSED FORM
-    vectorized instead of looping the recurrence:
+    Users hash-partition on ``user_id % P`` (a user's events land in
+    exactly one part — the ``q_user_cumulative_spend`` idiom, NOT a
+    raw user-cardinality groupby which degenerates at millions of
+    distinct users); each part sorts only its own rows and evaluates
+    the CLOSED FORM per user with segment reductions (no per-group
+    Python calls):
     EMA_N = (1−α)^{N−1}·x_1 + α·Σ_{i≥2} (1−α)^{N−i}·x_i.
     Numerics: every weight is ≤ 1 and only ever UNDERFLOWS (old terms'
     true contribution is below 1e-300 anyway) — never the exploding
     w^{−i} rescaling trick. The oracle computes the identical closed
-    form with SQL POWER; both sides round to 5 dp to absorb
-    summation-order float drift.
+    form with SQL POWER; both sides round to 5 dp with the SAME
+    half-away-from-zero rule (floor(x·1e5 + 0.5)/1e5 — values are
+    non-negative) so the hash compare never straddles a rounding
+    boundary. NOTE: the SQL twin hardcodes α = 0.1; calling this with
+    a non-default ``alpha`` diverges from ``USER_VALUE_EMA_SQL`` by
+    design (the oracle is only the α = 0.1 instance).
     """
+    P = 16
 
-    def ema(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        x = g["value"].to_numpy(np.float64)
-        n = len(x)
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("part", pa.array(u % P, pa.int64()))
+
+    def ema_part(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+        uid = s["user_id"].to_numpy().astype(np.int64)
+        x = s["value"].to_numpy(np.float64)
+        n = len(uid)
+        if n == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype=np.int64),
+                 "ema_value": pd.Series([], dtype=np.float64)}
+            )
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = uid[1:] != uid[:-1]
+        bounds = np.flatnonzero(first)
+        seg_len = np.diff(np.append(bounds, n))
+        # 0-based rank within user and user group size, per row.
+        rn0 = np.arange(n) - np.repeat(bounds, seg_len)
+        cnt = np.repeat(seg_len, seg_len)
         w = 1.0 - alpha
-        p = w ** np.arange(n - 1, -1, -1)  # p[i] = w^(N-1-i)
-        coef = np.full(n, alpha)
-        coef[0] = 1.0
+        weight = np.where(first, 1.0, alpha) * w ** (cnt - 1 - rn0)
+        ema = np.add.reduceat(weight * x, bounds)
         return pd.DataFrame(
             {
-                "user_id": [np.int64(g["user_id"].iloc[0])],
-                "ema_value": [round(float(np.sum(p * coef * x)), 5)],
+                "user_id": uid[bounds],
+                "ema_value": np.floor(ema * 1e5 + 0.5) / 1e5,
             }
         )
 
     return (
         _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
-        .groupby("user_id")
-        .map_groups(ema, batch_format="pandas")
+        .map_batches(add_part, batch_format="pyarrow", batch_size=131072)
+        .groupby("part")
+        .map_groups(ema_part, batch_format="pandas")
     )
 
 
 USER_VALUE_EMA_SQL = """
 SELECT user_id,
-       ROUND(SUM(CASE WHEN rn = 1 THEN POWER(0.9, cnt - rn) * value
-                      ELSE 0.1 * POWER(0.9, cnt - rn) * value END), 5)
+       FLOOR(SUM(CASE WHEN rn = 1 THEN POWER(0.9, cnt - rn) * value
+                      ELSE 0.1 * POWER(0.9, cnt - rn) * value END)
+             * 100000 + 0.5) / 100000
            AS ema_value
 FROM (
     SELECT user_id, value,
