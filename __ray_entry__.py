@@ -220,6 +220,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_spans": co.doc_token_spans,
         "kg_mentions": co.kg_mentions,
         "kg_mentions_numpy": co.kg_mentions_numpy,
+        "kg_mentions_safetensors": co.kg_mentions_safetensors,
         "kg_mentions_gen": co.kg_mentions_gen,
         "kg_triples": co.kg_triples,
         "kg_cooccurrence": co.kg_cooccurrence,

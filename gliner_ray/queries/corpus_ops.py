@@ -824,6 +824,63 @@ def kg_mentions_numpy(sf_dir: str):
     )
 
 
+def _ref_safetensors_ckpt(tag: str, cfg, hidden_size: int = 64, seed: int = 1234) -> str:
+    """Synthesize a REFERENCE-LAYOUT safetensors checkpoint dir once
+    per tag: deterministic ``NumpySpanModel`` weights exported under
+    the reference state-dict names (``export_reference_state``) into
+    ``model.safetensors`` — the ``GLiNER.save_pretrained`` layout
+    (``gliner/model.py:741-744``) the pure-numpy parser targets.
+    Written atomically (tmp + rename) so concurrent query calls can
+    share the dir."""
+    ckpt = f"/tmp/gliner_ray_scratch/{tag}/ckpt_h{hidden_size}_s{seed}"
+    st = os.path.join(ckpt, "model.safetensors")
+    if not os.path.exists(st):
+        from ..kernels.numpy_model import NumpySpanModel
+        from ..kernels.safetensors_io import export_reference_state, write_safetensors
+
+        os.makedirs(ckpt, exist_ok=True)
+        src = NumpySpanModel(
+            list(cfg.labels), hidden_size=hidden_size,
+            max_width=cfg.max_width, seed=seed, has_rnn=True,
+        )
+        tmp = st + ".tmp"
+        write_safetensors(tmp, export_reference_state(src), {"format": "pt"})
+        os.replace(tmp, st)
+    return ckpt
+
+
+def kg_mentions_safetensors(sf_dir: str):
+    """Mention extraction driven END-TO-END by a reference-layout
+    ``model.safetensors`` checkpoint (the ``GLiNER.from_pretrained``
+    loop closed, ``gliner/model.py:768-919``): every scorer actor in
+    the pool loads the checkpoint dir in ``__init__`` through the
+    pure-numpy safetensors parser — ``read_safetensors`` →
+    ``infer_architecture`` (hidden size / span mode / RNN from the
+    weight signature) → ``load_reference_state`` (name mapping, LSTM
+    gate folding, Linear transposes) — then runs the un-fused
+    three-stage extraction (round-4 verdict item #3). Rows-only;
+    pytest pins exact mention parity vs the npz checkpoint path of
+    the SAME weights."""
+    from ..config import DEFAULT_CONFIG
+    from ..corpus import write_corpus
+    from ..pipelines.kg import extract_mentions, read_files
+    from ..stages.scorer import NumpyGlinerScorer
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    corpus_dir = f"/tmp/gliner_ray_scratch/{tag}/files"
+    write_corpus(corpus_dir, n_files=120, n_repos=15, seed=42)
+    cfg = DEFAULT_CONFIG
+    ckpt = _ref_safetensors_ckpt(tag, cfg)
+    mentions = extract_mentions(
+        read_files(corpus_dir, cfg), cfg,
+        scorer_cls=NumpyGlinerScorer, fused=False,
+        scorer_kwargs={"model_dir": ckpt},
+    )
+    return mentions.select_columns(
+        ["doc_sha256", "start", "end", "tok_start", "tok_end", "text", "label", "score"]
+    )
+
+
 def kg_mentions_gen(sf_dir: str):
     """Decoder-mode mention extraction over a fixed 120-file demo
     corpus (input_hint shape; the flagship ``kg_mentions``/``kg_triples``

@@ -302,3 +302,64 @@ class TestScorerSafetensors:
             dst.model.forward(toks, prompts_embedding=dst.label_embeds)[0],
             rtol=1e-5, atol=1e-6,
         )
+
+
+class TestKgMentionsSafetensorsE2E:
+    """Round-4 verdict item #3: a reference-layout safetensors
+    checkpoint drives the full distributed extraction — and produces
+    EXACTLY the mentions the npz checkpoint path of the same weights
+    produces (the two `from_pretrained` layouts are interchangeable)."""
+
+    def test_mentions_parity_npz_vs_safetensors(self, tmp_path, ray_session):
+        from gliner_ray.config import DEFAULT_CONFIG
+        from gliner_ray.corpus import write_corpus
+        from gliner_ray.pipelines.kg import extract_mentions, read_files
+        from gliner_ray.stages.scorer import NumpyGlinerScorer
+
+        cfg = DEFAULT_CONFIG
+        src = NumpySpanModel(
+            list(cfg.labels), hidden_size=64, max_width=cfg.max_width,
+            seed=1234, has_rnn=True,
+        )
+        npz_dir = tmp_path / "npz"
+        src.save(str(npz_dir))
+        st_dir = tmp_path / "st"
+        st_dir.mkdir()
+        write_safetensors(
+            str(st_dir / "model.safetensors"),
+            export_reference_state(src),
+            {"format": "pt"},
+        )
+
+        corpus = tmp_path / "files"
+        write_corpus(str(corpus), n_files=40, n_repos=8, seed=3)
+
+        def run(model_dir):
+            ds = extract_mentions(
+                read_files(str(corpus), cfg), cfg,
+                scorer_cls=NumpyGlinerScorer, fused=False,
+                scorer_kwargs={"model_dir": str(model_dir)},
+            ).select_columns(
+                ["doc_sha256", "start", "end", "tok_start", "tok_end",
+                 "text", "label", "score"]
+            )
+            df = ds.to_pandas()
+            return df.sort_values(list(df.columns), ignore_index=True)
+
+        a, b = run(npz_dir), run(st_dir)
+        assert len(a) == len(b) and len(a) > 0
+        import pandas as pd
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_driver_entry_runs(self, ray_session):
+        """kg_mentions_safetensors synthesizes its checkpoint once and
+        returns a streaming mentions Dataset with the standard schema."""
+        from gliner_ray.queries import corpus_ops as co
+
+        ds = co.kg_mentions_safetensors("/root/testdata/sf0.001")
+        df = ds.to_pandas()
+        assert len(df) > 0
+        assert list(df.columns) == [
+            "doc_sha256", "start", "end", "tok_start", "tok_end",
+            "text", "label", "score",
+        ]
