@@ -290,6 +290,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_text_stats": co.TEXT_STATS_SQL,
         "doc_sha256": co.SHA256_SQL,
         "doc_lang_id": co.LANG_ID_SQL,
+        "mt_classification": co.MT_CLASSIFICATION_SQL,
+        "doc_lm_perplexity": co.LM_PERPLEXITY_SQL,
         "doc_quality": co.QUALITY_SQL,
         "doc_pii_redact": co.PII_REDACT_SQL,
         "doc_repetition": co.REPETITION_SQL,

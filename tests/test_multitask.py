@@ -445,7 +445,13 @@ class TestMtSequentialOracles:
             .sort_values("doc_id")
             .reset_index(drop=True)
         )
-        assert list(got.columns) == ["doc_id", "predicted_class", "confidence"]
+        # the query layer converts confidence to integer 1e-5 units
+        # (half-away-from-zero) for the driver's no-float hash rule
+        import numpy as np
+        seq["conf_u5"] = np.floor(
+            seq.pop("confidence").to_numpy() * 1e5 + 0.5
+        ).astype("int64")
+        assert list(got.columns) == ["doc_id", "predicted_class", "conf_u5"]
         pd.testing.assert_frame_equal(got, seq)
 
     def test_mt_summarize_matches_sequential(self, ray_session):
