@@ -292,6 +292,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": co.LANG_ID_SQL,
         "mt_classification": co.MT_CLASSIFICATION_SQL,
         "doc_lm_perplexity": co.LM_PERPLEXITY_SQL,
+        "emb_kmeans": co.EMB_KMEANS_SQL,
         "doc_quality": co.QUALITY_SQL,
         "doc_pii_redact": co.PII_REDACT_SQL,
         "doc_repetition": co.REPETITION_SQL,

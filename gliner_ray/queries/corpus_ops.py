@@ -637,11 +637,28 @@ def emb_kmeans(sf_dir: str):
     pass whose per-block partials are metadata-sized (K x D sums +
     counts), reduced driver-side in deterministic block order; then a
     streaming nearest-centroid assignment. Returns per-cluster member
-    counts (rows-only; pytest checks exact parity vs the sequential
-    oracle and planted-cluster recovery)."""
+    counts.
+
+    Init is the 8 smallest vec_ids' embeddings (cluster k = rank by
+    vec_id) — a pure function of the DATA rather than of Ray's block
+    layout — which makes the whole run SQL-expressible: the EXACT
+    DuckDB twin unrolls the same 5 Lloyd iterations in cosine space
+    (round-4 verdict item #4, moved from rows-only to
+    hash-comparable). Assignment flips would need a vector within
+    ~1e-13 of equidistant (summation-order drift between numpy and
+    SQL); real margins are ~1e-3. Planted-cluster recovery and the
+    sequential-oracle parity stay pytest-pinned."""
+    import pyarrow.parquet as pq
     from ray.data.aggregate import Count
 
     from ..functions import clustering as fc
+
+    init_t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).sort_by("vec_id").slice(0, 8)
+    init = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in init_t["embedding"].to_pylist()]
+    )
 
     ds = _embs(sf_dir, ["vec_id", "embedding"])
     # pin the table for the 5 Lloyd passes + assignment when it fits
@@ -650,12 +667,87 @@ def emb_kmeans(sf_dir: str):
     # the iterations stream from parquet as before
     if ds.count() <= 5_000_000:
         ds = ds.materialize()
-    centroids = fc.kmeans(ds, n_clusters=8, n_iter=5, seed=0)
+    centroids = fc.kmeans(ds, n_clusters=8, n_iter=5, init_centroids=init)
     return (
         fc.assign_clusters(ds, centroids)
         .groupby("cluster")
         .aggregate(Count(alias_name="n_members"))
     )
+
+
+def _emb_kmeans_sql(n_iter: int = 5, k: int = 8, dim: int = 64) -> str:
+    """Exact SQL twin of :func:`emb_kmeans`: the embeddings normalize
+    once (long form), init centroids are the ``k`` smallest vec_ids'
+    normalized vectors, and each Lloyd iteration is one CTE pair —
+    argmax assignment (dot DESC, cluster ASC = numpy first-max
+    tie-break) then per-dimension mean + re-normalization, with empty
+    clusters carrying the previous centroid forward exactly like the
+    engine's ``counts > 0`` mask."""
+    head = f"""
+WITH ev AS MATERIALIZED (
+  SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(0, {dim})) AS t(i)
+),
+nrm AS MATERIALIZED (SELECT vec_id, sqrt(sum(v * v)) AS n FROM ev GROUP BY vec_id),
+xv AS MATERIALIZED (
+  SELECT ev.vec_id, i, v / (CASE WHEN n = 0 THEN 1 ELSE n END) AS v
+  FROM ev JOIN nrm USING (vec_id)
+),
+init_ids AS MATERIALIZED (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS k
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+),
+c0 AS MATERIALIZED (
+  SELECT init_ids.k, xv.i, xv.v FROM xv JOIN init_ids USING (vec_id)
+)"""
+    iters = []
+    for it in range(1, n_iter + 1):
+        prev = f"c{it - 1}"
+        iters.append(f""",
+d{it} AS MATERIALIZED (
+  SELECT xv.vec_id, c.k, sum(xv.v * c.v) AS dot
+  FROM xv JOIN {prev} c USING (i) GROUP BY xv.vec_id, c.k
+),
+a{it} AS MATERIALIZED (
+  SELECT vec_id, k FROM (
+    SELECT vec_id, k,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, k) AS rn
+    FROM d{it}
+  ) WHERE rn = 1
+),
+m{it} AS MATERIALIZED (
+  SELECT a.k, xv.i, avg(xv.v) AS v
+  FROM a{it} a JOIN xv USING (vec_id) GROUP BY a.k, xv.i
+),
+u{it} AS MATERIALIZED (
+  SELECT k, i, v FROM m{it}
+  UNION ALL
+  SELECT k, i, v FROM {prev} WHERE k NOT IN (SELECT k FROM m{it})
+),
+un{it} AS MATERIALIZED (SELECT k, sqrt(sum(v * v)) AS n FROM u{it} GROUP BY k),
+c{it} AS MATERIALIZED (
+  SELECT u.k, u.i, u.v / (CASE WHEN n = 0 THEN 1 ELSE n END) AS v
+  FROM u{it} u JOIN un{it} USING (k)
+)""")
+    tail = f""",
+df AS MATERIALIZED (
+  SELECT xv.vec_id, c.k, sum(xv.v * c.v) AS dot
+  FROM xv JOIN c{n_iter} c USING (i) GROUP BY xv.vec_id, c.k
+),
+af AS MATERIALIZED (
+  SELECT vec_id, k FROM (
+    SELECT vec_id, k,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, k) AS rn
+    FROM df
+  ) WHERE rn = 1
+)
+SELECT k AS cluster, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM af GROUP BY k
+"""
+    return head + "".join(iters) + tail
+
+
+EMB_KMEANS_SQL = _emb_kmeans_sql()
 
 
 # ------------------------------------------------------------- KG ops
