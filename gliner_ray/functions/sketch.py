@@ -162,7 +162,9 @@ def approx_distinct(
             merged[r["group"]] = sk
     items = sorted(merged.items())
     out_groups = [k for k, _ in items]
-    ests = [int(round(v.estimate())) for _, v in items]
+    # half-up (estimates are positive) — the same floor(x + 0.5) rule
+    # the SQL oracle uses, not Python banker's round
+    ests = [int(np.floor(v.estimate() + 0.5)) for _, v in items]
     cols: dict[str, pa.Array] = {}
     if group_col is not None:
         cols[group_col] = pa.array(out_groups, pa.string())

@@ -1335,16 +1335,89 @@ def q_approx_users_hll(sf_dir: str):
     HyperLogLog aggregate (``functions/sketch.py``) — the sketch path
     for cardinalities where the exact two-level groupby
     (:func:`q_daily_active_users`) would itself be a heavy shuffle.
-    Deterministic (fixed hash), so rows are stable. This is the one
-    BY-DESIGN no-oracle row in the driver report: an exact value-hash
-    can't grade an approximate sketch. Its tolerance oracle is
-    ``tests/test_queries.py::test_approx_users_hll_tolerance`` —
-    every per-group estimate within 3σ = 3·1.04/√2^p of DuckDB's
-    exact COUNT(DISTINCT)."""
+
+    The sketch is DETERMINISTIC (splitmix64 of the int64 key, max
+    per register, closed-form estimator), so it has an EXACT DuckDB
+    oracle despite being approximate (round-4 verdict item #4):
+    :data:`APPROX_USERS_HLL_SQL` recomputes the identical hash with
+    wrapping-u64 HUGEINT arithmetic, rebuilds the 2^12 registers with
+    GROUP BY + MAX, and applies the same estimator (raw HLL with the
+    2.5m linear-counting fallback, half-up rounding on both sides).
+    The independent tolerance pin vs exact COUNT(DISTINCT) stays in
+    ``tests/test_queries.py::test_approx_users_hll_tolerance``."""
     from ..functions.sketch import approx_distinct
 
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
     return approx_distinct(ds, "user_id", group_col="event_type", p=12)
+
+
+def _approx_users_hll_sql(p: int = 12) -> str:
+    """Exact SQL twin of the HLL sketch. splitmix64's wrapping-u64
+    multiply is emulated in HUGEINT: for a constant C = CH·2^32 + CL
+    and value y = yh·2^32 + yl,
+    ``y·C mod 2^64 = ((yh·CL + yl·CH) mod 2^32)·2^32 + yl·CL (mod
+    2^64)`` — every intermediate fits in 128 bits."""
+    M64 = 1 << 64
+    m = 1 << p
+    low_mask = (1 << (64 - p)) - 1
+    max_rank = 64 - p + 1
+
+    def mulmod(y: str, c: int) -> str:
+        ch, cl = c >> 32, c & 0xFFFFFFFF
+        return (
+            f"((((({y}) // 4294967296) * {cl} + (({y}) % 4294967296) * {ch})"
+            f" % 4294967296) * 4294967296 + (({y}) % 4294967296) * {cl}) % {M64}"
+        )
+
+    def xorshift(z: str, s: int) -> str:
+        # z is a HUGEINT expression < 2^64; xor needs UBIGINT
+        return (
+            f"CAST(xor(CAST(({z}) AS UBIGINT), "
+            f"CAST(({z}) AS UBIGINT) >> {s}) AS HUGEINT)"
+        )
+
+    z0 = f"(CAST(user_id AS HUGEINT) + 11400714819323198485) % {M64}"
+    z1 = mulmod(xorshift("z0", 30), 0xBF58476D1CE4E5B9)
+    z2 = mulmod(xorshift("z1", 27), 0x94D049BB133111EB)
+    h = f"xor(CAST(z2 AS UBIGINT), CAST(z2 AS UBIGINT) >> 31)"
+    return f"""
+WITH s0 AS (SELECT event_type, {z0} AS z0 FROM events),
+s1 AS (SELECT event_type, {z1} AS z1 FROM s0),
+s2 AS (SELECT event_type, {z2} AS z2 FROM s1),
+hv AS (SELECT event_type, {h} AS h FROM s2),
+rk AS (
+  SELECT event_type,
+         h >> {64 - p} AS idx,
+         CASE WHEN (h & {low_mask}) = 0 THEN {max_rank}
+              ELSE {max_rank} - length(bin(h & {low_mask}))
+         END AS rank
+  FROM hv
+),
+regs AS (
+  SELECT event_type, idx, MAX(rank) AS r FROM rk GROUP BY event_type, idx
+),
+agg AS (
+  SELECT event_type,
+         COUNT(*) AS present,
+         SUM(1.0 / CAST(CAST(1 AS UBIGINT) << r AS DOUBLE)) AS s
+  FROM regs GROUP BY event_type
+),
+est AS (
+  SELECT event_type,
+         0.7213 / (1.0 + 1.079 / {m}.0) * {m}.0 * {m}.0
+             / (({m} - present) + s) AS raw,
+         {m} - present AS zeros
+  FROM agg
+)
+SELECT event_type,
+       CAST(floor(CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+                       THEN {m}.0 * ln({m}.0 / zeros)
+                       ELSE raw END + 0.5) AS BIGINT) AS approx_distinct
+FROM est
+"""
+
+
+APPROX_USERS_HLL_SQL = _approx_users_hll_sql()
 
 
 # ------------------------------------------------- exact quantiles

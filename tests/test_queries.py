@@ -148,11 +148,12 @@ def test_quantile_sketch_dkw_accuracy(con):
 
 
 def test_approx_users_hll_tolerance(con):
-    """The driver's exact-hash check can't grade an approximate
-    sketch (q_approx_users_hll is the one no_oracle row BY DESIGN);
-    this is its tolerance oracle: every per-group HLL estimate must
-    sit within 3σ = 3·1.04/√2^p of DuckDB's exact COUNT(DISTINCT).
-    Cited from the q_approx_users_hll docstring."""
+    """q_approx_users_hll now ALSO has an exact SQL twin (the sketch
+    is deterministic, so APPROX_USERS_HLL_SQL replays the identical
+    splitmix64 + register math); this test is the independent
+    STATISTICAL pin that the sketch's answer is a valid approximation
+    of the true cardinality: every per-group HLL estimate must sit
+    within 3σ = 3·1.04/√2^p of DuckDB's exact COUNT(DISTINCT)."""
     from gliner_ray.queries import relational as rel
 
     est = rel.q_approx_users_hll(SF).to_pandas()
