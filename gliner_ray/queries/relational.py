@@ -4240,6 +4240,17 @@ GROUP BY from_type, to_type
 # --------------------------------------- referential-integrity audit
 
 
+def _nonnull_int_keys(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Non-null int64 key values of a column (NULL keys are dropped
+    BEFORE the numpy cast — ``to_numpy`` would surface them as NaN and
+    ``astype(int64)`` would turn them into undefined integers, making
+    engine/oracle NULL semantics diverge — round-4 ADVICE item)."""
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if a.null_count:
+        a = a.drop_null()
+    return a.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
 def _orphan_counts(
     fact_ds, fact_key: str, dim_ds, dim_key: str,
     dim_broadcast_limit: int = DIM_BROADCAST_LIMIT,
@@ -4247,9 +4258,15 @@ def _orphan_counts(
 ) -> tuple[int, int]:
     """(fact_rows, orphans) for one foreign-key relationship.
 
-    Dimension keys under ``dim_broadcast_limit`` broadcast ONCE via
-    ``ray.put`` (sorted int64 array; ``np.isin`` per fact batch — the
-    fact side streams, emitting two int64 partials per batch). Past
+    NULL semantics match the SQL ``NOT IN`` oracle: ``fact_rows``
+    counts every row, a NULL fact key is never an orphan, NULL
+    dimension keys are ignored.
+
+    Dimension keys broadcast ONCE via ``ray.put`` when the dimension
+    stays under ``dim_broadcast_limit`` — decided in the SAME streaming
+    pass that collects the keys (running row count; no separate
+    ``count()`` execution before a second scan — round-4 ADVICE item).
+    The fact side streams, emitting two int64 partials per batch. Past
     the guard, both sides shuffle once on ``key % num_partitions`` and
     each part anti-counts locally — the same union-partition idiom as
     ``functions.joins.hash_join``, counts only (no payload movement).
@@ -4258,19 +4275,30 @@ def _orphan_counts(
     import ray.data  # noqa: F401
     from ray.data.aggregate import Sum
 
-    if dim_ds.count() <= dim_broadcast_limit:
-        keys: set = set()
-        for b in dim_ds.iter_batches(batch_format="pyarrow"):
-            keys.update(b[dim_key].to_pylist())
-        key_arr = np.sort(np.fromiter(keys, np.int64, len(keys)))
+    # one pass: collect keys while the running count stays under the
+    # guard; bail to the distributed path the moment it does not
+    key_chunks: list[np.ndarray] = []
+    seen = 0
+    small = True
+    for b in dim_ds.iter_batches(batch_format="pyarrow"):
+        seen += b.num_rows
+        if seen > dim_broadcast_limit:
+            small = False
+            break
+        key_chunks.append(_nonnull_int_keys(b[dim_key]))
+
+    if small:
+        key_arr = np.unique(
+            np.concatenate(key_chunks) if key_chunks else np.zeros(0, np.int64)
+        )
         key_ref = ray.put(key_arr)
 
         def audit(t: pa.Table) -> pa.Table:
-            k = t[fact_key].to_numpy(zero_copy_only=False).astype(np.int64)
+            k = _nonnull_int_keys(t[fact_key])
             hit = np.isin(k, ray.get(key_ref))
             return pa.table(
                 {
-                    "fact_rows": pa.array([len(k)], pa.int64()),
+                    "fact_rows": pa.array([t.num_rows], pa.int64()),
                     "orphans": pa.array([int((~hit).sum())], pa.int64()),
                 }
             )
@@ -4285,16 +4313,31 @@ def _orphan_counts(
             int(agg.get("orphans") or 0),
         )
 
-    # distributed fallback: one co-shuffle on key % P, local anti-count
+    # distributed fallback: one co-shuffle on key % P, local anti-count.
+    # NULL fact keys ship with valid=0 (still counted into fact_rows,
+    # never orphan-eligible); NULL dim keys are dropped — SQL NOT IN
+    # semantics in one pass, no extra null-count scan.
     def tag(side: int, col: str):
         def fn(t: pa.Table) -> pa.Table:
-            k = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            c = t[col].combine_chunks() if isinstance(t[col], pa.ChunkedArray) else t[col]
+            valid = np.ones(len(c), np.int8) if c.null_count == 0 else (
+                c.is_valid().to_numpy(zero_copy_only=False).astype(np.int8)
+            )
+            k = np.where(
+                valid.astype(bool),
+                c.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64),
+                np.int64(0),
+            )
+            if side == 1 and c.null_count:
+                keep = valid.astype(bool)
+                k, valid = k[keep], valid[keep]
             return pa.table(
                 {
                     "k": pa.array(k, pa.int64()),
                     "side": pa.array(
                         np.full(len(k), side, np.int8), pa.int8()
                     ),
+                    "valid": pa.array(valid, pa.int8()),
                     "part": pa.array(k % num_partitions, pa.int64()),
                 }
             )
@@ -4306,12 +4349,15 @@ def _orphan_counts(
     )
 
     def anti_count(g: pd.DataFrame) -> pd.DataFrame:
-        fact = g.loc[g["side"] == 0, "k"].to_numpy()
-        dim = np.unique(g.loc[g["side"] == 1, "k"].to_numpy())
+        is_fact = g["side"].to_numpy() == 0
+        fact_valid = g.loc[
+            is_fact & (g["valid"].to_numpy() == 1), "k"
+        ].to_numpy()
+        dim = np.unique(g.loc[~is_fact, "k"].to_numpy())
         return pd.DataFrame(
             {
-                "fact_rows": [np.int64(len(fact))],
-                "orphans": [np.int64((~np.isin(fact, dim)).sum())],
+                "fact_rows": [np.int64(is_fact.sum())],
+                "orphans": [np.int64((~np.isin(fact_valid, dim)).sum())],
             }
         )
 
@@ -4362,10 +4408,8 @@ def q_fk_orphans(sf_dir: str, dim_broadcast_limit: int = DIM_BROADCAST_LIMIT):
         dim_pads = pads.dataset(f"{sf_dir}/{dim}.parquet", format="parquet")
         if dim_pads.count_rows() > dim_broadcast_limit:
             continue  # its rels take the per-rel fallback below
-        keys = dim_pads.to_table(columns=[dkey])[dkey].to_numpy(
-            zero_copy_only=False
-        )
-        key_refs[dim] = ray.put(np.unique(keys.astype(np.int64)))
+        keys = _nonnull_int_keys(dim_pads.to_table(columns=[dkey])[dkey])
+        key_refs[dim] = ray.put(np.unique(keys))
 
     results: dict[str, tuple[int, int]] = {}
     fused = [r for r in rels if r[3] in key_refs]
@@ -4378,7 +4422,9 @@ def q_fk_orphans(sf_dir: str, dim_broadcast_limit: int = DIM_BROADCAST_LIMIT):
         def audit(t: pa.Table, audits=audits, refs=refs) -> pa.Table:
             out_rel, out_orph = [], []
             for rel, fk in audits:
-                k = t[fk].to_numpy(zero_copy_only=False).astype(np.int64)
+                # NULL fact keys count into fact_rows (t.num_rows) but
+                # are never orphans — SQL NOT IN semantics
+                k = _nonnull_int_keys(t[fk])
                 out_rel.append(rel)
                 out_orph.append(int((~np.isin(k, ray.get(refs[rel]))).sum()))
             return pa.table(

@@ -120,12 +120,18 @@ def repo_bucket(repo: str, n_buckets: int) -> int:
 
 def add_bucket_column(batch: pa.Table, n_buckets: int) -> pa.Table:
     """``bucket = sha1(repo) % n_buckets``. Hash once per DISTINCT repo
-    (batches hold ~100 files per repo) then dictionary-map — per-row
-    sha1 was a measurable stage cost at 1.6M files."""
+    (batches hold ~100 files per repo), then broadcast through the
+    dictionary CODES with one numpy gather — no per-row Python dict
+    lookup (round-4 verdict item #6; per-row sha1 was already a
+    measured stage cost at 1.6M files)."""
+    import numpy as np
     import pyarrow.compute as pc
 
-    repos = batch["repo"]
-    uniq = pc.unique(repos).to_pylist()
-    lut = {r: repo_bucket(r, n_buckets) for r in uniq}
-    buckets = [lut[r] for r in repos.to_pylist()]
+    enc = pc.dictionary_encode(batch["repo"].combine_chunks())
+    by_code = np.fromiter(
+        (repo_bucket(r, n_buckets) for r in enc.dictionary.to_pylist()),
+        dtype=np.int32,
+        count=len(enc.dictionary),
+    )
+    buckets = by_code[enc.indices.to_numpy(zero_copy_only=False)]
     return batch.append_column("bucket", pa.array(buckets, pa.int32()))

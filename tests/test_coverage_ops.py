@@ -308,6 +308,41 @@ class TestFkOrphans:
         )
         assert (fact_rows, orphans) == (13, 3)
 
+    @pytest.mark.parametrize("limit", [10_000, 0])
+    def test_null_keys_match_sql_not_in(self, ray_session, tmp_path, limit):
+        """NULL fact keys count into fact_rows but are never orphans;
+        NULL dim keys are ignored — exactly DuckDB's NOT IN semantics
+        (round-4 ADVICE: the old astype(int64) of a NULL was undefined).
+        Both the broadcast and the co-shuffle path must agree."""
+        import duckdb
+        import pyarrow.parquet as pq
+
+        from gliner_ray.queries.relational import _orphan_counts, _read
+
+        fact = pa.table(
+            {"o_custkey": pa.array([1, 2, None, 99, None, 3], pa.int64())}
+        )
+        dim = pa.table({"c_custkey": pa.array([1, 2, 3, None], pa.int64())})
+        pq.write_table(fact, str(tmp_path / "orders.parquet"))
+        pq.write_table(dim, str(tmp_path / "customer.parquet"))
+
+        got = _orphan_counts(
+            _read(str(tmp_path), "orders", ["o_custkey"]),
+            "o_custkey",
+            _read(str(tmp_path), "customer", ["c_custkey"]),
+            "c_custkey",
+            dim_broadcast_limit=limit,
+        )
+        c = duckdb.connect()
+        want = c.sql(
+            f"""SELECT (SELECT COUNT(*) FROM '{tmp_path}/orders.parquet'),
+                  (SELECT COUNT(*) FROM '{tmp_path}/orders.parquet'
+                    WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
+                      (SELECT c_custkey FROM '{tmp_path}/customer.parquet'
+                        WHERE c_custkey IS NOT NULL))"""
+        ).fetchone()
+        assert got == tuple(int(x) for x in want) == (6, 1)
+
 
 class TestVocabBuild:
     def test_ids_dense_and_ordered(self, ray_session):
