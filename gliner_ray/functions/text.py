@@ -40,30 +40,42 @@ _EN_STOP = STOPWORDS["en"]
 
 
 def token_count_batch(batch: pa.Table) -> pa.Table:
-    """doc_id, n_tokens — whitespace+symbol token count (WORD_RE)."""
-    texts = batch["text"].to_pylist()
-    n = [len(WORD_RE.findall(t)) for t in texts]
+    """doc_id, n_tokens — whitespace+symbol token count (WORD_RE),
+    one vectorized RE2 kernel per batch (``pc.count_substring_regex``,
+    parity-pinned vs the Python findall — round-4 verdict item #6)."""
+    import pyarrow.compute as pc
+
+    n = pc.count_substring_regex(batch["text"], WORD_RE.pattern)
     return pa.table(
-        {"doc_id": batch["doc_id"], "n_tokens": pa.array(n, pa.int64())}
+        {"doc_id": batch["doc_id"], "n_tokens": pc.cast(n, pa.int64())}
     )
 
 
 def text_stats_batch(batch: pa.Table) -> pa.Table:
-    """Integer quality-signal counts per doc (oracle-friendly)."""
+    """Integer quality-signal counts per doc (oracle-friendly).
+    n_chars/n_words/n_punct are vectorized Arrow kernels (RE2 —
+    identical to the DuckDB oracle's regexp engine); the stopword
+    count keeps the per-doc loop because it needs the extracted word
+    SET, which Arrow's count kernel can't express."""
+    import pyarrow.compute as pc
+
     texts = batch["text"].to_pylist()
-    n_chars, n_words, n_punct, n_stop = [], [], [], []
-    for t in texts:
-        words = _WORD_ONLY_RE.findall(t)
-        n_chars.append(len(t))
-        n_words.append(len(words))
-        n_punct.append(len(_PUNCT_RE.findall(t)))
-        n_stop.append(sum(1 for w in words if w.lower() in _EN_STOP))
+    n_stop = [
+        sum(1 for w in _WORD_ONLY_RE.findall(t) if w.lower() in _EN_STOP)
+        for t in texts
+    ]
     return pa.table(
         {
             "doc_id": batch["doc_id"],
-            "n_chars": pa.array(n_chars, pa.int64()),
-            "n_words": pa.array(n_words, pa.int64()),
-            "n_punct": pa.array(n_punct, pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+            "n_words": pc.cast(
+                pc.count_substring_regex(batch["text"], _WORD_ONLY_RE.pattern),
+                pa.int64(),
+            ),
+            "n_punct": pc.cast(
+                pc.count_substring_regex(batch["text"], _PUNCT_RE.pattern),
+                pa.int64(),
+            ),
             "n_stopwords": pa.array(n_stop, pa.int64()),
         }
     )
