@@ -148,6 +148,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "q_fk_orphans": rel.q_fk_orphans,
         "doc_incremental_dedup": co.doc_incremental_dedup,
         "q_user_value_ema": rel.q_user_value_ema,
+        # round-5 ops
+        "q_user_sessions": rel.q_user_sessions,
+        "q_approx_users_hll": rel.q_approx_users_hll,
+        "doc_lm_perplexity": co.doc_lm_perplexity,
+        "mt_classification": co.mt_classification,
+        "kg_mentions_safetensors": co.kg_mentions_safetensors,
     }
     qtimes: dict[str, float] = {}
     if os.environ.get("GRAFT_BENCH_SKIP_QUERIES"):
