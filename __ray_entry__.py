@@ -293,6 +293,7 @@ def oracle_sql() -> dict[str, str]:
         "mt_classification": co.MT_CLASSIFICATION_SQL,
         "doc_lm_perplexity": co.LM_PERPLEXITY_SQL,
         "emb_kmeans": co.EMB_KMEANS_SQL,
+        "emb_ivf_topk": co.IVF_TOPK_SQL,
         "q_approx_users_hll": rel.APPROX_USERS_HLL_SQL,
         "doc_quality": co.QUALITY_SQL,
         "doc_pii_redact": co.PII_REDACT_SQL,

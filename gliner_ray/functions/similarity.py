@@ -82,12 +82,22 @@ def brute_force_topk(
 
 
 def kmeans_lite(
-    sample: np.ndarray, n_clusters: int, n_iter: int = 10, seed: int = 0
+    sample: np.ndarray,
+    n_clusters: int,
+    n_iter: int = 10,
+    seed: int = 0,
+    init_centroids: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Deterministic seeded Lloyd iterations (cosine/normalized space)."""
-    rng = np.random.RandomState(seed)
+    """Deterministic seeded Lloyd iterations (cosine/normalized space).
+    ``init_centroids`` bypasses the seeded draw — used by the
+    data-deterministic IVF build so the whole index is a pure function
+    of the rows (SQL-oracle-able)."""
     x = _normalize(sample.astype(np.float64))
-    centroids = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    if init_centroids is not None:
+        centroids = _normalize(init_centroids.astype(np.float64))
+    else:
+        rng = np.random.RandomState(seed)
+        centroids = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
     for _ in range(n_iter):
         assign = np.argmax(x @ centroids.T, axis=1)
         for c in range(len(centroids)):
@@ -129,17 +139,41 @@ class IVFIndex:
         emb_col: str = "embedding",
         seed: int = 0,
         index_dir: str | None = None,
+        deterministic_init: bool = False,
     ) -> "IVFIndex":
         """``index_dir`` set → persist assignments as
         ``cluster=K``-partitioned parquet (one dir per inverted list);
         ``search`` then READS only the ``nprobe`` probed dirs instead of
-        filtering every block — the actual IVF I/O win at scale."""
+        filtering every block — the actual IVF I/O win at scale.
+
+        ``deterministic_init=True`` trains the centroids on the rows
+        with ``id < sample_limit`` (id-sorted; init = the
+        ``n_clusters`` smallest ids) instead of a block-order
+        ``limit()`` sample — the index becomes a pure function of the
+        DATA, which is what lets ``emb_ivf_topk`` carry an exact SQL
+        oracle. Assumes dense-ish integer ids; the filter streams, so
+        at 100 TB this is a pushdown scan, not a sort."""
         import os
         import shutil
 
-        sample_rows = ds.limit(sample_limit).select_columns([emb_col]).take_all()
-        sample = np.asarray([r[emb_col] for r in sample_rows], dtype=np.float64)
-        centroids = kmeans_lite(sample, n_clusters, seed=seed)
+        if deterministic_init:
+            import pyarrow.compute as pc
+
+            def pick(t: pa.Table) -> pa.Table:
+                return t.select([id_col, emb_col]).filter(
+                    pc.less(t[id_col], pa.scalar(sample_limit))
+                )
+
+            rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
+            rows.sort(key=lambda r: r[id_col])
+            sample = np.asarray([r[emb_col] for r in rows], dtype=np.float64)
+            centroids = kmeans_lite(
+                sample, n_clusters, init_centroids=sample[:n_clusters]
+            )
+        else:
+            sample_rows = ds.limit(sample_limit).select_columns([emb_col]).take_all()
+            sample = np.asarray([r[emb_col] for r in sample_rows], dtype=np.float64)
+            centroids = kmeans_lite(sample, n_clusters, seed=seed)
 
         def assign(batch: pa.Table) -> pa.Table:
             mat = _normalize(_batch_matrix(batch, emb_col).astype(np.float64))

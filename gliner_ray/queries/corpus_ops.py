@@ -614,21 +614,35 @@ LIMIT 10
 """
 
 
-def emb_ivf_topk(sf_dir: str):
-    """IVF-bucketed ANN through the PERSISTED index: assignments are
-    cluster=K-partitioned parquet and search reads only the nprobe
-    probed dirs (rows-only; pytest checks recall vs brute force and
-    partition pruning)."""
-    q = _query_vector(sf_dir)
+def _ivf_index(sf_dir: str):
+    """Shared DATA-DETERMINISTIC persisted IVF index (one per scale
+    tag): centroids train on the id-sorted ``vec_id < 4096`` sample
+    with smallest-id init (``deterministic_init=True``), so the index
+    — and therefore the pruned-probe search — is a pure function of
+    the embeddings table."""
     import ray.data  # noqa: F401
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    index_dir = f"/tmp/gliner_ray_scratch/{tag}/ivf_index"
+    index_dir = f"/tmp/gliner_ray_scratch/{tag}/ivf_index_det"
     if os.path.exists(os.path.join(index_dir, "_centroids.npy")):
-        index = fsim.IVFIndex.load(index_dir)
-    else:
-        index = fsim.IVFIndex.build(_embs(sf_dir), n_clusters=8, index_dir=index_dir)
-    return index.search(q, k=10, nprobe=4)
+        return fsim.IVFIndex.load(index_dir)
+    return fsim.IVFIndex.build(
+        _embs(sf_dir), n_clusters=8, index_dir=index_dir,
+        deterministic_init=True,
+    )
+
+
+def emb_ivf_topk(sf_dir: str):
+    """IVF-bucketed ANN through the PERSISTED index: assignments are
+    cluster=K-partitioned parquet and search reads only the nprobe=4
+    probed dirs. The deterministic build gives the PRUNED-probe search
+    an EXACT DuckDB oracle (:data:`IVF_TOPK_SQL` replays the 10 Lloyd
+    iterations, the 4-cluster probe, and the within-probe top-10 —
+    round-5 upgrade from rows-only); recall-vs-brute-force and
+    partition-pruning stay pytest-pinned. Ids only (cosine floats stay
+    out of the hash compare)."""
+    q = _query_vector(sf_dir)
+    return _ivf_index(sf_dir).search(q, k=10, nprobe=4).select(["vec_id"])
 
 
 def emb_kmeans(sf_dir: str):
@@ -700,35 +714,6 @@ init_ids AS MATERIALIZED (
 c0 AS MATERIALIZED (
   SELECT init_ids.k, xv.i, xv.v FROM xv JOIN init_ids USING (vec_id)
 )"""
-    iters = []
-    for it in range(1, n_iter + 1):
-        prev = f"c{it - 1}"
-        iters.append(f""",
-d{it} AS MATERIALIZED (
-  SELECT xv.vec_id, c.k, sum(xv.v * c.v) AS dot
-  FROM xv JOIN {prev} c USING (i) GROUP BY xv.vec_id, c.k
-),
-a{it} AS MATERIALIZED (
-  SELECT vec_id, k FROM (
-    SELECT vec_id, k,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, k) AS rn
-    FROM d{it}
-  ) WHERE rn = 1
-),
-m{it} AS MATERIALIZED (
-  SELECT a.k, xv.i, avg(xv.v) AS v
-  FROM a{it} a JOIN xv USING (vec_id) GROUP BY a.k, xv.i
-),
-u{it} AS MATERIALIZED (
-  SELECT k, i, v FROM m{it}
-  UNION ALL
-  SELECT k, i, v FROM {prev} WHERE k NOT IN (SELECT k FROM m{it})
-),
-un{it} AS MATERIALIZED (SELECT k, sqrt(sum(v * v)) AS n FROM u{it} GROUP BY k),
-c{it} AS MATERIALIZED (
-  SELECT u.k, u.i, u.v / (CASE WHEN n = 0 THEN 1 ELSE n END) AS v
-  FROM u{it} u JOIN un{it} USING (k)
-)""")
     tail = f""",
 df AS MATERIALIZED (
   SELECT xv.vec_id, c.k, sum(xv.v * c.v) AS dot
@@ -744,10 +729,109 @@ af AS MATERIALIZED (
 SELECT k AS cluster, CAST(COUNT(*) AS BIGINT) AS n_members
 FROM af GROUP BY k
 """
-    return head + "".join(iters) + tail
+    return head + _lloyd_ctes("xv", n_iter) + tail
+
+
+def _lloyd_ctes(x_cte: str, n_iter: int) -> str:
+    """One Lloyd iteration per CTE block over the long-form normalized
+    vectors in ``x_cte``: argmax assignment (dot DESC, cluster ASC =
+    numpy first-max tie-break), per-dimension mean, empty-cluster
+    carry-forward, re-normalization. ``c{n_iter}`` is the final
+    centroid table. Shared by the kmeans and IVF SQL twins."""
+    out = []
+    for it in range(1, n_iter + 1):
+        prev = f"c{it - 1}"
+        out.append(f""",
+d{it} AS MATERIALIZED (
+  SELECT x.vec_id, c.k, sum(x.v * c.v) AS dot
+  FROM {x_cte} x JOIN {prev} c USING (i) GROUP BY x.vec_id, c.k
+),
+a{it} AS MATERIALIZED (
+  SELECT vec_id, k FROM (
+    SELECT vec_id, k,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, k) AS rn
+    FROM d{it}
+  ) WHERE rn = 1
+),
+m{it} AS MATERIALIZED (
+  SELECT a.k, x.i, avg(x.v) AS v
+  FROM a{it} a JOIN {x_cte} x USING (vec_id) GROUP BY a.k, x.i
+),
+u{it} AS MATERIALIZED (
+  SELECT k, i, v FROM m{it}
+  UNION ALL
+  SELECT k, i, v FROM {prev} WHERE k NOT IN (SELECT k FROM m{it})
+),
+un{it} AS MATERIALIZED (SELECT k, sqrt(sum(v * v)) AS n FROM u{it} GROUP BY k),
+c{it} AS MATERIALIZED (
+  SELECT u.k, u.i, u.v / (CASE WHEN n = 0 THEN 1 ELSE n END) AS v
+  FROM u{it} u JOIN un{it} USING (k)
+)""")
+    return "".join(out)
 
 
 EMB_KMEANS_SQL = _emb_kmeans_sql()
+
+
+def _emb_ivf_topk_sql(
+    n_iter: int = 10, k: int = 8, nprobe: int = 4, topk: int = 10,
+    dim: int = 64, sample_limit: int = 4096,
+) -> str:
+    """Exact SQL twin of the deterministic-init IVF search
+    (:func:`emb_ivf_topk`): centroids train with ``kmeans_lite``'s 10
+    Lloyd iterations over the ``vec_id < sample_limit`` sample
+    (smallest-id init), every vector assigns to its nearest centroid,
+    the query (vec_id 0, normalized) probes the top-``nprobe``
+    centroids, and the top-``topk`` by cosine within the probed
+    inverted lists are the answer — ids only."""
+    head = f"""
+WITH ev AS MATERIALIZED (
+  SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(0, {dim})) AS t(i)
+),
+nrm AS MATERIALIZED (SELECT vec_id, sqrt(sum(v * v)) AS n FROM ev GROUP BY vec_id),
+xv AS MATERIALIZED (
+  SELECT ev.vec_id, i, v / (CASE WHEN n = 0 THEN 1 ELSE n END) AS v
+  FROM ev JOIN nrm USING (vec_id)
+),
+xs AS MATERIALIZED (SELECT vec_id, i, v FROM xv WHERE vec_id < {sample_limit}),
+init_ids AS MATERIALIZED (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS k
+  FROM (SELECT DISTINCT vec_id FROM xs ORDER BY vec_id LIMIT {k})
+),
+c0 AS MATERIALIZED (
+  SELECT init_ids.k, xs.i, xs.v FROM xs JOIN init_ids USING (vec_id)
+)"""
+    tail = f""",
+qv AS MATERIALIZED (SELECT i, v FROM xv WHERE vec_id = 0),
+probe AS MATERIALIZED (
+  SELECT c.k FROM c{n_iter} c JOIN qv USING (i)
+  GROUP BY c.k ORDER BY sum(c.v * qv.v) DESC, c.k LIMIT {nprobe}
+),
+df AS MATERIALIZED (
+  SELECT x.vec_id, c.k, sum(x.v * c.v) AS dot
+  FROM xv x JOIN c{n_iter} c USING (i) GROUP BY x.vec_id, c.k
+),
+af AS MATERIALIZED (
+  SELECT vec_id, k FROM (
+    SELECT vec_id, k,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, k) AS rn
+    FROM df
+  ) WHERE rn = 1
+)
+SELECT x.vec_id
+FROM xv x
+JOIN af USING (vec_id)
+JOIN qv USING (i)
+WHERE af.k IN (SELECT k FROM probe)
+GROUP BY x.vec_id
+ORDER BY sum(x.v * qv.v) DESC, x.vec_id
+LIMIT {topk}
+"""
+    return head + _lloyd_ctes("xs", n_iter) + tail
+
+
+IVF_TOPK_SQL = _emb_ivf_topk_sql()
 
 
 # ------------------------------------------------------------- KG ops
@@ -1693,13 +1777,7 @@ def emb_ivf_topk_full(sf_dir: str):
     `emb_ann_topk`; the pruned-probe path stays `emb_ivf_topk`
     (rows-only + recall pytest)."""
     q = _query_vector(sf_dir)
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    index_dir = f"/tmp/gliner_ray_scratch/{tag}/ivf_index"
-    if os.path.exists(os.path.join(index_dir, "_centroids.npy")):
-        index = fsim.IVFIndex.load(index_dir)
-    else:
-        index = fsim.IVFIndex.build(_embs(sf_dir), n_clusters=8, index_dir=index_dir)
-    return index.search(q, k=10, nprobe=8).select(["vec_id"])
+    return _ivf_index(sf_dir).search(q, k=10, nprobe=8).select(["vec_id"])
 
 
 def doc_substring_rewrite(sf_dir: str):
