@@ -294,6 +294,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lm_perplexity": co.LM_PERPLEXITY_SQL,
         "emb_kmeans": co.EMB_KMEANS_SQL,
         "emb_ivf_topk": co.IVF_TOPK_SQL,
+        "emb_semantic_dedup": co.SEMANTIC_DEDUP_SQL,
         "q_approx_users_hll": rel.APPROX_USERS_HLL_SQL,
         "doc_quality": co.QUALITY_SQL,
         "doc_pii_redact": co.PII_REDACT_SQL,

@@ -256,7 +256,7 @@ class MinHashStage:
 
 
 def _bucket_pairs_ids(
-    raw_ids: np.ndarray, all_pairs_cap: int = 32
+    raw_ids: np.ndarray, all_pairs_cap: int | None = 32
 ) -> tuple[np.ndarray, np.ndarray]:
     """Within one LSH bucket: candidate pair id arrays (smaller id
     first).
@@ -267,13 +267,16 @@ def _bucket_pairs_ids(
     fall back to star pairing against the bucket minimum plus a
     consecutive chain — linear in bucket size, and the chain keeps the
     bucket one component even if the minimum is the spurious member.
+    ``all_pairs_cap=None`` = no cap (SemDeDup blocking, where ALL
+    within-cluster pairs are the operator's contract and the caller
+    bounds cluster size instead).
     """
     ids = np.unique(np.asarray(raw_ids))
     k = ids.size
     empty = np.array([], dtype=np.int64)
     if k < 2:
         return empty, empty
-    if k <= all_pairs_cap:
+    if all_pairs_cap is None or k <= all_pairs_cap:
         ii, jj = np.triu_indices(k, 1)
         return ids[ii], ids[jj]
     left = np.concatenate([np.full(k - 1, ids[0]), ids[1:-1]])
@@ -333,6 +336,7 @@ def _grouped_bucket_pairs(
     bands_ds: "ray.data.Dataset",
     num_partitions: int = 16,
     key_col: str = "band_hash",
+    all_pairs_cap: int | None = 32,
 ) -> "ray.data.Dataset":
     """(doc_id, band_id, band_hash) rows → candidate pairs.
 
@@ -358,7 +362,7 @@ def _grouped_bucket_pairs(
                 {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
             )
         outs = [
-            _bucket_pairs_ids(g["doc_id"].to_numpy())
+            _bucket_pairs_ids(g["doc_id"].to_numpy(), all_pairs_cap)
             for _, g in dup.groupby(["band_id", key_col], sort=False)
         ]
         left = np.concatenate([o[0] for o in outs])
@@ -1083,7 +1087,11 @@ def embedding_near_dups(
             batch_format="pyarrow",
             concurrency=concurrency,
         )
-    pairs = _grouped_bucket_pairs(buckets, key_col="band_key")
+    # SemDeDup contract: ALL within-cluster pairs verify (the caller
+    # sizes n_clusters so a cluster's pair set fits the verifier);
+    # the 32-member star+chain cap is an LSH-bucket guard, not this
+    # operator's semantics
+    pairs = _grouped_bucket_pairs(buckets, key_col="band_key", all_pairs_cap=None)
     return _verify_cosine_pairs(
         ds, pairs, threshold, id_col, emb_col, dim, pair_broadcast_limit
     )
@@ -1308,6 +1316,7 @@ def semantic_dedup(
     kmeans_iters: int = 4,
     seed: int = 0,
     pair_broadcast_limit: int = 200_000,
+    init_centroids: "np.ndarray | None" = None,
 ) -> pa.Table:
     """SemDeDup-style near-dup detection: k-means cluster assignment is
     the BLOCKING key (streaming Lloyd, metadata-sized partials), then
@@ -1328,7 +1337,7 @@ def semantic_dedup(
     dim = len(ds.take(1)[0][emb_col])
     cents = kmeans(
         ds, emb_col=emb_col, id_col=id_col, n_clusters=n_clusters,
-        n_iter=kmeans_iters, seed=seed,
+        n_iter=kmeans_iters, seed=seed, init_centroids=init_centroids,
     )
 
     def project(t: pa.Table) -> pa.Table:
@@ -1345,7 +1354,11 @@ def semantic_dedup(
     buckets = assign_clusters(ds, cents, emb_col=emb_col).map_batches(
         project, batch_format="pyarrow"
     )
-    pairs = _grouped_bucket_pairs(buckets, key_col="band_key")
+    # SemDeDup contract: ALL within-cluster pairs verify (the caller
+    # sizes n_clusters so a cluster's pair set fits the verifier);
+    # the 32-member star+chain cap is an LSH-bucket guard, not this
+    # operator's semantics
+    pairs = _grouped_bucket_pairs(buckets, key_col="band_key", all_pairs_cap=None)
     return _verify_cosine_pairs(
         ds, pairs, threshold, id_col, emb_col, dim, pair_broadcast_limit
     )

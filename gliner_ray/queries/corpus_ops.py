@@ -1751,11 +1751,79 @@ FROM kept GROUP BY doc_id
 def emb_semantic_dedup(sf_dir: str):
     """SemDeDup-style near-dup pairs (`functions/dedup.semantic_dedup`):
     k-means cluster assignment as the blocking key, exact-cosine
-    verification within clusters (rows-only; planted-pair + path-parity
-    pytest in test_functions.py)."""
-    return fdedup.semantic_dedup(
-        _embs(sf_dir, ["vec_id", "embedding"]), n_clusters=8, threshold=0.92
+    verification within clusters. Deterministic smallest-vec_id
+    centroid init (the :func:`emb_kmeans` idiom) makes the blocking —
+    and therefore the WHOLE answer set — a pure function of the data,
+    so this carries an EXACT DuckDB oracle (:data:`SEMANTIC_DEDUP_SQL`:
+    the shared unrolled-Lloyd CTEs + same-cluster pair join + cosine
+    HAVING). Ids only; planted-pair + path-parity pytest unchanged."""
+    import pyarrow.parquet as pq
+
+    init_t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).sort_by("vec_id").slice(0, 8)
+    init = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in init_t["embedding"].to_pylist()]
     )
+    out = fdedup.semantic_dedup(
+        _embs(sf_dir, ["vec_id", "embedding"]), n_clusters=8, threshold=0.4,
+        init_centroids=init,
+    )
+    return out.select(["id_a", "id_b"])
+
+
+def _semantic_dedup_sql(
+    n_iter: int = 4, k: int = 8, dim: int = 64, threshold: float = 0.4
+) -> str:
+    """Exact SQL twin of :func:`emb_semantic_dedup`: 4 Lloyd
+    iterations (shared CTE generator), nearest-centroid assignment,
+    then every same-cluster ``id_a < id_b`` pair with normalized
+    cosine >= threshold."""
+    head = f"""
+WITH ev AS MATERIALIZED (
+  SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(0, {dim})) AS t(i)
+),
+nrm AS MATERIALIZED (SELECT vec_id, sqrt(sum(v * v)) AS n FROM ev GROUP BY vec_id),
+xv AS MATERIALIZED (
+  SELECT ev.vec_id, i, v / (CASE WHEN n = 0 THEN 1 ELSE n END) AS v
+  FROM ev JOIN nrm USING (vec_id)
+),
+init_ids AS MATERIALIZED (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS k
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+),
+c0 AS MATERIALIZED (
+  SELECT init_ids.k, xv.i, xv.v FROM xv JOIN init_ids USING (vec_id)
+)"""
+    tail = f""",
+df AS MATERIALIZED (
+  SELECT x.vec_id, c.k, sum(x.v * c.v) AS dot
+  FROM xv x JOIN c{n_iter} c USING (i) GROUP BY x.vec_id, c.k
+),
+af AS MATERIALIZED (
+  SELECT vec_id, k FROM (
+    SELECT vec_id, k,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, k) AS rn
+    FROM df
+  ) WHERE rn = 1
+),
+pr AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM af a JOIN af b ON a.k = b.k AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b
+FROM pr
+JOIN xv xa ON xa.vec_id = pr.id_a
+JOIN xv xb ON xb.vec_id = pr.id_b AND xb.i = xa.i
+GROUP BY id_a, id_b
+HAVING sum(xa.v * xb.v) >= {threshold}
+ORDER BY id_a, id_b
+"""
+    return head + _lloyd_ctes("xv", n_iter) + tail
+
+
+SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
 
 
 def doc_substring_dups(sf_dir: str):
