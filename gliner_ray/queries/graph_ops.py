@@ -257,17 +257,22 @@ def graph_cf_pairs(
     applies the identical HAVING cap, so the bound is part of the
     contract, not an approximation). Shuffle shape:
 
-    1. per-batch distinct (user, item) combiner → ONE item-keyed
-       shuffle; each item group dedups users globally and emits its
-       ``C(d,2)`` pairs (d ≤ max_item_degree by the cap);
-    2. pair-keyed groupby sums shared-item counts (the documented
-       Σd² cost — bounded by the cap, salted-hot-key-free);
-    3. ``min_shared`` filter + per-block partial top-k, driver-merged
-       (every pair lives in exactly one block after the groupby).
+    1. per-batch distinct (user, item) combiner, part key =
+       ``hash(item) % P`` (an item lives in exactly one part — never
+       a raw item-string groupby, which degenerates at catalog-scale
+       item cardinality exactly like the pre-fix ``graph_triangles``);
+    2. per part: global (user, item) dedup, vectorized ``C(d,2)``
+       pair emission per item (d ≤ ``max_item_degree`` by the cap),
+       then a LOCAL pair pre-aggregation before anything shuffles;
+    3. ONE pair shuffle on ``(ua·PRIME + ub) % P`` (a pair lives in
+       exactly one part) → per-part exact sums, ``min_shared`` filter
+       and per-part top-k; the driver merges P candidate top-ks.
     """
     import numpy as np
     import pandas as pd
-    from ray.data.aggregate import Sum
+
+    P = 16
+    PRIME = np.int64(1_000_003)
 
     def distinct_pairs(t: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -276,43 +281,69 @@ def graph_cf_pairs(
                 "item": [str(json.loads(p)["k"]) for p in t["props"].to_pylist()],
             }
         ).drop_duplicates()
+        # stable cross-process string hash (fixed-key siphash)
+        df["part"] = (
+            pd.util.hash_pandas_object(df["item"], index=False).to_numpy()
+            % np.uint64(P)
+        ).astype(np.int64)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    def per_item(g: pd.DataFrame) -> pd.DataFrame:
-        users = np.unique(g["user_id"].to_numpy())
-        if len(users) < 2 or len(users) > max_item_degree:
-            return pd.DataFrame({"ua": [], "ub": [], "shared": []}).astype(
-                {"ua": "int64", "ub": "int64", "shared": "int64"}
-            )
-        # vectorized C(d,2) pair enumeration (users is sorted by
-        # np.unique, so iu < ju keeps ua < ub)
-        iu, ju = np.triu_indices(len(users), k=1)
-        return pd.DataFrame(
-            {
-                "ua": users[iu].astype(np.int64),
-                "ub": users[ju].astype(np.int64),
-                "shared": np.ones(len(iu), np.int64),
-            }
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.drop_duplicates(["user_id", "item"]).sort_values(
+            ["item", "user_id"], ignore_index=True
         )
+        uid = s["user_id"].to_numpy().astype(np.int64)
+        item = s["item"].to_numpy()
+        n = len(uid)
+        empty = pd.DataFrame(
+            {"ua": pd.Series([], dtype=np.int64),
+             "ub": pd.Series([], dtype=np.int64),
+             "shared": pd.Series([], dtype=np.int64),
+             "pairpart": pd.Series([], dtype=np.int64)}
+        )
+        if n == 0:
+            return empty
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = item[1:] != item[:-1]
+        bounds = np.append(np.flatnonzero(first), n)
+        ua_out, ub_out = [], []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            d = hi - lo
+            if d < 2 or d > max_item_degree:
+                continue
+            iu, ju = np.triu_indices(d, k=1)
+            ua_out.append(uid[lo:hi][iu])
+            ub_out.append(uid[lo:hi][ju])
+        if not ua_out:
+            return empty
+        pairs = pd.DataFrame(
+            {"ua": np.concatenate(ua_out), "ub": np.concatenate(ub_out)}
+        )
+        # local combine before the pair shuffle
+        agg = pairs.groupby(["ua", "ub"], sort=False).size().reset_index(name="shared")
+        agg["shared"] = agg["shared"].astype(np.int64)
+        agg["pairpart"] = (agg["ua"].to_numpy() * PRIME + agg["ub"].to_numpy()) % P
+        return agg
 
-    counts = (
+    def part_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            g.groupby(["ua", "ub"], sort=False)["shared"].sum().reset_index()
+        )
+        s = s[s["shared"] >= min_shared]
+        return s.sort_values(
+            ["shared", "ua", "ub"], ascending=[False, True, True]
+        ).head(k)[["ua", "ub", "shared"]]
+
+    cands = (
         _events(sf_dir, ["user_id", "props"])
         .map_batches(distinct_pairs, batch_format="pyarrow")
-        .groupby("item")
-        .map_groups(per_item, batch_format="pandas")
-        .groupby(["ua", "ub"])
-        .aggregate(Sum("shared", alias_name="shared"))
+        .groupby("part")
+        .map_groups(part_pairs, batch_format="pandas")
+        .groupby("pairpart")
+        .map_groups(part_topk, batch_format="pandas")
+        .take_all()
     )
-
-    def block_topk(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df = df[df["shared"] >= min_shared]
-        df = df.sort_values(
-            ["shared", "ua", "ub"], ascending=[False, True, True]
-        ).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    cands = counts.map_batches(block_topk, batch_format="pyarrow").take_all()
     top = sorted(cands, key=lambda r: (-r["shared"], r["ua"], r["ub"]))[:k]
     return pa.table(
         {
