@@ -499,27 +499,40 @@ def kcore(
         {"node": pa.array([], pa.int64()), "deg": pa.array([], pa.int64())}
     )
 
+    def degs_ds():
+        return (
+            live.map_batches(deg_partial, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(sum_part, batch_format="pandas")
+        )
+
     for _ in range(max_rounds):
         if live.count() == 0:
             # everything peeled: empty core (note: Ray loses column
             # names on a fully-empty Dataset's to_pandas; schema() is
             # still correct)
             return rd.from_arrow(empty)
-        degs = (
-            live.map_batches(deg_partial, batch_format="pyarrow")
-            .groupby("part")
-            .map_groups(sum_part, batch_format="pandas")
+        # ONE job per round computes degrees AND the removal set: the
+        # lazy degree chain feeds a sub-k filter materialized straight
+        # into the object store (node column only — small near the
+        # core, distributed when not), after which count() is free
+        # metadata. The round-5 fix for the old 4-jobs-per-round loop
+        # (degs materialize + removals materialize + count +
+        # to_pandas); the full degree table is only needed on
+        # TERMINATION, where one extra pass recomputes it.
+        removals = (
+            degs_ds()
+            .map_batches(
+                lambda t: t.filter(
+                    pa.array(t["deg"].to_numpy(zero_copy_only=False) < k)
+                ).select(["node"]),
+                batch_format="pyarrow",
+            )
             .materialize()
         )
-        removals = degs.map_batches(
-            lambda t: t.filter(
-                pa.array(t["deg"].to_numpy(zero_copy_only=False) < k)
-            ),
-            batch_format="pyarrow",
-        ).materialize()
         n_rm = removals.count()
         if n_rm == 0:
-            return degs
+            return degs_ds().materialize()
         if n_rm <= removal_broadcast_limit:
             rm_ref = ray.put(
                 set(removals.to_pandas()["node"].tolist())

@@ -430,17 +430,45 @@ def graph_triangles(sf_dir: str, deg_broadcast_limit: int = 4_000_000):
             {"o": pa.array(u[:, 0], pa.int64()), "p": pa.array(u[:, 1], pa.int64())}
         )
 
-    def per_order(g: pd.DataFrame) -> pd.DataFrame:
-        parts = np.unique(g["p"].to_numpy())
-        if len(parts) < 2:
-            return pd.DataFrame({"e": np.empty(0, np.int64)})
-        iu, ju = np.triu_indices(len(parts), k=1)
-        return pd.DataFrame({"e": parts[iu] * SHIFT + parts[ju]})
+    P = 64  # hash-partition fanout for every keyed stage: P groups, never millions
+
+    def add_opart(t: pa.Table) -> pa.Table:
+        o = t["o"].to_numpy(zero_copy_only=False)
+        return t.append_column("opart", pa.array(o % P, pa.int64()))
+
+    def part_orders(g: pd.DataFrame) -> pd.DataFrame:
+        # orders hash-partition on o % P (an order lives in exactly
+        # one part — never a raw order-key groupby, which degenerates
+        # at catalog order cardinality); per-order triu emission is
+        # one segment pass. The pair MULTISET across orders is
+        # preserved exactly (degrees-for-orientation semantics).
+        s = g.drop_duplicates(["o", "p"]).sort_values(
+            ["o", "p"], ignore_index=True
+        )
+        o = s["o"].to_numpy().astype(np.int64)
+        p = s["p"].to_numpy().astype(np.int64)
+        n = len(o)
+        if n == 0:
+            return pd.DataFrame({"e": pd.Series([], dtype=np.int64)})
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = o[1:] != o[:-1]
+        bounds = np.append(np.flatnonzero(first), n)
+        out = []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            d = hi - lo
+            if d < 2:
+                continue
+            iu, ju = np.triu_indices(d, k=1)
+            out.append(p[lo:hi][iu] * SHIFT + p[lo:hi][ju])
+        e = np.concatenate(out) if out else np.empty(0, np.int64)
+        return pd.DataFrame({"e": e})
 
     pairs = (
         li.map_batches(op_distinct, batch_format="pyarrow")
-        .groupby("o")
-        .map_groups(per_order, batch_format="pandas")
+        .map_batches(add_opart, batch_format="pyarrow")
+        .groupby("opart")
+        .map_groups(part_orders, batch_format="pandas")
         .materialize()  # reused: degrees, orientation, and the close
     )
 
@@ -449,14 +477,19 @@ def graph_triangles(sf_dir: str, deg_broadcast_limit: int = 4_000_000):
         nodes = np.concatenate([e // int(SHIFT), e % int(SHIFT)])
         u, c = np.unique(nodes, return_counts=True)
         return pa.table(
-            {"node": pa.array(u, pa.int64()),
+            {"part": pa.array(u % P, pa.int64()),
+             "node": pa.array(u, pa.int64()),
              "cnt": pa.array(c.astype(np.int64), pa.int64())}
         )
 
+    def deg_sum_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False)[["cnt"]].sum()
+        return out.rename(columns={"cnt": "deg"})
+
     degs = (
         pairs.map_batches(deg_partial, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Sum("cnt", alias_name="deg"))
+        .groupby("part")
+        .map_groups(deg_sum_part, batch_format="pandas")
         .materialize()  # node-sized; counted AND read without re-running
     )
     if degs.count() <= deg_broadcast_limit:
@@ -474,26 +507,44 @@ def graph_triangles(sf_dir: str, deg_broadcast_limit: int = 4_000_000):
             a_first = (da < db) | ((da == db) & (a < b))
         else:
             a_first = np.ones(len(a), bool)  # a < b by construction
+        src = np.where(a_first, a, b)
         return pa.table(
             {
-                "src": pa.array(np.where(a_first, a, b), pa.int64()),
+                "spart": pa.array(src % P, pa.int64()),
+                "src": pa.array(src, pa.int64()),
                 "dst": pa.array(np.where(a_first, b, a), pa.int64()),
             }
         )
 
-    def per_src(g: pd.DataFrame) -> pd.DataFrame:
-        nbrs = np.unique(g["dst"].to_numpy())
-        if len(nbrs) < 2:
-            return pd.DataFrame(
-                {"e": np.empty(0, np.int64), "w": np.empty(0, np.int64)}
-            )
-        iu, ju = np.triu_indices(len(nbrs), k=1)
-        # wedge endpoints re-packed in ID order to match the edge key
-        return pd.DataFrame(
-            {"e": nbrs[iu] * SHIFT + nbrs[ju], "w": np.ones(len(iu), np.int64)}
+    def part_srcs(g: pd.DataFrame) -> pd.DataFrame:
+        # sources hash-partition on src % P (a src's out-neighborhood
+        # lives in one part); per-src wedge triu is a segment pass
+        # with the same np.unique-dedup per source as before
+        s = g.drop_duplicates(["src", "dst"]).sort_values(
+            ["src", "dst"], ignore_index=True
         )
-
-    P = 64  # close-partition fanout: P groups, never millions
+        src = s["src"].to_numpy().astype(np.int64)
+        dst = s["dst"].to_numpy().astype(np.int64)
+        n = len(src)
+        if n == 0:
+            return pd.DataFrame(
+                {"e": pd.Series([], dtype=np.int64),
+                 "w": pd.Series([], dtype=np.int64)}
+            )
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = src[1:] != src[:-1]
+        bounds = np.append(np.flatnonzero(first), n)
+        out = []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            d = hi - lo
+            if d < 2:
+                continue
+            iu, ju = np.triu_indices(d, k=1)
+            # wedge endpoints re-packed in ID order to match the edge key
+            out.append(dst[lo:hi][iu] * SHIFT + dst[lo:hi][ju])
+        e = np.concatenate(out) if out else np.empty(0, np.int64)
+        return pd.DataFrame({"e": e, "w": np.ones(len(e), np.int64)})
 
     def wedge_part(t: pa.Table) -> pa.Table:
         # per-batch (e → Σw) combiner + hash part ahead of the close
@@ -511,8 +562,8 @@ def graph_triangles(sf_dir: str, deg_broadcast_limit: int = 4_000_000):
 
     wedges = (
         pairs.map_batches(orient, batch_format="pyarrow")
-        .groupby("src")
-        .map_groups(per_src, batch_format="pandas")
+        .groupby("spart")
+        .map_groups(part_srcs, batch_format="pandas")
         .map_batches(wedge_part, batch_format="pyarrow")
     )
 
@@ -609,12 +660,36 @@ def graph_clustering_coeff(sf_dir: str, deg_broadcast_limit: int = 4_000_000):
             {"o": pa.array(u[:, 0], pa.int64()), "p": pa.array(u[:, 1], pa.int64())}
         )
 
-    def per_order(g: pd.DataFrame) -> pd.DataFrame:
-        parts = np.unique(g["p"].to_numpy())
-        if len(parts) < 2:
-            return pd.DataFrame({"e": np.empty(0, np.int64)})
-        iu, ju = np.triu_indices(len(parts), k=1)
-        return pd.DataFrame({"e": parts[iu] * SHIFT + parts[ju]})
+    def add_opart(t: pa.Table) -> pa.Table:
+        o = t["o"].to_numpy(zero_copy_only=False)
+        return t.append_column("opart", pa.array(o % P, pa.int64()))
+
+    def part_orders(g: pd.DataFrame) -> pd.DataFrame:
+        # orders hash-partition on o % P — never a raw order-key
+        # groupby (catalog order cardinality degenerates it); one
+        # segment pass emits each order's triu pairs, pre-deduped
+        # within the part ahead of the global dedup shuffle
+        s = g.drop_duplicates(["o", "p"]).sort_values(
+            ["o", "p"], ignore_index=True
+        )
+        o = s["o"].to_numpy().astype(np.int64)
+        p = s["p"].to_numpy().astype(np.int64)
+        n = len(o)
+        if n == 0:
+            return pd.DataFrame({"e": pd.Series([], dtype=np.int64)})
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = o[1:] != o[:-1]
+        bounds = np.append(np.flatnonzero(first), n)
+        out = []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            d = hi - lo
+            if d < 2:
+                continue
+            iu, ju = np.triu_indices(d, k=1)
+            out.append(p[lo:hi][iu] * SHIFT + p[lo:hi][ju])
+        e = np.concatenate(out) if out else np.empty(0, np.int64)
+        return pd.DataFrame({"e": np.unique(e)})
 
     def pair_part(t: pa.Table) -> pa.Table:
         u = np.unique(t["e"].to_numpy(zero_copy_only=False))
@@ -627,8 +702,9 @@ def graph_clustering_coeff(sf_dir: str, deg_broadcast_limit: int = 4_000_000):
 
     edges = (
         li.map_batches(op_distinct, batch_format="pyarrow")
-        .groupby("o")
-        .map_groups(per_order, batch_format="pandas")
+        .map_batches(add_opart, batch_format="pyarrow")
+        .groupby("opart")
+        .map_groups(part_orders, batch_format="pandas")
         .map_batches(pair_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(dedup_part, batch_format="pandas")
@@ -675,26 +751,45 @@ def graph_clustering_coeff(sf_dir: str, deg_broadcast_limit: int = 4_000_000):
             a_first = (da < db) | ((da == db) & (a < b))
         else:
             a_first = np.ones(len(a), bool)
+        src = np.where(a_first, a, b)
         return pa.table(
             {
-                "src": pa.array(np.where(a_first, a, b), pa.int64()),
+                "spart": pa.array(src % P, pa.int64()),
+                "src": pa.array(src, pa.int64()),
                 "dst": pa.array(np.where(a_first, b, a), pa.int64()),
             }
         )
 
-    def per_src(g: pd.DataFrame) -> pd.DataFrame:
-        src = int(g["src"].iloc[0])
-        nbrs = np.unique(g["dst"].to_numpy())
-        if len(nbrs) < 2:
-            return pd.DataFrame(
-                {"e": np.empty(0, np.int64), "src": np.empty(0, np.int64)}
-            )
-        iu, ju = np.triu_indices(len(nbrs), k=1)
+    def part_srcs(g: pd.DataFrame) -> pd.DataFrame:
+        # sources hash-partition on src % P; per-src wedge triu is a
+        # segment pass (edges are already distinct, so no in-segment
+        # dedup needed beyond the sort)
+        s = g.sort_values(["src", "dst"], ignore_index=True)
+        src = s["src"].to_numpy().astype(np.int64)
+        dst = s["dst"].to_numpy().astype(np.int64)
+        n = len(src)
+        empty = pd.DataFrame(
+            {"e": pd.Series([], dtype=np.int64),
+             "src": pd.Series([], dtype=np.int64)}
+        )
+        if n == 0:
+            return empty
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = src[1:] != src[:-1]
+        bounds = np.append(np.flatnonzero(first), n)
+        e_out, s_out = [], []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            d = hi - lo
+            if d < 2:
+                continue
+            iu, ju = np.triu_indices(d, k=1)
+            e_out.append(dst[lo:hi][iu] * SHIFT + dst[lo:hi][ju])
+            s_out.append(np.full(len(iu), src[lo], np.int64))
+        if not e_out:
+            return empty
         return pd.DataFrame(
-            {
-                "e": nbrs[iu] * SHIFT + nbrs[ju],
-                "src": np.full(len(iu), src, np.int64),
-            }
+            {"e": np.concatenate(e_out), "src": np.concatenate(s_out)}
         )
 
     def wedge_part(t: pa.Table) -> pa.Table:
@@ -721,8 +816,8 @@ def graph_clustering_coeff(sf_dir: str, deg_broadcast_limit: int = 4_000_000):
 
     wedges = (
         edges.map_batches(orient, batch_format="pyarrow")
-        .groupby("src")
-        .map_groups(per_src, batch_format="pandas")
+        .groupby("spart")
+        .map_groups(part_srcs, batch_format="pandas")
         .map_batches(wedge_part, batch_format="pyarrow")
     )
 
@@ -843,12 +938,36 @@ def graph_kcore(sf_dir: str, k: int | None = None):
             {"o": pa.array(u[:, 0], pa.int64()), "p": pa.array(u[:, 1], pa.int64())}
         )
 
-    def per_order(g: pd.DataFrame) -> pd.DataFrame:
-        parts = np.unique(g["p"].to_numpy())
-        if len(parts) < 2:
-            return pd.DataFrame({"e": np.empty(0, np.int64)})
-        iu, ju = np.triu_indices(len(parts), k=1)
-        return pd.DataFrame({"e": parts[iu] * SHIFT + parts[ju]})
+    def add_opart(t: pa.Table) -> pa.Table:
+        o = t["o"].to_numpy(zero_copy_only=False)
+        return t.append_column("opart", pa.array(o % P, pa.int64()))
+
+    def part_orders(g: pd.DataFrame) -> pd.DataFrame:
+        # orders hash-partition on o % P (an order lives in one part —
+        # never a raw order-key groupby, which degenerates at catalog
+        # order cardinality); per-order triu pair emission is one
+        # segment pass over the part
+        s = g.drop_duplicates(["o", "p"]).sort_values(
+            ["o", "p"], ignore_index=True
+        )
+        o = s["o"].to_numpy().astype(np.int64)
+        p = s["p"].to_numpy().astype(np.int64)
+        n = len(o)
+        if n == 0:
+            return pd.DataFrame({"e": pd.Series([], dtype=np.int64)})
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = o[1:] != o[:-1]
+        bounds = np.append(np.flatnonzero(first), n)
+        out = []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            d = hi - lo
+            if d < 2:
+                continue
+            iu, ju = np.triu_indices(d, k=1)
+            out.append(p[lo:hi][iu] * SHIFT + p[lo:hi][ju])
+        e = np.concatenate(out) if out else np.empty(0, np.int64)
+        return pd.DataFrame({"e": np.unique(e)})
 
     def pair_part(t: pa.Table) -> pa.Table:
         u = np.unique(t["e"].to_numpy(zero_copy_only=False))
@@ -862,8 +981,9 @@ def graph_kcore(sf_dir: str, k: int | None = None):
 
     edges = (
         li.map_batches(op_distinct, batch_format="pyarrow")
-        .groupby("o")
-        .map_groups(per_order, batch_format="pandas")
+        .map_batches(add_opart, batch_format="pyarrow")
+        .groupby("opart")
+        .map_groups(part_orders, batch_format="pandas")
         .map_batches(pair_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(dedup_part, batch_format="pandas")
@@ -882,15 +1002,23 @@ def graph_kcore(sf_dir: str, k: int | None = None):
                     ]
                 )
             )
-            return pa.table({"node": pa.array(u, pa.int64())})
+            return pa.table(
+                {"part": pa.array(u % P, pa.int64()),
+                 "node": pa.array(u, pa.int64())}
+            )
 
-        from ray.data.aggregate import Count
+        def count_part(g: pd.DataFrame) -> pd.DataFrame:
+            # distinct-node count partial per part — never a raw
+            # node-key groupby just to count distincts
+            return pd.DataFrame(
+                {"n": [np.int64(len(np.unique(g["node"].to_numpy())))]}
+            )
 
-        n_nodes = (
+        n_nodes = int(
             edges.map_batches(nodes_partial, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Count(alias_name="_n"))
-            .count()
+            .groupby("part")
+            .map_groups(count_part, batch_format="pandas")
+            .sum("n") or 0
         )
         k = max(2, int(np.ceil(0.7 * 2.0 * n_edges / max(n_nodes, 1))))
 
