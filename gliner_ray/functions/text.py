@@ -335,10 +335,20 @@ def top_terms(
         .map_groups(df_final, batch_format="pandas")
     ).materialize()  # vocabulary-sized, reused below
 
-    def rank(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(
-            ["tf", "df", "term"], ascending=[False, True, True]
-        ).head(k)
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        # docs hash-partition on doc_id % P (a doc's terms live in one
+        # part after the term join is re-keyed by doc) — never a raw
+        # doc-cardinality map_groups, which pays a per-group Python
+        # call at millions of docs; one vectorized sort + grouped head
+        # ranks every doc in the part
+        return (
+            g.sort_values(
+                ["doc_id", "tf", "df", "term"],
+                ascending=[True, False, True, True],
+            )
+            .groupby("doc_id", sort=False)
+            .head(k)
+        )
 
     if df_ds.count() <= df_broadcast_limit:
         df_map = {}
@@ -368,9 +378,16 @@ def top_terms(
         num_partitions=num_partitions,
     )
     # hash_join keeps the key column under the LEFT name; restore order
+    def add_docpart(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        return t.append_column(
+            "docpart", pa.array(d % num_partitions, pa.int64())
+        )
+
     return (
-        joined.groupby("doc_id")
-        .map_groups(rank, batch_format="pandas")
+        joined.map_batches(add_docpart, batch_format="pyarrow")
+        .groupby("docpart")
+        .map_groups(rank_part, batch_format="pandas")
         .select_columns(["doc_id", "term", "tf", "df"])
     )
 
