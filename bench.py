@@ -154,6 +154,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "doc_lm_perplexity": co.doc_lm_perplexity,
         "mt_classification": co.mt_classification,
         "kg_mentions_safetensors": co.kg_mentions_safetensors,
+        "graph_cf_pairs": go.graph_cf_pairs,
     }
     qtimes: dict[str, float] = {}
     if os.environ.get("GRAFT_BENCH_SKIP_QUERIES"):
