@@ -243,3 +243,45 @@ class TestKCore:
         df = graph_kcore(sf).to_pandas()
         got = dict(zip(df["node"], df["deg"])) if not df.empty else {}
         assert got == want and len(got) > 0
+
+
+class TestMegaOrderSkew:
+    def test_one_giant_order_exact(self, ray_session, tmp_path):
+        """Skew pin for the round-5 part-keyed edge builders: ONE order
+        holding 300 distinct parts (C(300,2) = 44,850 pairs in a single
+        segment) among many small orders — the per-part segment pass
+        must emit the exact triangle count and k-core a sequential
+        DuckDB twin computes."""
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gliner_ray.queries import graph_ops as go
+
+        rng = np.random.default_rng(3)
+        o = [1] * 300 + list(rng.integers(2, 200, 1200))
+        p = list(np.arange(300)) + list(rng.integers(0, 80, 1200))
+        t = pa.table(
+            {"l_orderkey": pa.array(o, pa.int64()),
+             "l_partkey": pa.array(p, pa.int64())}
+        )
+        pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+
+        c = duckdb.connect()
+        c.sql(
+            f"CREATE VIEW lineitem AS SELECT * FROM '{tmp_path}/lineitem.parquet'"
+        )
+        import __ray_entry__ as E
+
+        got = go.graph_triangles(str(tmp_path)).to_pylist()[0]["n_triangles"]
+        want = c.sql(E.oracle_sql()["graph_triangles"]).fetchone()[0]
+        assert got == want > 0
+
+        a = go.graph_kcore(str(tmp_path))
+        a = a.to_pandas() if hasattr(a, "to_pandas") else a
+        b = c.sql(E.oracle_sql()["graph_kcore"]).df()
+        import pandas as pd
+        a2 = a[sorted(a.columns)].sort_values(sorted(a.columns)).reset_index(drop=True)
+        b2 = b[sorted(b.columns)].sort_values(sorted(b.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a2, b2, check_dtype=False)
