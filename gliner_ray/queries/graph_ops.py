@@ -24,13 +24,42 @@ def _events(sf_dir: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
 
+# Two-tier exact ``str(json.loads(props)["k"])`` (the q_props_k_sum
+# idiom): rows that are provably FLAT objects with no escapes take the
+# vectorized Arrow regex kernel; anything else (nested objects, escaped
+# strings, non-integer k) falls back to a real json.loads on just those
+# rows — rare by corpus shape, exact always (including raising on a
+# malformed row, same as the scalar idiom it replaces).
+_FLAT_RE = r"^\{[^{\[\\]*\}$"
+_K_INT_RE = r'"k"\s*:\s*(?P<item>-?\d+)'
+
+
+def _props_k_str(col: pa.ChunkedArray) -> "np.ndarray":
+    import numpy as np
+    import pyarrow.compute as pc
+
+    m = pc.extract_regex(col, _K_INT_RE)
+    item = pc.struct_field(m, "item")
+    flat = pc.fill_null(pc.match_substring_regex(col, _FLAT_RE), False)
+    ok = pc.and_(pc.is_valid(item), flat)
+    out = pc.fill_null(item, "").to_numpy(zero_copy_only=False).astype(object)
+    bad = np.flatnonzero(np.logical_not(ok.to_numpy(zero_copy_only=False)))
+    if len(bad):
+        raw = col.take(pa.array(bad)).to_pylist()
+        for i, txt in zip(bad, raw):
+            out[i] = str(json.loads(txt)["k"])
+    return out
+
+
 def _edges_batch(t: pa.Table) -> pa.Table:
-    users = t["user_id"].to_pylist()
-    items = [str(json.loads(p)["k"]) for p in t["props"].to_pylist()]
+    import numpy as np
+
+    users = t["user_id"].to_numpy(zero_copy_only=False)
+    items = _props_k_str(t["props"])
     return pa.table(
         {
-            "src": pa.array([f"u{u}" for u in users], pa.string()),
-            "dst": pa.array([f"i{k}" for k in items], pa.string()),
+            "src": pa.array(np.char.add("u", users.astype("U")), pa.string()),
+            "dst": pa.array(np.char.add("i", items.astype("U")), pa.string()),
         }
     )
 
@@ -54,7 +83,7 @@ def q_user_item_degree(sf_dir: str):
         df = pd.DataFrame(
             {
                 "user_id": t["user_id"].to_pandas(),
-                "item": [str(json.loads(p)["k"]) for p in t["props"].to_pylist()],
+                "item": _props_k_str(t["props"]),
             }
         )
         agg = (
@@ -278,7 +307,7 @@ def graph_cf_pairs(
         df = pd.DataFrame(
             {
                 "user_id": t["user_id"].to_pandas(),
-                "item": [str(json.loads(p)["k"]) for p in t["props"].to_pylist()],
+                "item": _props_k_str(t["props"]),
             }
         ).drop_duplicates()
         # stable cross-process string hash (fixed-key siphash)

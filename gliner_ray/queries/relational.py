@@ -4186,28 +4186,39 @@ def q_event_transitions(sf_dir: str):
     user's time-ordered stream — the sequence-model-features shape of
     the sessionization family.
 
-    ONE shuffle: events group by user; each group sorts locally by
-    (ts, event_id) (the deterministic total order the oracle uses) and
-    pre-aggregates its OWN bigram counts, so at most |types|² rows per
-    user leave the group. The global combine is then a tiny
-    (from_type, to_type) groupby over user-count-bounded partials —
-    never a corpus-sized second shuffle.
+    ONE shuffle, keyed ``user_id % P`` (a user's events land in exactly
+    one part — the ``q_user_cumulative_spend`` idiom, NOT a raw
+    user-cardinality ``map_groups`` which would pay one Python call per
+    user at millions of distinct users); each part sorts its own rows
+    by (user_id, ts, event_id) (the deterministic total order the
+    oracle uses) and emits its bigram counts in ONE vectorized pass
+    (adjacent-row pairs masked at user boundaries), so at most
+    P × |types|² partial rows exist globally. The final combine is a
+    tiny (from_type, to_type) groupby over those partials — never a
+    corpus-sized second shuffle.
 
-    Skew note: per-user streams are user-session-sized; a single hot
-    user bounds one group, and the pre-aggregation means the combine
-    stage sees |users| × |types|² rows max regardless of stream length.
+    Skew note: a hot user bounds one part's sort, nothing more; the
+    partial size is independent of stream length.
     """
     from ray.data.aggregate import Sum
 
+    P = 16
+
+    def add_part(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("part", pa.array(u % P, pa.int64()))
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        et = g["event_type"].to_numpy()
+        s = g.sort_values(["user_id", "ts", "event_id"], ignore_index=True)
+        uid = s["user_id"].to_numpy()
+        et = s["event_type"].to_numpy()
         if len(et) < 2:
             return pd.DataFrame(
                 {"from_type": [], "to_type": [], "n": []}
             ).astype({"from_type": str, "to_type": str, "n": np.int64})
+        same = uid[1:] == uid[:-1]
         out = (
-            pd.DataFrame({"from_type": et[:-1], "to_type": et[1:]})
+            pd.DataFrame({"from_type": et[:-1][same], "to_type": et[1:][same]})
             .groupby(["from_type", "to_type"], as_index=False)
             .size()
             .rename(columns={"size": "n"})
@@ -4217,7 +4228,8 @@ def q_event_transitions(sf_dir: str):
 
     return (
         _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
-        .groupby("user_id")
+        .map_batches(add_part, batch_format="pyarrow", batch_size=131072)
+        .groupby("part")
         .map_groups(pairs, batch_format="pandas")
         .groupby(["from_type", "to_type"])
         .aggregate(Sum("n", alias_name="n"))

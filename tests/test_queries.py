@@ -337,12 +337,14 @@ class TestUserCardinalityStress:
         n = len(uid)
         base = np.datetime64("2024-01-01T00:00:00", "us")
         ts = base + rng.integers(0, 86_400_000_000 * 3, n).astype("timedelta64[us]")
+        types = np.array(["view", "click", "purchase"])
         t = pa.table(
             {
                 "event_id": pa.array(np.arange(n, dtype=np.int64)),
                 "ts": pa.array(ts),
                 "user_id": pa.array(uid),
                 "value": pa.array(np.round(rng.uniform(0, 100, n), 2)),
+                "event_type": pa.array(types[rng.integers(0, 3, n)]),
             }
         )
         pq.write_table(t, d / "events.parquet")
@@ -369,3 +371,27 @@ class TestUserCardinalityStress:
         # headroom evidence: bounded even at 4 test CPUs (the pre-fix
         # raw groupby path took minutes at this cardinality)
         assert wall < 120, f"{name} took {wall:.1f}s at 1M distinct users"
+
+    def test_event_transitions_exact_and_bounded_at_1m_users(
+        self, big_events_dir
+    ):
+        """Same cardinality bar for the re-keyed bigram op (round-5):
+        1M users through ONE ``user_id % P`` shuffle + vectorized
+        boundary-masked pairs — never a per-user Python call."""
+        import time
+
+        import duckdb
+
+        t0 = time.perf_counter()
+        res = E.queries()["q_event_transitions"](big_events_dir).to_pandas()
+        wall = time.perf_counter() - t0
+
+        c = duckdb.connect()
+        c.sql(
+            f"CREATE VIEW events AS SELECT * FROM '{big_events_dir}/events.parquet'"
+        )
+        odf = c.sql(E.oracle_sql()["q_event_transitions"]).df()
+        a, b = _norm(res), _norm(odf)
+        assert len(a) == len(b) <= 9  # |types|² bound
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        assert wall < 120, f"took {wall:.1f}s at 1M distinct users"
