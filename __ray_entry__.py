@@ -196,6 +196,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "q_fk_orphans": rel.q_fk_orphans,
         "doc_incremental_dedup": co.doc_incremental_dedup,
         "q_user_value_ema": rel.q_user_value_ema,
+        # round-5 additions: hopping window, sliding-window distinct
+        "q_events_hopping": rel.q_events_hopping,
+        "q_weekly_active_users": rel.q_weekly_active_users,
         # multimodal plumbing
         "media_features": co.media_features,
         "media_near_dups": co.media_near_dups,
@@ -333,6 +336,8 @@ def oracle_sql() -> dict[str, str]:
         "q_fk_orphans": rel.FK_ORPHANS_SQL,
         "doc_incremental_dedup": co.INCREMENTAL_DEDUP_SQL,
         "q_user_value_ema": rel.USER_VALUE_EMA_SQL,
+        "q_events_hopping": rel.EVENTS_HOPPING_SQL,
+        "q_weekly_active_users": rel.WEEKLY_ACTIVE_SQL,
         "emb_ann_topk": co.ANN_TOPK_SQL,
         "emb_ivf_topk_full": co.ANN_TOPK_SQL,
         "emb_exact_pairs": co.EXACT_PAIRS_SQL,

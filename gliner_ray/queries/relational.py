@@ -4595,3 +4595,127 @@ FROM (
 )
 GROUP BY user_id
 """
+
+
+# ------------------------------------------- hopping (sliding) windows
+
+
+def q_events_hopping(sf_dir: str, width_s: int = 3600, hop_s: int = 900):
+    """Hopping-window aggregate (1 h window sliding every 15 min) —
+    the third event-time window family next to tumbling
+    (:func:`q_events_hourly`) and per-key RANGE rolling
+    (:func:`q_user_rolling_1h`).
+
+    Scale shape: each event covers exactly ``width/hop`` windows, so
+    the map side flat-expands every batch by that constant factor
+    vectorized (``np.add.outer`` of the hop offsets, no Python loop),
+    collapses the expansion to in-batch partial (window, type)
+    counts/sums — shuffle bytes stay at partial-row size, never
+    expanded-event size — and ONE small groupby sums the partials.
+    ``win_start`` is the window's epoch-second start (BIGINT on both
+    engines; no timezone/format dependence).
+    """
+    from ray.data.aggregate import Sum
+
+    k = width_s // hop_s
+    offs = (np.arange(k, dtype=np.int64) * hop_s)[::-1].copy()
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        sec = df["ts"].to_numpy("datetime64[ns]").view(np.int64) // 1_000_000_000
+        hop_floor = (sec // hop_s) * hop_s
+        starts = (hop_floor[:, None] - offs[None, :]).ravel()
+        cents = np.floor(df["value"].to_numpy() * 100).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "win_start": starts,
+                "event_type": np.repeat(df["event_type"].to_numpy(), k),
+                "n_events": np.int64(1),
+                "sum_value_cents": np.repeat(cents, k),
+            }
+        )
+        return (
+            out.groupby(["win_start", "event_type"], sort=False, as_index=False)
+            .agg(n_events=("n_events", "sum"), sum_value_cents=("sum_value_cents", "sum"))
+        )
+
+    return (
+        _read(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(expand, batch_format="pandas", batch_size=65536)
+        .groupby(["win_start", "event_type"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_cents", alias_name="sum_value_cents"),
+        )
+    )
+
+
+EVENTS_HOPPING_SQL = """
+SELECT hf - off AS win_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM (SELECT CAST(FLOOR(epoch(ts) / 900) AS BIGINT) * 900 AS hf, event_type, value
+      FROM events),
+     (SELECT unnest([0, 900, 1800, 2700]) AS off)
+GROUP BY 1, 2
+"""
+
+
+def q_weekly_active_users(sf_dir: str, window_days: int = 7):
+    """Sliding-window COUNT(DISTINCT): users active in the trailing
+    7 days, per window-end day (the WAU curve). Distinct does NOT
+    decompose over hops, so the exact plan is two distincts with the
+    expansion between them, each stage combiner-reduced:
+
+    1. map side collapses batches to distinct (part=user%P, day, user)
+       triples — shuffle bytes shrink to the per-batch distinct set;
+    2. ONE shuffle on the bounded part key; a user's rows land in one
+       part, so the per-part dedup of (day, user) and, after the ×7
+       closed-form window expansion, of (win_day, user) are both
+       globally exact;
+    3. per-part partial counts per win_day → a win_day-cardinality
+       groupby sum (metadata-sized).
+
+    ``win_day`` = epoch days (BIGINT both engines). Only windows whose
+    trailing range saw ≥ 1 active user appear (identical both sides).
+    """
+    from ray.data.aggregate import Sum
+
+    P = 16
+    offs = np.arange(window_days, dtype=np.int64)
+
+    def day_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy().astype(np.int64)
+        day = df["ts"].to_numpy("datetime64[ns]").view(np.int64) // 86_400_000_000_000
+        out = pd.DataFrame({"part": u % P, "day": day, "user_id": u})
+        return out.drop_duplicates(ignore_index=True)
+
+    def part_counts(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates(["day", "user_id"])
+        day = u["day"].to_numpy()
+        uid = u["user_id"].to_numpy()
+        win = (day[:, None] + offs[None, :]).ravel()
+        pairs = pd.DataFrame({"win_day": win, "user_id": np.repeat(uid, len(offs))})
+        pairs = pairs.drop_duplicates(ignore_index=True)
+        return (
+            pairs.groupby("win_day", sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+
+    return (
+        _read(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(day_pairs, batch_format="pandas", batch_size=65536)
+        .groupby("part")
+        .map_groups(part_counts, batch_format="pandas")
+        .groupby("win_day")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+WEEKLY_ACTIVE_SQL = """
+SELECT day + off AS win_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM (SELECT DISTINCT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day, user_id
+      FROM events),
+     (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS off)
+GROUP BY 1
+"""
