@@ -155,6 +155,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "mt_classification": co.mt_classification,
         "kg_mentions_safetensors": co.kg_mentions_safetensors,
         "graph_cf_pairs": go.graph_cf_pairs,
+        "q_events_hopping": rel.q_events_hopping,
+        "q_weekly_active_users": rel.q_weekly_active_users,
+        "emb_dim_stats": co.emb_dim_stats,
     }
     qtimes: dict[str, float] = {}
     if os.environ.get("GRAFT_BENCH_SKIP_QUERIES"):

@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pyarrow as pa
 
 from ..functions import dedup as fdedup
 from ..functions import similarity as fsim
@@ -583,6 +584,78 @@ FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(a.embedding, b.embedding) >= 0.42
 ORDER BY id_a, id_b
+"""
+
+
+def emb_dim_stats(sf_dir: str):
+    """Per-dimension count/mean/std over the embedding column — the
+    whitening-stats pass every embedding pipeline runs before
+    normalization/PCA. The map side reduces each block to ONE row per
+    dimension (n, Σx, Σx²: a fixed D×3 partial — metadata-sized
+    regardless of row count, zero data shuffled), the dim-keyed
+    groupby sums partials, and the finalize computes mean/sample-std
+    from the merged moments. Values are ~unit magnitude so the raw
+    second moment is stable in float64; both engines round to 5 dp
+    (the CORR/SKEW precedent — double error at n≈1e5 is ~1e-12,
+    far under the rounding quantum).
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        if len(col) == 0:
+            return pa.table(
+                {"dim": pa.array([], pa.int64()), "n": pa.array([], pa.int64()),
+                 "s1": pa.array([], pa.float64()), "s2": pa.array([], pa.float64())}
+            )
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        d = len(col[0])
+        m = flat.reshape(-1, d)
+        return pa.table(
+            {
+                "dim": np.arange(d, dtype=np.int64),
+                "n": np.full(d, m.shape[0], dtype=np.int64),
+                "s1": m.sum(axis=0),
+                "s2": (m * m).sum(axis=0),
+            }
+        )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s1 = t["s1"].to_numpy(zero_copy_only=False)
+        s2 = t["s2"].to_numpy(zero_copy_only=False)
+        mean = s1 / n
+        var = (s2 - s1 * s1 / n) / (n - 1)
+        return pa.table(
+            {
+                "dim": t["dim"],
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+                "mean": np.floor(mean * 1e5 + 0.5) / 1e5,
+                "std": np.floor(np.sqrt(var) * 1e5 + 0.5) / 1e5,
+            }
+        )
+
+    return (
+        _embs(sf_dir, ["embedding"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s1", alias_name="s1"),
+            Sum("s2", alias_name="s2"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+EMB_DIM_STATS_SQL = """
+SELECT i - 1 AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+       FLOOR(AVG(e) * 100000 + 0.5) / 100000 AS mean,
+       FLOOR(STDDEV_SAMP(e) * 100000 + 0.5) / 100000 AS std
+FROM (SELECT unnest(embedding) AS e,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings)
+GROUP BY 1
 """
 
 
