@@ -395,3 +395,28 @@ class TestUserCardinalityStress:
         assert len(a) == len(b) <= 9  # |types|² bound
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
         assert wall < 120, f"took {wall:.1f}s at 1M distinct users"
+
+    def test_weekly_active_users_exact_and_bounded_at_1m_users(
+        self, big_events_dir
+    ):
+        """Sliding-window COUNT(DISTINCT) at 1M distinct users (the
+        round-5 WAU op): both distincts happen inside the bounded
+        ``user_id % P`` parts, the ×7 window expansion is per-part
+        vectorized, and only win_day-cardinality partials shuffle."""
+        import time
+
+        import duckdb
+
+        t0 = time.perf_counter()
+        res = E.queries()["q_weekly_active_users"](big_events_dir).to_pandas()
+        wall = time.perf_counter() - t0
+
+        c = duckdb.connect()
+        c.sql(
+            f"CREATE VIEW events AS SELECT * FROM '{big_events_dir}/events.parquet'"
+        )
+        odf = c.sql(E.oracle_sql()["q_weekly_active_users"]).df()
+        a, b = _norm(res), _norm(odf)
+        assert len(a) == len(b) <= 3 + 6  # 3 data days + 6 trailing windows
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        assert wall < 120, f"took {wall:.1f}s at 1M distinct users"
