@@ -200,6 +200,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "q_events_hopping": rel.q_events_hopping,
         "q_weekly_active_users": rel.q_weekly_active_users,
         "emb_dim_stats": co.emb_dim_stats,
+        "q_nation_revenue_share": rel.q_nation_revenue_share,
         # multimodal plumbing
         "media_features": co.media_features,
         "media_near_dups": co.media_near_dups,
@@ -340,6 +341,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_hopping": rel.EVENTS_HOPPING_SQL,
         "q_weekly_active_users": rel.WEEKLY_ACTIVE_SQL,
         "emb_dim_stats": co.EMB_DIM_STATS_SQL,
+        "q_nation_revenue_share": rel.NATION_REVENUE_SHARE_SQL,
         "emb_ann_topk": co.ANN_TOPK_SQL,
         "emb_ivf_topk_full": co.ANN_TOPK_SQL,
         "emb_exact_pairs": co.EXACT_PAIRS_SQL,

@@ -158,6 +158,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "q_events_hopping": rel.q_events_hopping,
         "q_weekly_active_users": rel.q_weekly_active_users,
         "emb_dim_stats": co.emb_dim_stats,
+        "q_nation_revenue_share": rel.q_nation_revenue_share,
     }
     qtimes: dict[str, float] = {}
     if os.environ.get("GRAFT_BENCH_SKIP_QUERIES"):

@@ -4614,6 +4614,10 @@ def q_events_hopping(sf_dir: str, width_s: int = 3600, hop_s: int = 900):
     expanded-event size — and ONE small groupby sums the partials.
     ``win_start`` is the window's epoch-second start (BIGINT on both
     engines; no timezone/format dependence).
+
+    NOTE: :data:`EVENTS_HOPPING_SQL` hardcodes the default
+    width/hop (3600/900); non-default parameters diverge from the
+    SQL twin (the ``q_user_value_ema`` alpha precedent).
     """
     from ray.data.aggregate import Sum
 
@@ -4677,6 +4681,9 @@ def q_weekly_active_users(sf_dir: str, window_days: int = 7):
 
     ``win_day`` = epoch days (BIGINT both engines). Only windows whose
     trailing range saw ≥ 1 active user appear (identical both sides).
+
+    NOTE: :data:`WEEKLY_ACTIVE_SQL` hardcodes the default 7-day
+    window; a non-default ``window_days`` diverges from the SQL twin.
     """
     from ray.data.aggregate import Sum
 
@@ -4718,4 +4725,109 @@ FROM (SELECT DISTINCT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day, user_id
       FROM events),
      (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS off)
 GROUP BY 1
+"""
+
+
+def q_nation_revenue_share(sf_dir: str, dim_broadcast_limit: int = DIM_BROADCAST_LIMIT):
+    """Ratio-to-report window (share of partition total): each
+    nation's customer revenue next to its REGION's total — the
+    ``SUM(x) OVER (PARTITION BY region)`` family, the one window shape
+    (share-of-total) the window suite didn't yet cover.
+
+    Scale shape: the fact table is touched ONCE (in-batch partials
+    keyed by the ≤ 25-value nationkey, customer attached via the
+    guarded broadcast ⇄ hash-join idiom of :func:`q_segment_revenue`);
+    the window itself runs over the nation-cardinality aggregate — a
+    bounded-size result, so the "window" is a vectorized transform on
+    metadata-sized data, never a second fact pass. Output is
+    integer-exact (cents on both engines), no float share column.
+    """
+    from ray.data.aggregate import Sum
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    if cust_ds.count() <= dim_broadcast_limit:
+        cust = cust_ds.to_pandas()
+        nat_of = pd.Series(
+            cust.c_nationkey.to_numpy().astype(np.int64),
+            index=cust.c_custkey.to_numpy(),
+        )
+
+        def lookup(batch: pa.Table) -> pa.Table:
+            nk = (
+                pd.Series(batch["o_custkey"].to_numpy(zero_copy_only=False))
+                .map(nat_of).to_numpy().astype(np.int64)
+            )
+            return pa.table(
+                {
+                    "c_nationkey": pa.array(nk, pa.int64()),
+                    "total_cents": _floor_units(batch["o_totalprice"], 100),
+                }
+            )
+
+        tagged = orders.map_batches(lookup, batch_format="pyarrow")
+    else:
+        from ..functions.joins import hash_join
+
+        pre = orders.map_batches(
+            lambda t: pa.table(
+                {
+                    "o_custkey": t["o_custkey"],
+                    "total_cents": _floor_units(t["o_totalprice"], 100),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        tagged = hash_join(
+            pre, cust_ds, left_on="o_custkey", right_on="c_custkey",
+            num_partitions=16,
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+                    "total_cents": t["total_cents"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    per_nation = (
+        tagged.groupby("c_nationkey")
+        .aggregate(Sum("total_cents", alias_name="revenue_cents"))
+        .to_pandas()
+    )
+    # nation-cardinality window: attach names + region totals
+    nk = per_nation["c_nationkey"].to_numpy().astype(np.int64)
+    nat = nation.set_index("n_nationkey")
+    rname_of = region.set_index("r_regionkey")["r_name"]
+    rkey = nat["n_regionkey"].loc[nk].to_numpy()
+    rev = per_nation["revenue_cents"].to_numpy().astype(np.int64)
+    out = pd.DataFrame(
+        {
+            "n_name": nat["n_name"].loc[nk].to_numpy(),
+            "r_name": rname_of.loc[rkey].to_numpy(),
+            "revenue_cents": rev,
+        }
+    )
+    out["region_total_cents"] = out.groupby("r_name")["revenue_cents"].transform("sum")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+NATION_REVENUE_SHARE_SQL = """
+SELECT n_name, r_name, revenue_cents,
+       CAST(SUM(revenue_cents) OVER (PARTITION BY r_name) AS BIGINT)
+           AS region_total_cents
+FROM (
+    SELECT n_name, r_name,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name
+)
 """

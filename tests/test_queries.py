@@ -91,7 +91,8 @@ class TestExactQuantilesEdgeCases:
 
 @pytest.mark.parametrize(
     "name", ["q3_top_orders", "q5_region_revenue", "q_segment_revenue",
-             "q_top_orders_per_segment", "q_rich_idle_customers_by_nation"]
+             "q_top_orders_per_segment", "q_rich_idle_customers_by_nation",
+             "q_nation_revenue_share"]
 )
 def test_dim_join_fallback_matches_broadcast(name, con):
     """dim_broadcast_limit=0 forces the guarded shuffle-join path for
