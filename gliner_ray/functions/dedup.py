@@ -309,9 +309,11 @@ def minhash_candidate_pairs(
     ``distinct=False`` there with ``dedup_pairs=True`` (the per-part
     merge dedups for free, one less shuffle). ``concurrency=None``
     (default) → stateless tasks; pass a pool size for a long job where
-    per-actor state amortizes."""
-    from ray.data.aggregate import Count
-
+    per-actor state amortizes. The band-duplicate drop runs on a
+    bounded ``hash(pair) % P`` part key (per-part vectorized
+    drop_duplicates) — a raw pair-keyed ``.aggregate()`` pays Ray
+    2.49's ~1–2 ms PER GROUP reduce cost at candidate-pair
+    cardinality (BASELINE.md round-5 cliff note)."""
     kwargs = {"num_perm": num_perm, "bands": bands, "ngram": ngram}
     if concurrency is None:
         bands_ds = ds.map_batches(
@@ -329,7 +331,24 @@ def minhash_candidate_pairs(
     pairs = _grouped_bucket_pairs(bands_ds)
     if not distinct:
         return pairs
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n")).drop_columns(["n"])
+    P = 16
+
+    def _pair_part(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((a * np.uint64(2654435761) + b) % np.uint64(P)).astype(np.int64)
+        return pa.table(
+            {"part": pa.array(part, pa.int64()), "id_a": t["id_a"], "id_b": t["id_b"]}
+        )
+
+    def _pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["id_a", "id_b"]].drop_duplicates(ignore_index=True)
+
+    return (
+        pairs.map_batches(_pair_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_pair_dedup, batch_format="pandas")
+    )
 
 
 def _grouped_bucket_pairs(
@@ -1747,23 +1766,32 @@ def editdist1_pairs(ds, col: str, n_parts: int = 64):
     between different variants therefore cannot create false pairs —
     only extra candidates).
 
-    Shuffle shape: one ``col``-keyed groupby dedups values; variants
-    ship as int64 siphashes (never the variant strings); buckets
-    shuffle ONCE on ``hash % n_parts`` and each part processes its
-    buckets with a vectorized size filter (only multi-value buckets
-    enumerate pairs); pair dedup is a final pair-keyed groupby over
-    the (tiny) verified set."""
+    Shuffle shape: values dedup cross-batch on a ``hash % P`` part
+    key (per-part vectorized drop_duplicates — a raw value-keyed
+    ``.aggregate()`` pays Ray 2.49's ~1–2 ms PER GROUP reduce cost at
+    corpus-distinct cardinality, BASELINE.md round-5 cliff note);
+    variants ship as int64 siphashes (never the variant strings);
+    buckets shuffle ONCE on ``hash % n_parts`` and each part
+    processes its buckets with a vectorized size filter (only
+    multi-value buckets enumerate pairs); verified pairs dedup the
+    same part-keyed way."""
     import pandas as pd
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count
+
+    def _val_part(t: pa.Table) -> pa.Table:
+        u = pc.unique(t[col])
+        part = pd.util.hash_array(u.to_numpy(zero_copy_only=False)) % n_parts
+        return pa.table(
+            {"part": pa.array(part.astype(np.int64), pa.int64()), col: u}
+        )
+
+    def _val_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g[[col]].drop_duplicates(ignore_index=True)
 
     distinct = (
-        ds.map_batches(
-            lambda t: pa.table({col: pc.unique(t[col])}),
-            batch_format="pyarrow",
-        )
-        .groupby(col)
-        .aggregate(Count(alias_name="_n"))
+        ds.map_batches(_val_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_val_dedup, batch_format="pandas")
     )
 
     def variants(t: pa.Table) -> pa.Table:
@@ -1797,13 +1825,23 @@ def editdist1_pairs(ds, col: str, n_parts: int = 64):
                         kb.append(ks[j])
         return pd.DataFrame({"ka": ka, "kb": kb})
 
+    def pair_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(ignore_index=True)
+        ha = pd.util.hash_array(df["ka"].to_numpy(dtype=object))
+        hb = pd.util.hash_array(df["kb"].to_numpy(dtype=object))
+        df["pp"] = ((ha * 3 + hb) % n_parts).astype(np.int64)
+        return df
+
+    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["ka", "kb"]].drop_duplicates(ignore_index=True)
+
     return (
         distinct.map_batches(variants, batch_format="pyarrow")
         .groupby("part")
         .map_groups(per_part, batch_format="pandas")
-        .groupby(["ka", "kb"])
-        .aggregate(Count(alias_name="_m"))
-        .select_columns(["ka", "kb"])
+        .map_batches(pair_part, batch_format="pandas")
+        .groupby("pp")
+        .map_groups(pair_dedup, batch_format="pandas")
     )
 
 

@@ -378,18 +378,26 @@ def bloom_semi_join(
     survivors = left.map_batches(prune, batch_format="pyarrow")
 
     def distinct_keys(t: pa.Table) -> pa.Table:
-        k = t[right_key].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({left_key: pa.array(np.unique(k), pa.int64())})
+        k = np.unique(t[right_key].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table(
+            {
+                "__part": pa.array(k % num_partitions, pa.int64()),
+                left_key: pa.array(k, pa.int64()),
+            }
+        )
 
-    from ray.data.aggregate import Count
+    def part_unique(g: "pd.DataFrame") -> "pd.DataFrame":
+        return g[[left_key]].drop_duplicates(ignore_index=True)
 
-    # distinct via a native arrow groupby aggregate (per-group pandas
-    # map_groups pays group-count overhead at key cardinality)
+    # cross-batch distinct on the bounded key % P part (per-part
+    # vectorized drop_duplicates) — BOTH a raw-key map_groups AND a
+    # raw-key native .aggregate() pay per-GROUP overhead at key
+    # cardinality (~1–2 ms/group in Ray 2.49's aggregate reduce; see
+    # BASELINE.md round-5 cliff note)
     right_keys = (
         right.map_batches(distinct_keys, batch_format="pyarrow")
-        .groupby(left_key)
-        .aggregate(Count(alias_name="__n"))
-        .select_columns([left_key])
+        .groupby("__part")
+        .map_groups(part_unique, batch_format="pandas")
     )
     return hash_join(
         survivors, right_keys, left_key, left_key,

@@ -792,24 +792,33 @@ def q_customers_no_urgent_orders(sf_dir: str, num_partitions: int = 8):
     broadcast NOT IN): customers LEFT hash-join the distinct keys of
     the urgent-order side (per-batch filter + ``pc.unique`` combiner
     shrinks the shuffle), keep rows with a null right side. Both sides
-    move exactly once, partitioned on the key."""
-    from ray.data.aggregate import Count
-
+    move exactly once, partitioned on the key. The cross-batch dedup
+    runs on the bounded ``key % P`` part (per-part vectorized
+    drop_duplicates) — a raw custkey-cardinality ``.aggregate()``
+    pays Ray 2.49's ~1–2 ms/group reduce cost (BASELINE.md round-5
+    cliff note)."""
     from ..functions.joins import hash_join
 
     cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def batch_unique(t: pa.Table) -> pa.Table:
+        keys = pc.unique(
+            t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))["o_custkey"]
+        )
+        part = keys.to_numpy(zero_copy_only=False).astype(np.int64) % num_partitions
+        return pa.table({"part": pa.array(part, pa.int64()), "o_custkey": keys})
+
+    def dedup_part(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["o_custkey"].drop_duplicates()
+        return pd.DataFrame(
+            {"o_custkey": u.to_numpy(), "n": np.ones(len(u), dtype=np.int64)}
+        )
+
     urgent = (
         _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
-        .map_batches(
-            lambda t: pa.table(
-                {"o_custkey": pc.unique(
-                    t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))["o_custkey"]
-                )}
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby("o_custkey")
-        .aggregate(Count(alias_name="n"))
+        .map_batches(batch_unique, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(dedup_part, batch_format="pandas")
     )
     joined = hash_join(
         cust, urgent, "c_custkey", "o_custkey",
@@ -991,12 +1000,13 @@ def q_asof_purchase_click(sf_dir: str):
     recent prior-or-simultaneous click (``functions/joins.asof_join``,
     the merge-as-of operator Ray Data lacks natively). The right side
     is pre-aggregated to unique (user_id, ts) keys — max cents — so
-    tie-breaking is deterministic on both engines. One coarse
-    ``user_id % P`` shuffle; time order restored per part, never
-    globally.
+    tie-breaking is deterministic on both engines; (user, ts) pairs
+    are near-unique per click, so that dedup runs as an in-batch
+    partial max + a ``user_id % P`` part merge, never a
+    pair-cardinality ``.aggregate()`` (the BASELINE.md round-5 cliff:
+    ~1–2 ms per group in Ray's reduce). One coarse ``user_id % P``
+    shuffle; time order restored per part, never globally.
     """
-    from ray.data.aggregate import Max
-
     from ..functions.joins import asof_join
 
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
@@ -1018,10 +1028,26 @@ def q_asof_purchase_click(sf_dir: str):
         return fn
 
     purchases = ev.map_batches(split("purchase", True), batch_format="pyarrow")
+
+    P = 16
+
+    def click_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["user_id", "ts"], sort=False, as_index=False).agg(
+            click_cents=("cents", "max")
+        )
+        out["part"] = out["user_id"].to_numpy().astype(np.int64) % P
+        return out
+
+    def click_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["user_id", "ts"], sort=False, as_index=False).agg(
+            click_cents=("click_cents", "max")
+        )
+
     clicks = (
         ev.map_batches(split("click", False), batch_format="pyarrow")
-        .groupby(["user_id", "ts"])
-        .aggregate(Max("cents", alias_name="click_cents"))
+        .map_batches(click_partial, batch_format="pandas", batch_size=65536)
+        .groupby("part")
+        .map_groups(click_merge, batch_format="pandas")
     )
     joined = asof_join(purchases, clicks, on="ts", by="user_id", direction="backward")
 
@@ -1793,10 +1819,11 @@ def q_events_pivot(sf_dir: str):
     The column set is discovered first from the (tiny) distinct
     event-type list, then ONE streaming pass pivots in-batch (pandas
     crosstab per batch — at most users-in-batch × types cells leave a
-    batch) and a single int-keyed groupby sums the partials. No
-    generic wide shuffle: the pivot is a combiner."""
-    from ray.data.aggregate import Sum
-
+    batch) and the partials merge on the bounded ``user_id % P`` part
+    key with a per-part vectorized sum (a raw user-cardinality
+    ``.aggregate()`` pays Ray 2.49's ~1–2 ms/group reduce cost —
+    BASELINE.md round-5 cliff note). No generic wide shuffle: the
+    pivot is a combiner."""
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
     # in-batch distinct combiner first: the unique() shuffle only sees
     # (types × blocks) rows, never the fact table
@@ -1820,12 +1847,17 @@ def q_events_pivot(sf_dir: str):
         ct = pd.crosstab(df["user_id"], df["event_type"])
         ct = ct.reindex(columns=types, fill_value=0).astype("int64")
         ct.columns = cols
-        return pa.Table.from_pandas(ct.reset_index(), preserve_index=False)
+        out = ct.reset_index()
+        out.insert(0, "part", out["user_id"].to_numpy().astype(np.int64) % 16)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("user_id", sort=False, as_index=False)[cols].sum()
 
     return (
         ds.map_batches(pivot, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+        .groupby("part")
+        .map_groups(merge_part, batch_format="pandas")
     )
 
 
@@ -4611,7 +4643,13 @@ def q_events_hopping(sf_dir: str, width_s: int = 3600, hop_s: int = 900):
     vectorized (``np.add.outer`` of the hop offsets, no Python loop),
     collapses the expansion to in-batch partial (window, type)
     counts/sums — shuffle bytes stay at partial-row size, never
-    expanded-event size — and ONE small groupby sums the partials.
+    expanded-event size — and the merge runs on the bounded
+    ``win_start % P`` part key with a per-part vectorized groupby
+    (a window lands in exactly ONE part, so per-part sums are
+    globally exact). A raw ``groupby(win_start, event_type)``
+    .aggregate here is window-cardinality-keyed and degenerates
+    Ray's sort-aggregate exactly like the pre-fix graph_triangles
+    (measured 18.5 s → <1 s at sf0.1 for the SAME 14k partial rows).
     ``win_start`` is the window's epoch-second start (BIGINT on both
     engines; no timezone/format dependence).
 
@@ -4619,8 +4657,7 @@ def q_events_hopping(sf_dir: str, width_s: int = 3600, hop_s: int = 900):
     width/hop (3600/900); non-default parameters diverge from the
     SQL twin (the ``q_user_value_ema`` alpha precedent).
     """
-    from ray.data.aggregate import Sum
-
+    P = 16
     k = width_s // hop_s
     offs = (np.arange(k, dtype=np.int64) * hop_s)[::-1].copy()
 
@@ -4631,6 +4668,7 @@ def q_events_hopping(sf_dir: str, width_s: int = 3600, hop_s: int = 900):
         cents = np.floor(df["value"].to_numpy() * 100).astype(np.int64)
         out = pd.DataFrame(
             {
+                "part": (starts // hop_s) % P,
                 "win_start": starts,
                 "event_type": np.repeat(df["event_type"].to_numpy(), k),
                 "n_events": np.int64(1),
@@ -4638,18 +4676,21 @@ def q_events_hopping(sf_dir: str, width_s: int = 3600, hop_s: int = 900):
             }
         )
         return (
-            out.groupby(["win_start", "event_type"], sort=False, as_index=False)
+            out.groupby(["part", "win_start", "event_type"], sort=False, as_index=False)
+            .agg(n_events=("n_events", "sum"), sum_value_cents=("sum_value_cents", "sum"))
+        )
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["win_start", "event_type"], sort=False, as_index=False)
             .agg(n_events=("n_events", "sum"), sum_value_cents=("sum_value_cents", "sum"))
         )
 
     return (
         _read(sf_dir, "events", ["ts", "event_type", "value"])
         .map_batches(expand, batch_format="pandas", batch_size=65536)
-        .groupby(["win_start", "event_type"])
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("sum_value_cents", alias_name="sum_value_cents"),
-        )
+        .groupby("part")
+        .map_groups(merge_part, batch_format="pandas")
     )
 
 

@@ -30,6 +30,8 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -151,16 +153,51 @@ def entity_map_distributed(
     for singletons). Each round: proposal(dst) = label(src) over every
     edge, new label = min(proposals ∪ current); stop when no label
     changed (an aggregate over the small label table).
+
+    The per-round label min runs on the bounded
+    ``hash(variant) % P`` part key with an in-batch partial-min
+    combiner and a per-part vectorized groupby — a raw
+    variant-cardinality ``.aggregate(Min)`` pays Ray 2.49's ~1–2 ms
+    PER GROUP reduce cost each round (BASELINE.md round-5 cliff
+    note), which at web-scale variant counts turns every propagation
+    round into minutes.
     """
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Sum
+
+    P = max(int(num_partitions), 8)
+
+    def _partial_min(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("variant", sort=False, as_index=False)["label"].min()
+        out["part"] = (
+            pd.util.hash_array(out["variant"].to_numpy(dtype=object)) % P
+        ).astype(np.int64)
+        return out
+
+    def _merge_min(g: pd.DataFrame) -> pa.Table:
+        # arrow out: labels blocks union with the (arrow) join output,
+        # and Ray's batcher cannot mix pandas + arrow block types
+        out = g.groupby("variant", sort=False, as_index=False)["label"].min()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def _init_part(t: pa.Table) -> pa.Table:
+        u = pc.unique(t["va"])
+        part = pd.util.hash_array(u.to_numpy(zero_copy_only=False)) % P
+        return pa.table(
+            {"part": pa.array(part.astype(np.int64), pa.int64()),
+             "variant": u, "label": u}
+        )
+
+    def _init_dedup(g: pd.DataFrame) -> pa.Table:
+        out = g[["variant", "label"]].drop_duplicates("variant", ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     edges = edges_ds.materialize()
-    # init: label(v) = v
+    # init: label(v) = v (cross-batch distinct via the part idiom)
     labels = (
         edges.select_columns(["va"])
-        .groupby("va")
-        .aggregate(Min("va", alias_name="label"))
-        .rename_columns({"va": "variant"})
+        .map_batches(_init_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_init_dedup, batch_format="pandas")
         .materialize()
     )
     for _ in range(max_rounds):
@@ -177,8 +214,9 @@ def entity_map_distributed(
         )
         new_labels = (
             proposals.union(labels.select_columns(["variant", "label"]))
-            .groupby("variant")
-            .aggregate(Min("label", alias_name="label"))
+            .map_batches(_partial_min, batch_format="pandas", batch_size=65536)
+            .groupby("part")
+            .map_groups(_merge_min, batch_format="pandas")
             .materialize()
         )
         changed = (

@@ -213,14 +213,17 @@ def cooccurrence_edges(
     every file's edges land in ONE part), and each part generates its
     pairs with a single vectorized self-merge per part (no per-file
     Python loop, no file-cardinality map_groups). Pair counts
-    pre-combine inside the part before the final pair-keyed groupby
-    Sum — the combiner pattern. Per-part memory is Σ k_file² / P where
-    k_file = entities per file (bounded by max_len · labels); mega
-    files bound k by construction, so no key salting is needed."""
+    pre-combine inside the part, and the cross-part merge runs on a
+    bounded ``hash(pair) % P`` part key with a per-part vectorized
+    groupby sum — a raw pair-keyed ``.aggregate(Sum)`` pays Ray
+    2.49's ~1–2 ms PER GROUP reduce cost at pair cardinality
+    (BASELINE.md round-5 cliff note). Per-part memory is
+    Σ k_file² / P where k_file = entities per file (bounded by
+    max_len · labels); mega files bound k by construction, so no key
+    salting is needed."""
     import numpy as np
     import pandas as pd
     import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
 
     P = num_partitions
 
@@ -245,12 +248,21 @@ def cooccurrence_edges(
             .size()
             .rename(columns={"ent_x": "ent_a", "ent_y": "ent_b", "size": "n_files"})
         )
-        return out.astype({"n_files": "int64"})
+        out = out.astype({"n_files": "int64"})
+        ha = pd.util.hash_array(out["ent_a"].to_numpy(dtype=object))
+        hb = pd.util.hash_array(out["ent_b"].to_numpy(dtype=object))
+        out["pair_part"] = ((ha * 3 + hb) % P).astype(np.int64)
+        return out
+
+    def merge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["ent_a", "ent_b"], sort=False, as_index=False).agg(
+            n_files=("n_files", "sum")
+        )
 
     return (
         triples_ds.map_batches(project, batch_format="pyarrow")
         .groupby("part")
         .map_groups(pairs, batch_format="pandas")
-        .groupby(["ent_a", "ent_b"])
-        .aggregate(Sum("n_files", alias_name="n_files"))
+        .groupby("pair_part")
+        .map_groups(merge_pairs, batch_format="pandas")
     )
