@@ -225,7 +225,27 @@ def q3_top_orders(sf_dir: str, dim_broadcast_limit: int = DIM_BROADCAST_LIMIT):
             orders, join_type="inner", num_partitions=_join_parts(line_raw),
             on=("l_orderkey",), right_on=("o_orderkey",),
         )
-    agg = joined.groupby("l_orderkey").aggregate(Sum("rev_e4", alias_name="revenue_e4"))
+    # orderkey-cardinality merge via the part idiom: in-batch partial
+    # sums + per-part vectorized groupby (a raw orderkey-keyed
+    # .aggregate pays Ray 2.49's ~1–2 ms/group reduce cost spread
+    # over only the join's output partitions — BASELINE.md round-5
+    # cliff note)
+    P = 32
+
+    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("l_orderkey", sort=False, as_index=False)["rev_e4"].sum()
+        out["part"] = out["l_orderkey"].to_numpy().astype(np.int64) % P
+        return out
+
+    def rev_merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("l_orderkey", sort=False, as_index=False)["rev_e4"].sum()
+        return out.rename(columns={"rev_e4": "revenue_e4"})
+
+    agg = (
+        joined.map_batches(rev_partial, batch_format="pandas", batch_size=131072)
+        .groupby("part")
+        .map_groups(rev_merge, batch_format="pandas")
+    )
     top = agg.sort(["revenue_e4", "l_orderkey"], descending=[True, False]).limit(10)
     return top
 
